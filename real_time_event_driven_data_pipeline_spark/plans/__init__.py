@@ -1,0 +1,3 @@
+from .registry import QUERIES, Query, oracle_sql_map, queries_map
+
+__all__ = ["QUERIES", "Query", "queries_map", "oracle_sql_map"]

@@ -1,0 +1,80 @@
+"""Named-query registry: every operator from SURVEY §2, as a pair of
+(PySpark plan builder, DuckDB oracle SQL) over the driver testdata.
+
+This is the driver contract's backing store: ``__spark_entry__.queries``
+and ``oracle_sql`` are thin views over ``QUERIES``.  Each entry keeps
+the Spark implementation and its ANSI-SQL twin adjacent so the
+column-name/rounding alignment (the correctness gate hashes values by
+sorted column name) is reviewable in one place.
+
+Queries whose semantics are not SQL-expressible (LSH banding, streaming
+state) set ``oracle=None`` → the driver records a rows-only check and
+pytest pins them against exact/batch references instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import apply_runtime_confs
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ref: str  # SURVEY §2 rows this query certifies
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, survey_ref: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver supplies its own session; pin timezone & AQE
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = Query(name, wrapped, oracle, survey_ref)
+        return wrapped
+
+    return deco
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {n: q.fn for n, q in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: q.oracle for n, q in QUERIES.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import all modules that register queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import core_queries  # noqa: F401
+    try:
+        from . import breadth_queries  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import extension_queries  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import streaming_queries  # noqa: F401
+    except ImportError:
+        pass
+    _LOADED = True

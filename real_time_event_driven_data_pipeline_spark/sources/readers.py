@@ -1,0 +1,89 @@
+"""Schema-enforced sources.
+
+Reference behavior being re-expressed (SURVEY §2.1):
+
+- S1/S2: CSV scans with explicit ``StructType`` + header, single file or
+  folder-of-part-files as one table (reference:
+  docker-images/validation/validate.py:78-84,
+  docker-images/transformation/transform.py:79-81).  Spark's file
+  source globs folders natively, so folder-as-table is free.
+- S4: empty-input guard — the reference pays a full ``count()`` per
+  table (validate.py:87-92); ours probes with ``limit(1)`` so the scan
+  stops at the first row regardless of table size.
+- Streaming arrivals: the reference's S3-event trigger becomes a
+  Structured Streaming file source (``read_stream_csv``); explicit
+  schemas are mandatory there, which the registry already provides.
+
+At 100 TB the same entry points apply: parquet scans get column
+pruning + predicate pushdown from Catalyst; never infer schemas in
+production (a full pre-scan of the data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_SCHEMAS
+
+
+class EmptyInputError(ValueError):
+    """Raised when a required source has no rows (reference exit-1 path)."""
+
+
+def require_non_empty(df: DataFrame, name: str) -> DataFrame:
+    # limit(1) stops the scan at the first row — O(1), not O(table) like
+    # the reference's count()==0 guard.
+    if not df.limit(1).take(1):
+        raise EmptyInputError(f"source table '{name}' is empty")
+    return df
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    check_non_empty: bool = False,
+) -> DataFrame:
+    """CSV scan (single file or folder of part files) with enforced schema.
+
+    Malformed values become nulls (PERMISSIVE mode) and are surfaced by
+    the validation operators — the reference's two-layer schema system.
+    """
+    df = spark.read.schema(schema).option("header", header).csv(path)
+    return require_non_empty(df, path) if check_non_empty else df
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
+    """Load driver testdata parquet tables as {name: DataFrame}."""
+    names = tables or tuple(TESTDATA_SCHEMAS)
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
+
+
+def read_stream_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming file source over a landing directory.
+
+    Spark-native analogue of the reference's S3 ObjectCreated ->
+    Step Functions trigger (SURVEY §2.9): each newly arrived file is a
+    micro-batch input; ``Trigger.AvailableNow`` gives the one-activation
+    batch semantics the orchestrator had.
+    """
+    reader = spark.readStream.schema(schema).option("header", header)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(path)
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(path)
