@@ -1,0 +1,66 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's registered queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Timing covers plan construction + execution (count-style materialize,
+no driver-side collect of large results); session bootstrap is
+excluded — at 100 TB the session is long-lived, queries are not.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+
+    from real_time_event_driven_data_pipeline_spark.plans.registry import queries_map
+    from real_time_event_driven_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + file listing once so per-query numbers measure the
+    # queries, not first-touch costs
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries_map().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,15 @@ def non_nullable_columns(schema: T.StructType) -> list[str]:
     return [f.name for f in schema.fields if not f.nullable]
 
 
+def nullable_copy(schema: T.StructType) -> T.StructType:
+    """All-nullable twin of a schema, for ingestion surfaces that cannot
+    enforce nullability (CSV/parquet readers, createDataFrame on dirty
+    data).  The declared schema stays the *contract*; this is the
+    *reader* shape — the reference's two-layer model (SURVEY §1.3).
+    """
+    return T.StructType([T.StructField(f.name, f.dataType, True) for f in schema.fields])
+
+
 # --- driver testdata schemas (TESTDATA.md / FIXTURES.md mapping) ---
 
 TESTDATA_SCHEMAS: dict[str, T.StructType] = {
