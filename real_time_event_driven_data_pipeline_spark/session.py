@@ -21,6 +21,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # testdata events.parquet carries TIMESTAMP(NANOS); Spark's reader
+    # rejects it unless nanos are surfaced as long (converted back to
+    # timestamps in sources.readers.load_testdata)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -59,10 +59,34 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
+    """Convert nanos-as-long columns back to timestamps (µs truncation).
+
+    With ``spark.sql.legacy.parquet.nanosAsLong`` (session.py) a
+    TIMESTAMP(NANOS) parquet column arrives as LongType nanoseconds.
+    ``ts div 1000`` keeps the math in exact integers (ns since epoch
+    overflows double's 53-bit mantissa) and matches DuckDB's own
+    ns→µs truncation, so oracles agree.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
     """Load driver testdata parquet tables as {name: DataFrame}."""
     names = tables or tuple(TESTDATA_SCHEMAS)
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
+    out = {}
+    for t in names:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events":
+            df = _restore_nanos_timestamps(df)
+        out[t] = df
+    return out
 
 
 def read_stream_csv(
