@@ -1,0 +1,137 @@
+"""Streaming-shaped operators, certified in batch mode.
+
+The reference has no in-engine streaming (SURVEY §2.9) — its
+"real-time" property is the S3-event -> Step Functions trigger.  Our
+engine's native streaming path lives in ``streaming/pipeline.py``;
+the *operators* it uses (tumbling windows, sessionization) are
+registered here over the batch ``events`` table so the driver can
+oracle-check their semantics — ``F.window`` behaves identically in
+batch and streaming, which is exactly why Structured Streaming is the
+right 100 TB substrate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_testdata
+from .registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, "events")["events"]
+
+
+# --- tumbling-window aggregation (the streaming KPI shape) ---
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts)          AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT)        AS n_events,
+       ROUND(SUM(value), 4)            AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_hourly_stats", EVENTS_HOURLY_SQL, "streaming: tumbling window agg")
+def q_events_hourly_stats(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "unique_users",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --- sliding-window aggregation ---
+
+EVENTS_SLIDING_SQL = """
+WITH offsets AS (SELECT 0 AS off UNION ALL SELECT 30),
+     slid AS (
+       SELECT date_trunc('hour', e.ts - to_minutes(o.off)) + to_minutes(o.off)
+                AS window_start,
+              e.value
+       FROM events e CROSS JOIN offsets o
+     )
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4)     AS sum_value
+FROM slid
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("events_sliding_stats", EVENTS_SLIDING_SQL, "streaming: sliding window agg")
+def q_events_sliding_stats(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# --- sessionization (gap-based), the classic stateful-streaming op,
+#     expressed with lag + cumulative sum so it is oracle-checkable ---
+
+SESSIONS_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT)         AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("user_sessionization", SESSIONS_SQL, "streaming: session windows (batch twin)")
+def q_user_sessionization(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    # µs precision to match DuckDB's timestamp subtraction exactly
+    # (cast-to-long would truncate sub-second gaps at the boundary)
+    new_session = (
+        F.when(
+            lag_ts.isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,149 @@
+"""Streaming pipeline: arrival-triggered activations, validation gate
+branching (quarantine), per-activation KPI recompute, and the native
+windowed aggregation."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_event_driven_data_pipeline_spark.schemas import (
+    ECOM_ORDER_ITEMS,
+    nullable_copy,
+)
+from real_time_event_driven_data_pipeline_spark.sinks.kv import SQLiteKVStore
+from real_time_event_driven_data_pipeline_spark.streaming.pipeline import (
+    EventDrivenPipeline,
+    streaming_windowed_kpis,
+)
+
+from .ecom_fixtures import make_ecom
+
+TS_FMT = "%Y-%m-%dT%H:%M:%S"
+
+
+def _write_csv(pdf, path):
+    pdf.to_csv(path, index=False, date_format=TS_FMT)
+
+
+def _daily_revenue(df):
+    return (
+        df.withColumn("order_date", F.to_date("created_at"))
+        .groupBy("order_date")
+        .agg(F.round(F.sum("sale_price"), 2).alias("daily_revenue"))
+    )
+
+
+@pytest.fixture()
+def pipeline_env(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dirs = {
+        "landing": str(landing),
+        "valid": str(tmp_path / "valid"),
+        "quarantine": str(tmp_path / "quarantine"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "store": str(tmp_path / "kv.db"),
+    }
+    pipe = EventDrivenPipeline(
+        spark,
+        landing_dir=dirs["landing"],
+        schema=nullable_copy(ECOM_ORDER_ITEMS),
+        contract_schema=ECOM_ORDER_ITEMS,
+        table_name="order_items",
+        valid_dir=dirs["valid"],
+        quarantine_dir=dirs["quarantine"],
+        checkpoint_dir=dirs["checkpoint"],
+        primary_key=["id"],
+        kpi_fns={"daily_revenue": _daily_revenue},
+        kv_store_path=dirs["store"],
+        kpi_key_cols={"daily_revenue": ["order_date"]},
+    )
+    return pipe, dirs
+
+
+def test_event_driven_activations_and_quarantine(spark, pipeline_env):
+    pipe, dirs = pipeline_env
+    _, _, order_items = make_ecom(n_products=100, n_orders=120, seed=11)
+    part1 = order_items.iloc[:150]
+    part2 = order_items.iloc[150:300]
+    dirty = order_items.iloc[300:320].copy()
+    dirty["sale_price"] = dirty["sale_price"].astype(object)
+    dirty.loc[dirty.index[:4], "sale_price"] = None
+
+    # activation 1: first arrival event
+    _write_csv(part1, f"{dirs['landing']}/part1.csv")
+    pipe.run_available_now()
+    assert len(pipe.reports) == 1 and pipe.reports[0][1].passed
+    store = SQLiteKVStore(dirs["store"], "daily_revenue")
+    expected1 = {
+        f"{r['order_date']:%Y-%m-%d}": str(round(r["daily_revenue"], 2))
+        for r in _daily_revenue(
+            spark.createDataFrame(part1, nullable_copy(ECOM_ORDER_ITEMS))
+        ).collect()
+    }
+    got1 = {k: v["daily_revenue"] for k, v in store.all_items().items()}
+    assert got1 == expected1
+
+    # activation 2: dirty arrival -> quarantined, serving store unchanged
+    _write_csv(dirty, f"{dirs['landing']}/dirty.csv")
+    pipe.run_available_now()
+    assert len(pipe.reports) == 2 and not pipe.reports[1][1].passed
+    assert {c.check for c in pipe.reports[1][1].checks if not c.passed} == {"null_check"}
+    assert spark.read.parquet(dirs["quarantine"]).count() == 20
+    assert {k: v["daily_revenue"] for k, v in store.all_items().items()} == expected1
+
+    # activation 2b: re-delivered file (keys already accepted) -> quarantined
+    _write_csv(part1.iloc[:10], f"{dirs['landing']}/redelivered.csv")
+    pipe.run_available_now()
+    assert not pipe.reports[-1][1].passed
+    assert {c.check for c in pipe.reports[-1][1].checks if not c.passed} == {
+        "unique_key_cross_batch"
+    }
+    assert {k: v["daily_revenue"] for k, v in store.all_items().items()} == expected1
+
+    # activation 3: clean arrival -> KPIs recomputed over part1+part2
+    _write_csv(part2, f"{dirs['landing']}/part2.csv")
+    pipe.run_available_now()
+    assert pipe.reports[3][1].passed
+    import pandas as pd
+
+    both = pd.concat([part1, part2])
+    expected2 = {
+        f"{r['order_date']:%Y-%m-%d}": str(round(r["daily_revenue"], 2))
+        for r in _daily_revenue(
+            spark.createDataFrame(both, nullable_copy(ECOM_ORDER_ITEMS))
+        ).collect()
+    }
+    assert {k: v["daily_revenue"] for k, v in store.all_items().items()} == expected2
+
+
+def test_streaming_windowed_kpis_matches_batch(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.sources.readers import load_testdata
+
+    events = load_testdata(spark, "/root/testdata/sf0.001", "events")["events"]
+    src = str(tmp_path / "events_parquet")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_windowed_kpis(stream, window="1 day", watermark="1 day")
+    # complete mode: append would hold back windows the watermark hasn't
+    # closed (the final day never flushes in a finite test input)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_kpis")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_kpis").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streaming_windowed_kpis(events, window="1 day", watermark="1 day").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
