@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism contract: embeddings are cast element-wise to double
+*before* any arithmetic; dot products are in-order left folds
+(``F.aggregate`` over ``zip_with``), so every engine doing in-order
+double accumulation produces identical bits (verified exact vs DuckDB
+``list_dot_product`` on DOUBLE[]).  Cosines are emitted unrounded.
+
+Scale design:
+- ``cosine_topk`` broadcasts the (small) query set against the corpus —
+  one pass, no corpus shuffle; ranking is a per-query top-k window.
+- ``embedding_similar_pairs`` is the exact all-pairs path (corpus ⋈
+  corpus); use for moderate corpora or verification.
+- ``lsh_bucket_ann`` is the 100 TB path: random-hyperplane sign
+  buckets (deterministic seeded planes) -> candidates share a bucket ->
+  exact re-scoring of candidates only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """In-order double fold of the element-wise product."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def embedding_similar_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Exact near-duplicate pairs: cosine >= threshold, id_a < id_b."""
+    e = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k neighbors per query vector.
+
+    The query side is broadcast (queries are small by construction);
+    the corpus is scanned once with no shuffle until the final per-query
+    top-k, which moves only k rows per query.  Ties broken by id.
+    """
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
+    scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col, id_col, cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def _lsh_signature_udf(planes: np.ndarray):
+    """Arrow-vectorized signature: one numpy matmul per batch, emitting
+    ``array<bigint>`` of n_tables bucket ids ((table_idx << n_planes) | bits).
+
+    A Column-expression formulation of the same thing expands to
+    n_tables*n_planes*dim codegen terms (~10 MiB task binaries at
+    dim=64); the Pandas UDF keeps the plan small and the math in BLAS.
+    """
+    n_tables, n_planes, _dim = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    table_tag = (np.arange(n_tables, dtype=np.int64) << n_planes)
+
+    @F.pandas_udf("array<bigint>")
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (batch, dim) float64
+        bits = (mat @ flat >= 0).reshape(len(v), n_tables, n_planes)
+        buckets = (bits * weights).sum(axis=2) + table_tag  # (batch, T)
+        return pd.Series(list(buckets))
+
+    return sig
+
+
+def lsh_bucket_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_planes: int = 5,
+    n_tables: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets, exact re-score
+    of bucket-sharing candidates.  Deterministic (seeded planes).
+
+    At 100 TB the bucket equi-join replaces the corpus-wide scan per
+    query: each query probes its n_tables posting lists only, and the
+    candidate set (not the corpus) pays the exact-cosine cost.  Tune
+    n_planes up as corpus density grows (bucket occupancy ~ N/2^p).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    sig = _lsh_signature_udf(planes)
+
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
+    c_post = c.select(id_col, "v", F.explode(sig(F.col("v"))).alias("bucket"))
+    q_post = q.select(query_id_col, "qv", F.explode(sig(F.col("qv"))).alias("bucket"))
+
+    cand = (
+        c_post.join(F.broadcast(q_post), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(query_id_col, id_col, cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path computation is built-in Catalyst expressions (split /
+transform / filter / aggregate over arrays) — JVM-side, codegen'd, no
+Python in the loop — so these run at 100 TB the same way the KPI
+queries do.  Determinism contract (shared with the DuckDB oracles):
+ratios are emitted as raw int/int double divisions (correctly-rounded
+IEEE, identical bits in any engine) — never round(double) which is
+engine-dependent at half boundaries.
+
+Operators:
+- ``with_tokens``       whitespace tokenization
+- ``text_stats``        token/char counts, avg token length, ratios
+- ``language_id``       stopword-hit argmax heuristic
+- ``fingerprint``       md5 of normalized text (exact-dup key)
+- ``token_count_bpe``   BPE-ish subword count via regex
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Order = deterministic tie-break precedence.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"],
+}
+
+# BPE-ish subword pieces: word chunks of <=4 chars, digits, punctuation.
+# Identical regex semantics in Java (Spark) and DuckDB's RE2 for this
+# simple class-based pattern.
+BPE_ISH_PATTERN = "[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def tokens_expr(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), "\\s+")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, tokens_expr(text_col))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features: counts, lengths, ratios.
+
+    Output ratios are raw double divisions of exact integers
+    (deterministic cross-engine; see module docstring).
+    """
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z]", ""))
+    ).cast("long")
+    n_stopword_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS["en"]))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        (sum_tok_len / n_tokens).alias("avg_token_len"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        (n_stopword_hits / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit argmax with deterministic precedence (STOPWORDS order).
+
+    A classic n-gram/stopword language heuristic; emits per-language hit
+    counts alongside the prediction so downstream filters can threshold.
+    """
+    toks = F.transform(tokens_expr(text_col), F.lower)
+    hit_cols = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+        for lang, words in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    pred = F.lit("und")
+    # build CASE from lowest precedence upward so earlier langs win ties
+    for lang in reversed(langs):
+        cond = (hit_cols[lang] > 0)
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (hit_cols[lang] > hit_cols[other])
+            elif other != lang:
+                cond = cond & (hit_cols[lang] >= hit_cols[other])
+        pred = F.when(cond, lang).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercased text.  The exact-dedup key (md5 is identical everywhere)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return df.select(F.col(id_col), F.md5(normalized).alias("fp"))
+
+
+def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Subword-ish token count: words split into <=4-char pieces, digits
+    and punctuation as single tokens (a cheap BPE proxy for budgeting)."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(pieces).cast("long").alias("n_bpe_tokens"),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_ws_tokens"),
+    )

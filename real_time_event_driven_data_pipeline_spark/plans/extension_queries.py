@@ -1,0 +1,239 @@
+"""North-star extension queries: dedup, similarity search, text
+analysis over the driver's documents/embeddings tables.
+
+Oracle policy: exact operators get DuckDB SQL twins (ratio outputs
+unrounded — int/int and in-order double folds are bit-identical across
+engines); LSH/SimHash approximate paths are rows-only for the driver
+but pinned against their exact twins in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..sources.readers import load_testdata
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, "documents")["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+
+
+# --- text analysis ---
+
+TEXT_STATS_SQL = """
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT)                         AS n_tokens,
+       CAST(length(text) AS BIGINT)                   AS n_chars,
+       CAST(len(list_filter(t, x -> length(x) >= 0)) AS BIGINT) * 0
+         + list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS avg_token_len,
+       (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+         / length(text)                               AS alpha_ratio,
+       len(list_filter(t, x -> list_contains(
+           ['the','a','and','of','to','in','is','it','that','for'], lower(x))))::DOUBLE
+         / len(t)                                     AS stopword_ratio
+FROM toks
+ORDER BY doc_id
+"""
+
+
+@register("text_stats", TEXT_STATS_SQL, "ext: text quality scoring / token counting")
+def q_text_stats(spark, sf_dir):
+    return text.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprints", FINGERPRINT_SQL, "ext: document fingerprinting")
+def q_doc_fingerprints(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+LANG_ID_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) t
+    FROM documents
+), hits AS (
+    SELECT doc_id,
+      CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS BIGINT) AS hits_en,
+      CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS BIGINT) AS hits_es,
+      CAST(len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','un','une','est','que'], x))) AS BIGINT) AS hits_fr,
+      CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','ein','mit','zu','den'], x))) AS BIGINT) AS hits_de,
+      CAST(len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4'], x))) AS BIGINT) AS hits_zh
+    FROM toks
+)
+SELECT doc_id, hits_en, hits_es, hits_fr, hits_de, hits_zh,
+       CASE
+         WHEN hits_en > 0 AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_zh THEN 'en'
+         WHEN hits_es > 0 AND hits_es > hits_en AND hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_zh THEN 'es'
+         WHEN hits_fr > 0 AND hits_fr > hits_en AND hits_fr > hits_es AND hits_fr >= hits_de AND hits_fr >= hits_zh THEN 'fr'
+         WHEN hits_de > 0 AND hits_de > hits_en AND hits_de > hits_es AND hits_de > hits_fr AND hits_de >= hits_zh THEN 'de'
+         WHEN hits_zh > 0 AND hits_zh > hits_en AND hits_zh > hits_es AND hits_zh > hits_fr AND hits_zh > hits_de THEN 'zh'
+         ELSE 'und'
+       END AS lang_pred
+FROM hits ORDER BY doc_id
+"""
+
+
+@register("doc_language_id", LANG_ID_SQL, "ext: language identification heuristic")
+def q_doc_language_id(spark, sf_dir):
+    return text.language_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# --- dedup ---
+
+EXACT_DUP_SQL = """
+WITH fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies, MIN(doc_id) AS keep_id
+FROM fp GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
+"""
+
+
+@register("exact_duplicate_groups", EXACT_DUP_SQL, "ext: exact dedup (hash-groupBy)")
+def q_exact_duplicate_groups(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir)).orderBy("fp")
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s
+    FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))::DOUBLE
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("ngram_jaccard_near_dups", NGRAM_JACCARD_SQL, "ext: n-gram Jaccard near-dup (inverted index)")
+def q_ngram_jaccard_near_dups(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# MinHash-LSH: the scale path.  Candidates from banded signatures are
+# verified with exact Jaccard, and at the 0.5 threshold with r=2,b=32
+# the candidate-recall is ~1-1e-4, so the oracle is the exact query.
+@register("minhash_lsh_near_dups", NGRAM_JACCARD_SQL, "ext: MinHash-LSH near-dup")
+def q_minhash_lsh_near_dups(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# SimHash: signature semantics are not reasonably SQL-expressible ->
+# rows-only for the driver; pinned against brute-force in pytest.
+@register("simhash_near_pairs", None, "ext: SimHash near-dup banding")
+def q_simhash_near_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --- similarity search ---
+
+EMB_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+         / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+@register("embedding_similar_pairs", EMB_PAIRS_SQL, "ext: embedding-cosine near-dup")
+def q_embedding_similar_pairs(spark, sf_dir):
+    return similarity.embedding_similar_pairs(_emb(spark, sf_dir), threshold=0.45).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+     scored AS (
+       SELECT q.query_id, e.vec_id,
+              list_dot_product(q.qv, e.v)
+                / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)) AS cos_sim
+       FROM q JOIN e ON e.vec_id <> q.query_id
+     ),
+     ranked AS (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rank
+       FROM scored
+     )
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+@register("ann_cosine_topk", ANN_TOPK_SQL, "ext: brute-force cosine top-k (ANN baseline)")
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+# LSH-bucketed ANN: approximate by construction -> rows-only; recall
+# vs the exact top-k is asserted in pytest.
+@register("ann_lsh_topk", None, "ext: LSH-bucketed ANN (scale path)")
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").head()[0])
+    out = similarity.lsh_bucket_ann(emb, queries, dim=dim, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+# --- token counting (BPE-ish) ---
+
+BPE_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("token_counts", BPE_COUNT_SQL, "ext: whitespace + BPE-ish token counting")
+def q_token_counts(spark, sf_dir):
+    return text.token_count_bpe(_docs(spark, sf_dir)).orderBy("doc_id")

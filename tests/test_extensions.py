@@ -1,0 +1,111 @@
+"""Extensions: LSH/SimHash approximate paths pinned against exact
+twins; multimodal plumbing exercised with synthetic binary payloads."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_event_driven_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from real_time_event_driven_data_pipeline_spark.sources.readers import load_testdata
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_testdata(spark, SF, "documents")["documents"].cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_testdata(spark, SF, "embeddings")["embeddings"].cache()
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    # r=2,b=32 banding: recall ~1 at the 0.5 threshold on this corpus,
+    # and verification makes candidates exact -> sets must coincide
+    assert lsh == exact
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    near = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain strong near-dups"
+    found = len(near & exact) / len(exact)
+    assert found >= 0.8, f"simhash recall {found} on strong near-dups"
+
+
+def test_simhash_signature_deterministic(spark, docs):
+    one = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs.limit(50)).collect()}
+    two = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs.limit(50)).collect()}
+    assert one == two
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").head()[0])
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_bucket_ann(emb, queries, dim=dim, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH ANN recall {recall}"
+
+
+def test_dedup_exact_keeps_one_per_group(spark, docs):
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    kept = dedup.dedup_exact(doubled)
+    assert kept.count() == docs.count()
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 1_000_000
+
+
+def test_text_stats_ranges(spark, docs):
+    stats = text.text_stats(docs).collect()
+    assert len(stats) == docs.count()
+    for r in stats:
+        assert r.n_tokens > 0 and r.n_chars > 0
+        assert 0.0 <= r.alpha_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_multimodal_feature_extraction(spark):
+    rng = np.random.default_rng(0)
+    rows = [
+        (i, "image", bytes(rng.integers(0, 256, 400).astype(np.uint8)), "img/fake", 20, 20, None)
+        for i in range(10)
+    ] + [(99, "video", b"\x00" * 64, "video/fake", None, None, 3500)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert set(feats) == set(range(10))
+    for i, r in feats.items():
+        assert r.n_bytes == 400
+        assert 0.0 <= r.mean_intensity <= 255.0
+        assert r.thumb_w == 8 and r.thumb_h == 8
+    frames = multimodal.frame_sample_stub(media, every_ms=1000).collect()
+    assert [(f.frame_idx, f.frame_ts_ms) for f in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
