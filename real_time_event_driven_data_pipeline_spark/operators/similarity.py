@@ -38,21 +38,63 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def _inorder_dot(a, b) -> float:
+    """Left-to-right IEEE-double fold — bit-identical to Spark's
+    ``F.aggregate`` fold and DuckDB's ``list_dot_product``."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
 def embedding_similar_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
 ) -> DataFrame:
-    """Exact near-duplicate pairs: cosine >= threshold, id_a < id_b."""
+    """Exact near-duplicate pairs: cosine >= threshold, id_a < id_b.
+
+    Block-nested-loop: the corpus is broadcast once as a float64 matrix;
+    each partition scores its block against it with one BLAS matmul,
+    then the (few) pairs above ``threshold - margin`` are re-scored with
+    the in-order fold so emitted values are bit-exact vs the oracle.
+    All-pairs exact is inherently O(n^2) — this shape keeps the n^2 in
+    BLAS with zero shuffle.  Past broadcast size (~1e7 vectors) use
+    ``lsh_bucket_ann``; that is the 100 TB path.
+    """
+    import math
+
     e = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    full = e.toPandas()
+    full_ids = full[id_col].to_numpy()
+    full_mat = np.stack(full["v"].to_numpy()).astype(np.float64)
+    full_norm = full_mat / np.sqrt((full_mat * full_mat).sum(axis=1))[:, None]
+    bc = emb.sparkSession.sparkContext.broadcast((full_ids, full_mat, full_norm))
+
+    out_schema = "id_a bigint, id_b bigint, cos_sim double"
+
+    def _block(batches):
+        ids_f, mat_f, norm_f = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bid = pdf[id_col].to_numpy()
+            bm = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bnorm = bm / np.sqrt((bm * bm).sum(axis=1))[:, None]
+            sims = bnorm @ norm_f.T
+            cand = (sims >= threshold - 1e-6) & (bid[:, None] < ids_f[None, :])
+            rows = []
+            for i, j in zip(*np.nonzero(cand)):
+                va, vb = bm[i], mat_f[j]
+                cos = _inorder_dot(va, vb) / math.sqrt(
+                    _inorder_dot(va, va) * _inorder_dot(vb, vb)
+                )
+                if cos >= threshold:
+                    rows.append((int(bid[i]), int(ids_f[j]), cos))
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
+
+    return e.mapInPandas(_block, schema=out_schema)
 
 
 def cosine_topk(
