@@ -1,0 +1,75 @@
+"""CLI jobs: exit-code contract (S8), CSV folder-as-table ingestion
+(S1/S2), and the transform job's executor-side KV sink (S6)."""
+
+import sqlite3
+
+import pytest
+
+from real_time_event_driven_data_pipeline_spark import cli
+from tests.ecom_fixtures import make_ecom
+
+
+@pytest.fixture(scope="module")
+def csv_dirs(tmp_path_factory):
+    """Reference-shaped CSV layout: single products file + part-file
+    folders for orders/order_items (reference Data/ layout)."""
+    root = tmp_path_factory.mktemp("ecom_csv")
+    products, orders, order_items = make_ecom(n_products=150, n_orders=120, seed=7)
+    products.to_csv(root / "products.csv", index=False)
+    (root / "orders").mkdir()
+    (root / "order_items").mkdir()
+    for i, chunk in enumerate(
+        [orders.iloc[:60], orders.iloc[60:]]
+    ):
+        chunk.to_csv(root / "orders" / f"orders_part{i + 1}.csv", index=False)
+    for i, chunk in enumerate(
+        [order_items.iloc[:150], order_items.iloc[150:300], order_items.iloc[300:]]
+    ):
+        chunk.to_csv(root / "order_items" / f"order_items_part{i + 1}.csv", index=False)
+    return root
+
+
+def _args(root, extra=()):
+    return [
+        "--products", str(root / "products.csv"),
+        "--orders", str(root / "orders") + "/",
+        "--order-items", str(root / "order_items") + "/",
+        *extra,
+    ]
+
+
+def test_validate_clean_exits_zero(spark, csv_dirs):
+    assert cli.main(["validate", *_args(csv_dirs)]) == 0
+
+
+def test_validate_dirty_exits_one(spark, csv_dirs, tmp_path):
+    # orphan FK: an order_items row pointing at a missing product
+    import shutil
+
+    dirty = tmp_path / "dirty"
+    shutil.copytree(csv_dirs, dirty)
+    with open(dirty / "order_items" / "order_items_part1.csv", "a") as f:
+        f.write("99999,1,1,999999,delivered,2025-03-10T00:00:00,"
+                "2025-03-11T00:00:00,2025-03-12T00:00:00,,10.0\n")
+    assert cli.main(["validate", *_args(dirty)]) == 1
+
+
+def test_validate_missing_input_exits_one(spark, tmp_path):
+    assert cli.main([
+        "validate",
+        "--products", str(tmp_path / "nope.csv"),
+        "--orders", str(tmp_path / "nope"),
+        "--order-items", str(tmp_path / "nope2"),
+    ]) == 1
+
+
+def test_transform_writes_kpi_store(spark, csv_dirs, tmp_path):
+    store = tmp_path / "kpis.db"
+    assert cli.main(["transform", *_args(csv_dirs, ["--store", str(store)])]) == 0
+    con = sqlite3.connect(store)
+    n_cat = con.execute("SELECT COUNT(*) FROM category_kpis").fetchone()[0]
+    n_ord = con.execute("SELECT COUNT(*) FROM order_kpis").fetchone()[0]
+    assert n_cat > 0 and n_ord > 0
+    # keys serialize dates as yyyy-MM-dd (reference sink contract)
+    k = con.execute("SELECT k FROM order_kpis LIMIT 1").fetchone()[0]
+    assert len(k) == 10 and k[4] == "-" and k[7] == "-"
