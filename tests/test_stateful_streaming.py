@@ -1,0 +1,130 @@
+"""applyInPandasWithState sessionization: closed sessions from the
+stream match the batch lag/cumsum twin, across multi-batch arrivals."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from real_time_event_driven_data_pipeline_spark.sources.readers import load_testdata
+from real_time_event_driven_data_pipeline_spark.streaming.stateful import (
+    sessionize_stream,
+)
+
+GAP_MIN = 30.0
+
+
+def batch_sessions(events):
+    """Oracle: every session via lag + cumulative sum (batch)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = int(GAP_MIN * 60 * 1_000_000)
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull() | (F.unix_micros("ts") - F.unix_micros(lag_ts) > gap_us), 1
+    ).otherwise(0)
+    sess = (
+        events.withColumn("sid", F.sum(new_s).over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return sess.select("user_id", "session_start", "session_end", "n_events")
+
+
+def run_stream(spark, src, ckpt, name):
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize_stream(stream, gap_minutes=GAP_MIN)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_stream_sessions_match_batch(spark, tmp_path):
+    events = load_testdata(spark, "/root/testdata/sf0.001", "events")["events"]
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    got = run_stream(spark, src, str(tmp_path / "ckpt"), "sess_stream")
+
+    all_batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch_sessions(events).collect()
+    }
+    # the stream emits sessions closed by data or by the event-time
+    # timeout; sessions still open at end-of-input (watermark never
+    # advanced past them) stay in state -> got is a subset
+    assert got <= all_batch
+    assert len(got) > 0.5 * len(all_batch)
+    # every session the watermark could close must have been emitted:
+    # those ending > gap+watermark before the max event time
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = pd.Timestamp(max_ts) - pd.Timedelta(minutes=GAP_MIN) - pd.Timedelta(hours=1)
+    must_close = {s for s in all_batch if pd.Timestamp(s[2]) < horizon}
+    missing = must_close - got
+    assert not missing, f"{len(missing)} closeable sessions not emitted"
+
+
+def test_state_survives_across_batches(spark, tmp_path):
+    """A session spanning two arrivals closes with the full count."""
+    rows = [
+        # user 1: one session split across files (gap 5 min < 30)
+        (1, 100, "2025-03-01T10:00:00"),
+        (1, 101, "2025-03-01T10:05:00"),
+        # user 1 later event far in the future closes it (gap > 30min)
+        (1, 102, "2025-03-01T12:00:00"),
+        # watermark driver: very late event advances watermark
+        (2, 200, "2025-03-02T12:00:00"),
+    ]
+    pdf = pd.DataFrame(
+        [(u, e, pd.Timestamp(t)) for u, e, t in rows],
+        columns=["user_id", "event_id", "ts"],
+    ).astype({"ts": "datetime64[us]"})  # µs parquet, not TIMESTAMP(NANOS)
+    src = tmp_path / "src2"
+    src.mkdir()
+    out_dir = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ck2")
+
+    def run_to_parquet():
+        # memory sink cannot recover a checkpoint; a file sink can, which
+        # is what exercises state surviving across separate activations
+        schema = spark.read.parquet(str(src)).schema
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            sessionize_stream(stream, gap_minutes=GAP_MIN)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return {
+                (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            return set()
+
+    pdf.iloc[:2].to_parquet(src / "a.parquet")
+    got1 = run_to_parquet()
+    assert got1 == set()  # session still open, nothing closed yet
+
+    pdf.iloc[2:].to_parquet(src / "b.parquet")
+    got2 = run_to_parquet()
+    assert (1, "2025-03-01 10:00:00", "2025-03-01 10:05:00", 2) in got2
