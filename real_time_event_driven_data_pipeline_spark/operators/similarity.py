@@ -147,6 +147,98 @@ def _lsh_signature_udf(planes: np.ndarray):
     return sig
 
 
+def _nearest_centroids_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow-vectorized assignment: ids of the n_probe nearest centroids
+    (by cosine) per vector, as array<int>."""
+    cent_norm = centroids / np.sqrt((centroids * centroids).sum(axis=1))[:, None]
+
+    @F.pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+        sims = mat @ cent_norm.T
+        # argsort descending, take n_probe; deterministic tie-break by id
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a corpus sample (driver-side
+    numpy — IVF training is O(sample), not O(corpus); at 100 TB train on
+    a bounded sample or swap in pyspark.ml.clustering.KMeans).
+
+    Spherical (unit-norm data + centroids, assign by max dot product)
+    because the search metric is cosine — Euclidean cells misalign with
+    cosine neighborhoods when vector norms vary.
+    """
+    sample = corpus.select(as_double(vec_col).alias("v"))
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    mat = np.stack(sample.toPandas()["v"].to_numpy()).astype(np.float64)
+    mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=n_centroids, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / np.sqrt((m * m).sum())
+    return cent
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into centroid cells
+    (inverted file), queries probe their n_probe nearest cells, exact
+    cosine re-scores cell members only.
+
+    The scale path complement to ``lsh_bucket_ann``: cell assignment is
+    data-adaptive (k-means) rather than data-oblivious (hyperplanes),
+    so clustered corpora get much tighter candidate sets.  The cell
+    equi-join shuffles only cell ids + vectors, and each query touches
+    n_probe/n_centroids of the corpus.
+    """
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    assignp = _nearest_centroids_udf(centroids, n_probe)
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
+    c_cells = c.select(id_col, "v", F.explode(assign1(F.col("v"))).alias("cell"))
+    q_cells = q.select(query_id_col, "qv", F.explode(assignp(F.col("qv"))).alias("cell"))
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def lsh_bucket_ann(
     corpus: DataFrame,
     queries: DataFrame,

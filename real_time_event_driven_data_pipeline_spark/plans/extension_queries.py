@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, text
+from ..operators import dedup, similarity, skew, text
 from ..sources.readers import load_testdata
 from .registry import register
 
@@ -221,6 +221,43 @@ def q_ann_lsh_topk(spark, sf_dir):
     dim = len(emb.select("embedding").head()[0])
     out = similarity.lsh_bucket_ann(emb, queries, dim=dim, k=10)
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+# IVF ANN: data-adaptive cells (k-means) vs LSH's oblivious hyperplanes;
+# approximate -> rows-only, recall pinned in pytest.
+@register("ann_ivf_topk", None, "ext: IVF-partitioned ANN (scale path)")
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = similarity.train_ivf_centroids(emb, n_centroids=16)
+    out = similarity.ivf_ann(emb, queries, cent, n_probe=6, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+# --- skew-safe aggregation (same semantics as plain COUNT DISTINCT,
+#     shuffle bounded per (key, shard) — oracle is the unsalted SQL) ---
+
+SALTED_DISTINCT_SQL = """
+SELECT CAST(o_orderdate AS DATE)            AS order_date,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("salted_unique_customers", SALTED_DISTINCT_SQL, "scale: salted exact count-distinct")
+def q_salted_unique_customers(spark, sf_dir):
+    orders = load_testdata(spark, sf_dir, "orders")["orders"]
+    return (
+        skew.salted_count_distinct(
+            orders.withColumn("order_date", F.to_date("o_orderdate")),
+            ["order_date"],
+            "o_custkey",
+            out_alias="unique_customers",
+        )
+        .orderBy("order_date")
+    )
 
 
 # --- token counting (BPE-ish) ---

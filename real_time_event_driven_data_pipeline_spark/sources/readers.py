@@ -59,6 +59,23 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_json_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    check_non_empty: bool = False,
+) -> DataFrame:
+    """NDJSON scan (single file or folder), schema enforced.
+
+    Same two-layer contract as CSV: the declared schema is the shape
+    (no inference pass over the data — at 100 TB schema inference is a
+    full extra scan), PERMISSIVE mode nulls out malformed values for
+    the validation operators to catch.
+    """
+    df = spark.read.schema(schema).json(path)
+    return require_non_empty(df, path) if check_non_empty else df
+
+
 def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
     """Convert nanos-as-long columns back to timestamps (µs truncation).
 

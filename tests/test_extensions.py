@@ -78,6 +78,31 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     assert recall >= 0.5, f"LSH ANN recall {recall}"
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    cent = similarity.train_ivf_centroids(emb, n_centroids=16)
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_ann(emb, queries, cent, n_probe=6, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF ANN recall {recall}"
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    import numpy as np
+
+    c1 = similarity.train_ivf_centroids(emb, n_centroids=8)
+    c2 = similarity.train_ivf_centroids(emb, n_centroids=8)
+    assert np.array_equal(c1, c2)
+
+
 def test_dedup_exact_keeps_one_per_group(spark, docs):
     doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     kept = dedup.dedup_exact(doubled)

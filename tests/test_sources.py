@@ -1,0 +1,63 @@
+"""Source formats: CSV/JSON folder-as-table scans with enforced
+schemas, empty guards, and malformed-value -> null surfacing."""
+
+import pytest
+
+from real_time_event_driven_data_pipeline_spark.schemas import (
+    ECOM_ORDERS,
+    nullable_copy,
+)
+from real_time_event_driven_data_pipeline_spark.sources.readers import (
+    EmptyInputError,
+    read_csv_table,
+    read_json_table,
+)
+from tests.ecom_fixtures import make_ecom
+
+TS_FMT = "%Y-%m-%dT%H:%M:%S"
+
+
+@pytest.fixture(scope="module")
+def orders_pdf():
+    _, orders, _ = make_ecom(n_products=50, n_orders=80, seed=3)
+    return orders
+
+
+def test_json_folder_scan_matches_csv(spark, tmp_path, orders_pdf):
+    csv_dir = tmp_path / "csv"
+    json_dir = tmp_path / "json"
+    csv_dir.mkdir()
+    json_dir.mkdir()
+    for i, chunk in enumerate([orders_pdf.iloc[:40], orders_pdf.iloc[40:]]):
+        chunk.to_csv(csv_dir / f"part{i}.csv", index=False, date_format=TS_FMT)
+        chunk.to_json(
+            json_dir / f"part{i}.json", orient="records", lines=True,
+            date_format="iso", date_unit="s",
+        )
+    schema = nullable_copy(ECOM_ORDERS)
+    from_csv = read_csv_table(spark, str(csv_dir), schema)
+    from_json = read_json_table(spark, str(json_dir), schema)
+    key = lambda r: r["order_id"]  # noqa: E731
+    assert sorted(from_csv.collect(), key=key) == sorted(from_json.collect(), key=key)
+    assert from_json.schema == schema
+
+
+def test_json_malformed_values_become_nulls(spark, tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text(
+        '{"order_id": 1, "user_id": "not_an_int", "status": "delivered", '
+        '"created_at": "2025-03-10T00:00:00", "num_of_item": 2}\n'
+        '{"order_id": 2, "user_id": 7, "status": "delivered", '
+        '"created_at": "2025-03-11T00:00:00", "num_of_item": 1}\n'
+    )
+    df = read_json_table(spark, str(p), nullable_copy(ECOM_ORDERS))
+    rows = {r.order_id: r for r in df.collect()}
+    assert rows[1].user_id is None  # malformed -> null, caught by validation
+    assert rows[2].user_id == 7
+
+
+def test_empty_guard_raises(spark, tmp_path):
+    p = tmp_path / "empty.json"
+    p.write_text("")
+    with pytest.raises(EmptyInputError):
+        read_json_table(spark, str(p), nullable_copy(ECOM_ORDERS), check_non_empty=True)
