@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, skew, text
+from ..operators import asof, dedup, rangejoin, similarity, skew, text
 from ..sources.readers import load_testdata
 from .registry import register
 
@@ -234,6 +234,69 @@ def q_ann_ivf_topk(spark, sf_dir):
     cent = similarity.train_ivf_centroids(emb, n_centroids=16)
     out = similarity.ivf_ann(emb, queries, cent, n_probe=6, k=10)
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+# --- as-of join: purchase -> most recent prior click per user ---
+# Right side deduped to one row per (user, ts) so the match is unique
+# and both engines agree deterministically.
+
+ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, MAX(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS asof_ts, c.click_value AS asof_click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+@register("purchase_click_attribution", ASOF_SQL, "custom op: as-of (point-in-time) join")
+def q_purchase_click_attribution(spark, sf_dir):
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof.asof_join(
+        purchases, clicks, on="ts", by=["user_id"], values=["click_value"]
+    ).orderBy("event_id")
+
+
+# --- range join: clicks inside the hour before each purchase ---
+
+RANGE_JOIN_SQL = """
+WITH p AS (SELECT event_id AS purchase_id, user_id,
+                  ts - INTERVAL 1 HOUR AS w_start, ts AS w_end
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.w_start, p.w_end
+FROM c JOIN p ON c.user_id = p.user_id
+              AND c.click_ts >= p.w_start AND c.click_ts <= p.w_end
+ORDER BY click_id, purchase_id
+"""
+
+
+@register("clicks_in_purchase_windows", RANGE_JOIN_SQL, "custom op: binned range/interval join")
+def q_clicks_in_purchase_windows(spark, sf_dir):
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    return rangejoin.interval_join(
+        clicks, purchases, "click_ts", "w_start", "w_end", by=["user_id"]
+    ).orderBy("click_id", "purchase_id")
 
 
 # --- skew-safe aggregation (same semantics as plain COUNT DISTINCT,
