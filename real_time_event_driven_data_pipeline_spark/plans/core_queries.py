@@ -144,11 +144,15 @@ SELECT (SELECT COUNT(*) FROM lineitem l
 @register("validate_fk_orphans", FK_ORPHANS_SQL, "J3,A11 (Q3b)")
 def q_validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
-    a = fk_violations(lineitem, orders, "l_orderkey", "o_orderkey").count()
-    b = fk_violations(lineitem, part, "l_partkey", "p_partkey").count()
-    return spark.createDataFrame(
-        [(a, b)], "orphan_order_rows bigint, orphan_part_rows bigint"
+    # both anti-join counts in ONE job (1-row aggregates cross-joined),
+    # not two serial driver-side .count() actions
+    a = fk_violations(lineitem, orders, "l_orderkey", "o_orderkey").agg(
+        F.count(F.lit(1)).alias("orphan_order_rows")
     )
+    b = fk_violations(lineitem, part, "l_partkey", "p_partkey").agg(
+        F.count(F.lit(1)).alias("orphan_part_rows")
+    )
+    return a.crossJoin(b)
 
 
 # --- Q3c: duplicate-key check (validate.py:158-172) ---
@@ -167,8 +171,10 @@ SELECT (SELECT COUNT(*) FROM (
 @register("validate_duplicate_keys", DUP_KEYS_SQL, "A1,P2 (Q3c)")
 def q_validate_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
-    a = duplicate_keys(orders, ["o_orderkey"]).count()
-    b = duplicate_keys(lineitem, ["l_orderkey", "l_linenumber"]).count()
-    return spark.createDataFrame(
-        [(a, b)], "dup_order_keys bigint, dup_lineitem_keys bigint"
+    a = duplicate_keys(orders, ["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("dup_order_keys")
     )
+    b = duplicate_keys(lineitem, ["l_orderkey", "l_linenumber"]).agg(
+        F.count(F.lit(1)).alias("dup_lineitem_keys")
+    )
+    return a.crossJoin(b)

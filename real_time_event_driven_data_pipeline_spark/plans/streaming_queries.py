@@ -112,6 +112,40 @@ ORDER BY user_id
 """
 
 
+# --- sketch aggregations (the 100 TB substitutes for exact distinct /
+#     exact percentile: HLL++ and KLL-style mergeable sketches, O(1)
+#     memory per group, streaming-legal).  Approximate by construction
+#     -> rows-only for the driver; relative error pinned in pytest. ---
+
+
+@register("approx_daily_users", None, "sketch: HLL++ approx_count_distinct")
+def q_approx_daily_users(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_date")
+    )
+
+
+@register("value_quantile_sketch", None, "sketch: approx_percentile")
+def q_value_quantile_sketch(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q"),
+        )
+        .select(
+            "event_type",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p95"),
+            F.col("q")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register("user_sessionization", SESSIONS_SQL, "streaming: session windows (batch twin)")
 def q_user_sessionization(spark, sf_dir):
     events = _events(spark, sf_dir)

@@ -86,6 +86,29 @@ def _emit(user_id, sessions: list[tuple[int, int, int]]) -> pd.DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup by key with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key in state only
+    until the watermark passes it — the streaming twin of the batch
+    ``dedup_exact`` operator, and the standard guard against re-delivered
+    events in a training-data ingest path.  State is partitioned by key
+    across executors; the watermark bounds it at (arrival rate x delay).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: float = 30.0,

@@ -1,0 +1,47 @@
+"""Sketch aggregations: bounded relative error vs exact computation."""
+
+import pyspark.sql.functions as F
+
+from real_time_event_driven_data_pipeline_spark.plans.registry import queries_map
+from real_time_event_driven_data_pipeline_spark.sources.readers import load_testdata
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_users_within_rsd(spark):
+    events = load_testdata(spark, SF, "events")["events"]
+    exact = {
+        r.event_date: r.n
+        for r in events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_date: r.approx_users
+        for r in queries_map()["approx_daily_users"](spark, SF).collect()
+    }
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        rel = abs(approx[d] - n) / n
+        assert rel <= 0.10, f"{d}: approx {approx[d]} vs exact {n} (rel {rel:.3f})"
+
+
+def test_quantile_sketch_brackets_exact(spark):
+    events = load_testdata(spark, SF, "events")["events"]
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    got = {
+        r.event_type: (r.p50, r.p95)
+        for r in queries_map()["value_quantile_sketch"](spark, SF).collect()
+    }
+    for et, (p50, p95) in exact.items():
+        spread = abs(p95 - p50) or 1.0
+        assert abs(got[et][0] - p50) / spread < 0.05
+        assert abs(got[et][1] - p95) / spread < 0.05

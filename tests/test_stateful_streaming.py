@@ -78,6 +78,47 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     assert not missing, f"{len(missing)} closeable sessions not emitted"
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.streaming.stateful import (
+        dedup_stream,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 1, 3, 2, 4],  # 1 and 2 re-delivered
+            "ts": pd.to_datetime(
+                [
+                    "2025-03-01T10:00:00",
+                    "2025-03-01T10:01:00",
+                    "2025-03-01T10:02:00",
+                    "2025-03-01T10:03:00",
+                    "2025-03-01T10:04:00",
+                    "2025-03-01T10:05:00",
+                ]
+            ),
+        }
+    ).astype({"ts": "datetime64[us]"})
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    pdf.to_parquet(src / "a.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        dedup_stream(stream, ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dedup_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3, 4]  # each key exactly once
+
+
 def test_state_survives_across_batches(spark, tmp_path):
     """A session spanning two arrivals closes with the full count."""
     rows = [
