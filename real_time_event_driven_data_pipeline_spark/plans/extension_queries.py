@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import asof, dedup, rangejoin, similarity, skew, text
+from ..operators import asof, dedup, multimodal, rangejoin, similarity, skew, text
 from ..sources.readers import load_testdata
 from .registry import register
 
@@ -234,6 +234,29 @@ def q_ann_ivf_topk(spark, sf_dir):
     cent = similarity.train_ivf_centroids(emb, n_centroids=16)
     out = similarity.ivf_ann(emb, queries, cent, n_probe=6, k=10)
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+# --- multimodal plumbing over binary columns ---
+# The testdata has no media table; documents' bytes stand in as opaque
+# payloads so the Arrow-batched decode/feature pipeline (mapInPandas
+# over binary + typed metadata) is exercised end-to-end.  Features come
+# from the stubbed decoder -> rows-only for the driver; the numeric
+# invariants are pinned in tests/test_extensions.py.
+
+
+@register("media_features", None, "ext: multimodal binary-column feature extraction")
+def q_media_features(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("img/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return multimodal.extract_image_features(media).orderBy("media_id")
 
 
 # --- as-of join: purchase -> most recent prior click per user ---
