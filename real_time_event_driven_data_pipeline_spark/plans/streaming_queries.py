@@ -112,6 +112,78 @@ ORDER BY user_id
 """
 
 
+# --- JSON functions over the props payload column ---
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)                              AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("event_props_json", JSON_PROPS_SQL, "F: JSON extraction + agg over semi-structured payload")
+def q_event_props_json(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- session_window built-in (the native session aggregation; oracle =
+#     the same lag/cumsum CTE that certifies user_sessionization) ---
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sess AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+@register("session_window_agg", SESSION_WINDOW_SQL, "streaming: F.session_window gap sessions")
+def q_session_window_agg(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            # session_window's end is exclusive (last_ts + gap); the
+            # oracle reports the last event ts -> subtract the gap
+            (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # --- sketch aggregations (the 100 TB substitutes for exact distinct /
 #     exact percentile: HLL++ and KLL-style mergeable sketches, O(1)
 #     memory per group, streaming-legal).  Approximate by construction
