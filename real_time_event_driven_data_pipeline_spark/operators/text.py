@@ -113,6 +113,33 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(F.col(id_col), F.md5(normalized).alias("fp"))
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.01,
+    max_stopword_ratio: float = 0.60,
+) -> DataFrame:
+    """Training-data quality gate: keep documents passing the classic
+    length / alpha-ratio / stopword-ratio thresholds (the C4/Gopher-style
+    rule family).  Pure composition of ``text_stats`` + filter: one scan,
+    all JVM-side; comparisons are on exact int/int ratios so the same
+    thresholds reproduce identically in any engine.
+    """
+    stats = text_stats(df, id_col, text_col)
+    keep = stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Subword-ish token count: words split into <=4-char pieces, digits
     and punctuation as single tokens (a cheap BPE proxy for budgeting)."""

@@ -95,6 +95,35 @@ def q_doc_language_id(spark, sf_dir):
     return text.language_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+QUALITY_FILTER_SQL = """
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') t
+    FROM documents
+), stats AS (
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+             / length(text) AS alpha_ratio,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','and','of','to','in','is','it','that','for'], lower(x))))::DOUBLE
+             / len(t) AS stopword_ratio
+    FROM toks
+)
+SELECT d.doc_id, d.text FROM documents d
+JOIN stats s ON d.doc_id = s.doc_id
+WHERE s.n_tokens >= 20 AND s.n_tokens <= 100000
+  AND s.alpha_ratio >= 0.5
+  AND s.stopword_ratio >= 0.01 AND s.stopword_ratio <= 0.60
+ORDER BY d.doc_id
+"""
+
+
+@register("quality_filtered_docs", QUALITY_FILTER_SQL, "ext: C4/Gopher-style quality gate")
+def q_quality_filtered_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return text.quality_filter(docs).orderBy("doc_id")
+
+
 # --- dedup ---
 
 EXACT_DUP_SQL = """

@@ -71,3 +71,67 @@ def test_left_columns_untouched(spark, frames):
     out = asof_join(left, right, on="ts", by=["user"])
     assert out.count() == left.count()
     assert [c for c in out.columns[:4]] == ["id", "user", "ts", "amount"]
+
+
+# --- property-based equivalence with pandas merge_asof ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=500),  # seconds offset
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_rows=_events, right_rows=_events)
+def test_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    import pandas as pd
+
+    base = dt.datetime(2025, 3, 1)
+    lp = pd.DataFrame(
+        {
+            "user": [u for u, _ in left_rows],
+            "ts": [base + dt.timedelta(seconds=s) for _, s in left_rows],
+        }
+    ).assign(lid=lambda d: range(len(d)))
+    rp = (
+        pd.DataFrame(
+            {
+                "user": [u for u, _ in right_rows],
+                "ts": [base + dt.timedelta(seconds=s) for _, s in right_rows],
+            }
+        )
+        .drop_duplicates(["user", "ts"])  # unique match target per (key, ts)
+        .assign(rv=lambda d: [float(i) for i in range(len(d))])
+    )
+    if lp.empty or rp.empty:
+        return
+
+    want = pd.merge_asof(
+        lp.sort_values("ts", kind="stable"),
+        rp.sort_values("ts", kind="stable"),
+        on="ts",
+        by="user",
+        direction="backward",
+    )
+    want_map = {
+        r.lid: (None if pd.isna(r.rv) else r.rv) for r in want.itertuples()
+    }
+
+    left = spark.createDataFrame(lp, "user int, ts timestamp, lid long")
+    right = spark.createDataFrame(rp, "user int, ts timestamp, rv double")
+    got = {
+        r.lid: r.asof_rv
+        for r in asof_join(left, right, on="ts", by=["user"]).collect()
+    }
+    assert got == want_map
