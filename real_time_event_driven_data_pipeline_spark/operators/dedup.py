@@ -165,6 +165,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    near_dup_threshold: float = 0.5,
+    use_lsh: bool = False,
+) -> DataFrame:
+    """End-to-end corpus curation: exact dedup (keep min id per
+    fingerprint), then greedy near-dup removal (drop the higher id of
+    every Jaccard >= threshold pair) — the standard keep-first rule of
+    training-data pipelines.
+
+    ``use_lsh=True`` swaps the exact PPJoin pair generation for
+    MinHash-LSH banding (the 100 TB path; identical output whenever
+    banding recall is total, which pytest pins at this threshold).
+    Returns the surviving rows of ``df``.
+    """
+    survivors = dedup_exact(df, id_col, text_col)
+    pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
+    pairs = pair_fn(survivors, id_col, text_col, k=k, threshold=near_dup_threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return survivors.join(drop, id_col, "left_anti")
+
+
 # --- MinHash-LSH ---
 
 

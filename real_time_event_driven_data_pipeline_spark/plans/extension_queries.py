@@ -189,6 +189,57 @@ def q_simhash_near_pairs(spark, sf_dir):
     )
 
 
+# --- end-to-end corpus curation (quality gate -> exact dedup ->
+#     greedy near-dup removal), the flagship training-data pipeline ---
+
+CURATE_SQL = """
+WITH q AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\\s+') t
+    FROM documents
+), qstats AS (
+    SELECT doc_id, text, t,
+           len(t) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+             / length(text) AS alpha_ratio,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','and','of','to','in','is','it','that','for'], lower(x))))::DOUBLE
+             / len(t) AS stopword_ratio
+    FROM q
+), qualified AS (
+    SELECT doc_id, text, t FROM qstats
+    WHERE n_tokens >= 20 AND n_tokens <= 100000
+      AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.01 AND stopword_ratio <= 0.60
+), fp AS (
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM qualified
+), keep1 AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+   surv AS (SELECT doc_id, t FROM qualified WHERE doc_id IN (SELECT doc_id FROM keep1)),
+   sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s
+    FROM surv
+), pairs AS (
+    SELECT b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+)
+SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY doc_id
+"""
+
+
+@register("curated_corpus", CURATE_SQL, "ext: quality gate + exact dedup + near-dup removal pipeline")
+def q_curated_corpus(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qualified = text.quality_filter(docs)
+    return dedup.curate_corpus(qualified).select("doc_id").orderBy("doc_id")
+
+
 # --- similarity search ---
 
 EMB_PAIRS_SQL = """

@@ -110,6 +110,16 @@ def test_dedup_exact_keeps_one_per_group(spark, docs):
     assert kept.agg(F.max("doc_id")).collect()[0][0] < 1_000_000
 
 
+def test_curate_corpus_lsh_equals_exact(spark, docs):
+    exact_ids = {r.doc_id for r in dedup.curate_corpus(docs).select("doc_id").collect()}
+    lsh_ids = {
+        r.doc_id
+        for r in dedup.curate_corpus(docs, use_lsh=True).select("doc_id").collect()
+    }
+    assert exact_ids == lsh_ids
+    assert 0 < len(exact_ids) < docs.count()  # something removed, not everything
+
+
 def test_text_stats_ranges(spark, docs):
     stats = text.text_stats(docs).collect()
     assert len(stats) == docs.count()
