@@ -286,33 +286,30 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
     def _fold(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            h = pdf["h"].to_numpy().astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            weights = bits * 2 - 1  # 0/1 -> -1/+1
-            acc = (
-                pd.DataFrame(weights)
-                .groupby(pdf["doc_id"].to_numpy())
-                .sum()
-            )
-            sig = (acc.to_numpy() > 0).astype(np.uint64)
-            val = (sig << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
-            yield pd.DataFrame(
-                {"doc_id": acc.index.to_numpy(), "simhash": val.astype(np.int64)}
-            )
+        # ONE fold per partition, not per Arrow batch: a document whose
+        # token rows straddle a batch boundary would otherwise produce
+        # two partial (wrong) signatures.  Memory = one partition of
+        # (doc_id, h) longs — bounded by maxPartitionBytes.
+        frames = [pdf for pdf in batches if not pdf.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        weights = bits * 2 - 1  # 0/1 -> -1/+1
+        acc = pd.DataFrame(weights).groupby(pdf["doc_id"].to_numpy()).sum()
+        sig = (acc.to_numpy() > 0).astype(np.uint64)
+        val = (sig << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        yield pd.DataFrame(
+            {"doc_id": acc.index.to_numpy(), "simhash": val.astype(np.int64)}
+        )
 
-    # repartition by doc so each doc's tokens land in one batch group
-    return (
-        hashed.repartition("doc_id")
-        .sortWithinPartitions("doc_id")
-        .mapInPandas(_fold, schema=_SIMHASH_SCHEMA)
-        .groupBy("doc_id")
-        .agg(F.max("simhash").alias("simhash"))  # merge per-batch partials (same value)
-    )
+    # repartition by doc_id -> every token row of a doc is in exactly
+    # one partition, so the partition-level fold emits each doc once
+    # (no merge shuffle needed afterwards)
+    return hashed.repartition("doc_id").mapInPandas(_fold, schema=_SIMHASH_SCHEMA)
 
 
 def simhash_near_pairs(
