@@ -277,39 +277,52 @@ _SIMHASH_SCHEMA = T.StructType(
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (vectorized numpy inside a pandas
     batch iterator; per-token bit-unpacking has no built-in expression).
-    Token hashes are xxhash64 computed JVM-side first, so Python only
-    folds sign-weighted bits."""
-    hashed = (
-        df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks"))
-        .select("doc_id", F.explode("toks").alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+
+    Token hashes are xxhash64 computed JVM-side *into an array column*,
+    so each row is self-contained: no explode, no repartition — the
+    whole signature computation is shuffle-free and embarrassingly
+    parallel (the shape that matters at 100 TB).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("hs"),
     )
 
     def _fold(batches):
-        # ONE fold per partition, not per Arrow batch: a document whose
-        # token rows straddle a batch boundary would otherwise produce
-        # two partial (wrong) signatures.  Memory = one partition of
-        # (doc_id, h) longs — bounded by maxPartitionBytes.
-        frames = [pdf for pdf in batches if not pdf.empty]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        h = pdf["h"].to_numpy().astype(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        weights = bits * 2 - 1  # 0/1 -> -1/+1
-        acc = pd.DataFrame(weights).groupby(pdf["doc_id"].to_numpy()).sum()
-        sig = (acc.to_numpy() > 0).astype(np.uint64)
-        val = (sig << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
-        yield pd.DataFrame(
-            {"doc_id": acc.index.to_numpy(), "simhash": val.astype(np.int64)}
-        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["hs"]]
+            lens = np.array([len(a) for a in arrs])
+            docs = pdf["doc_id"].to_numpy()
+            nonempty = lens > 0
+            out_docs, out_vals = [], []
+            if nonempty.any():
+                flat = np.concatenate([a for a in arrs if len(a)]).astype(np.uint64)
+                bits = (
+                    (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int64)
+                weights = bits * 2 - 1  # 0/1 -> -1/+1
+                ne_lens = lens[nonempty]
+                starts = np.concatenate([[0], np.cumsum(ne_lens)[:-1]])
+                sums = np.add.reduceat(weights, starts, axis=0)  # (n_docs, 64)
+                sig = (sums > 0).astype(np.uint64)
+                val = (sig << np.arange(64, dtype=np.uint64)).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out_docs.append(docs[nonempty])
+                out_vals.append(val.astype(np.int64))
+            if (~nonempty).any():  # tokenless docs -> all-zero signature
+                out_docs.append(docs[~nonempty])
+                out_vals.append(np.zeros((~nonempty).sum(), dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_docs),
+                    "simhash": np.concatenate(out_vals),
+                }
+            )
 
-    # repartition by doc_id -> every token row of a doc is in exactly
-    # one partition, so the partition-level fold emits each doc once
-    # (no merge shuffle needed afterwards)
-    return hashed.repartition("doc_id").mapInPandas(_fold, schema=_SIMHASH_SCHEMA)
+    return hashed.mapInPandas(_fold, schema=_SIMHASH_SCHEMA)
 
 
 def simhash_near_pairs(
