@@ -193,17 +193,64 @@ def curate_corpus(
 # --- MinHash-LSH ---
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, num_hashes: int = 64
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    seed: int = 7,
 ) -> DataFrame:
-    """num_hashes min-hash values per doc from fixed-seed xxhash64."""
+    """(doc_id, array<bigint> of per-band bucket ids) — the LSH posting
+    input, computed shuffle-free.
+
+    Shingles are hashed JVM-side into an array column; num_hashes
+    minhash values per doc come from multiply-shift universal hashing
+    (``a_i * h + b_i`` in wrapping uint64) folded with one
+    ``minimum.reduceat`` per Arrow batch; band buckets mix the band's
+    rows in the same pass.  No explode, no signature shuffle — the only
+    shuffle in the whole LSH pipeline is the candidate equi-join.
+    """
+    n_bands = num_hashes // rows_per_band
+    rng = np.random.default_rng(seed)
+    A = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+
     sh = with_shingles(df, id_col, text_col, k, hashed=True)
-    posts = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return posts.groupBy(id_col).agg(*aggs)
+
+    def _fold(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["shingles"]]
+            lens = np.array([len(a) for a in arrs])
+            docs = pdf[id_col].to_numpy()
+            keep = lens > 0
+            if not keep.any():
+                yield pd.DataFrame({id_col: docs[:0], "buckets": []})
+                continue
+            flat = np.concatenate([a for a in arrs if len(a)]).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                M = flat[:, None] * A[None, :] + B[None, :]  # wrapping uint64
+            starts = np.concatenate([[0], np.cumsum(lens[keep])[:-1]])
+            sig = np.minimum.reduceat(M, starts, axis=0)  # (n_docs, num_hashes)
+            with np.errstate(over="ignore"):
+                buckets = sig[:, 0::rows_per_band] * _BAND_MIX
+                for r in range(1, rows_per_band):
+                    buckets = buckets ^ (sig[:, r::rows_per_band] * _BAND_MIX)
+                buckets = (buckets * _BAND_MIX) + np.arange(n_bands, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    id_col: docs[keep],
+                    "buckets": list(buckets.astype(np.int64)),
+                }
+            )
+
+    return sh.mapInPandas(_fold, schema=f"{id_col} bigint, buckets array<bigint>")
 
 
 def minhash_lsh_pairs(
@@ -222,20 +269,8 @@ def minhash_lsh_pairs(
     volume stays ~linear in the number of true near-dups.
     Output: (id_a, id_b, jaccard), verified exact, id_a < id_b.
     """
-    n_bands = num_hashes // rows_per_band
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    # one projection -> posexplode, instead of an n_bands-way unionAll
-    # (which plans n_bands scans of the signature relation)
-    bucket_arr = F.array(
-        *[
-            F.xxhash64(
-                F.lit(band),
-                *[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-            for band in range(n_bands)
-        ]
-    )
-    bands = sig.select(F.col(id_col), F.posexplode(bucket_arr).alias("band", "bucket"))
+    sig = minhash_band_buckets(df, id_col, text_col, k, num_hashes, rows_per_band)
+    bands = sig.select(F.col(id_col), F.posexplode("buckets").alias("band", "bucket"))
     left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (
