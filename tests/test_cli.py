@@ -63,6 +63,29 @@ def test_validate_missing_input_exits_one(spark, tmp_path):
     ]) == 1
 
 
+def test_pipeline_activation(spark, csv_dirs, tmp_path):
+    import shutil
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(
+        csv_dirs / "order_items" / "order_items_part1.csv", landing / "arrival1.csv"
+    )
+    work = tmp_path / "work"
+    rc = cli.main(
+        [
+            "pipeline",
+            "--landing-dir", str(landing),
+            "--work-dir", str(work),
+            "--store", str(tmp_path / "kpis.db"),
+        ]
+    )
+    assert rc == 0
+    con = sqlite3.connect(tmp_path / "kpis.db")
+    assert con.execute("SELECT COUNT(*) FROM daily_revenue").fetchone()[0] > 0
+    assert spark.read.parquet(str(work / "valid")).count() == 150
+
+
 def test_transform_writes_kpi_store(spark, csv_dirs, tmp_path):
     store = tmp_path / "kpis.db"
     assert cli.main(["transform", *_args(csv_dirs, ["--store", str(store)])]) == 0
