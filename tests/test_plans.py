@@ -1,0 +1,72 @@
+"""Plan-quality gates: the physical plans the engine actually wants,
+pinned so a regression (lost broadcast, accidental cartesian product,
+dropped pushdown/pruning) fails CI rather than shipping a 100x
+slowdown to the 100 TB cluster."""
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as ent
+
+from .conftest import SF_DIR
+
+# queries whose plan legitimately contains a nested-loop/cross shape:
+# cross joins of single-row aggregates (validate_*) cost nothing, and
+# the brute-force ANN baseline IS corpus x broadcast-queries by design.
+CROSS_OK = {"validate_fk_orphans", "validate_duplicate_keys", "ann_cosine_topk"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_accidental_cartesian_products(spark):
+    for name, fn in ent.queries().items():
+        plan = _plan(fn(spark, SF_DIR))
+        if name in CROSS_OK:
+            continue
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a BNLJ"
+
+
+def test_category_kpis_broadcasts_both_dims(spark):
+    plan = _plan(ent.queries()["category_kpis"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # partial+final hash aggregation (map-side combine before the shuffle)
+    assert "HashAggregate" in plan and "partial_sum" in plan
+
+
+def test_scan_pruning_and_pushdown(spark):
+    # projection query must read only the selected columns and push its
+    # predicate into the parquet scan
+    plan = _plan(ent.queries()["lineitem_projection"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan or "EqualTo" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read, f"unpruned scan: {read}"
+
+
+def test_partition_pruning_on_date_partitioned_table(spark, tmp_path):
+    events = spark.createDataFrame(
+        [(i, f"2025-03-{1 + i % 3:02d}", float(i)) for i in range(30)],
+        "event_id long, event_date string, value double",
+    )
+    path = str(tmp_path / "events_parts")
+    events.write.partitionBy("event_date").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_date") == "2025-03-01")
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    assert "2025-03-01" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    # only one of three partitions is read
+    assert df.count() == 10
+
+
+def test_whole_stage_codegen_on_kpi_path(spark):
+    df = ent.queries()["order_kpis"](spark, SF_DIR)
+    df.collect()  # AQE finalizes (and codegen-annotates) only on execution
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan, "no WholeStageCodegen spans in the KPI plan"
