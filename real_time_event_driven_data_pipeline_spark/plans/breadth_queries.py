@@ -463,3 +463,30 @@ def q_price_percentiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- array aggregation: collect_set + sort (beyond reference) ---
+# Emitted as a joined string so value comparison is serialization-
+# agnostic across engines.
+
+
+@register(
+    "brand_type_catalog",
+    """
+    SELECT p_brand,
+           string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT)           AS n_types
+    FROM part GROUP BY 1 ORDER BY 1
+    """,
+    "agg: collect_set -> sorted array -> string",
+)
+def q_brand_type_catalog(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("p_type")), "|").alias("types"),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+        .orderBy("p_brand")
+    )
