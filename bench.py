@@ -45,6 +45,11 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
         except Exception:
             pass
+    # pre-fork the Arrow Python workers (first mapInPandas otherwise
+    # pays worker startup inside whichever query runs it first)
+    spark.range(64, numPartitions=8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in queries_map().items():
