@@ -490,3 +490,57 @@ def q_brand_type_catalog(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+# --- range-frame window: 7-day moving average (beyond reference) ---
+# RANGE frame keyed on day number so calendar gaps count, unlike a
+# 7-ROW frame.  Sums in exact cents; the ratio is int/int (bit-stable).
+
+
+@register(
+    "daily_revenue_7d_ma",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS ship_date,
+               CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day_num,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT ship_date,
+           ROUND(rev_cents / 100.0, 2) AS revenue,
+           SUM(rev_cents) OVER w / 100.0
+             / SUM(1) OVER w            AS revenue_7d_ma,
+           CAST(SUM(n_items) OVER w AS BIGINT) AS items_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY ship_date
+    """,
+    "window: RANGE frame over day numbers (7-day moving aggregate)",
+)
+def q_daily_revenue_7d_ma(spark, sf_dir):
+    from ..functions.money import cents
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    daily = (
+        lineitem.withColumn("ship_date", F.to_date("l_shipdate"))
+        .withColumn("day_num", F.datediff("ship_date", F.lit("1970-01-01")))
+        .groupBy("ship_date", "day_num")
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "ship_date",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            (
+                (F.sum("rev_cents").over(w) / F.lit(100.0))
+                / F.sum(F.lit(1)).over(w)
+            ).alias("revenue_7d_ma"),
+            F.sum("n_items").over(w).cast("long").alias("items_7d"),
+        )
+        .orderBy("ship_date")
+    )

@@ -440,3 +440,35 @@ FROM documents ORDER BY doc_id
 @register("token_counts", BPE_COUNT_SQL, "ext: whitespace + BPE-ish token counting")
 def q_token_counts(spark, sf_dir):
     return text.token_count_bpe(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# --- explode/unnest: corpus token frequency (lateral coverage) ---
+
+TOP_TOKENS_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+)
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT)              AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM toks
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok
+LIMIT 20
+"""
+
+
+@register("top_tokens", TOP_TOKENS_SQL, "lateral/explode: corpus token frequency top-k")
+def q_top_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.explode(text.tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(20)
+    )
