@@ -104,7 +104,10 @@ def ngram_jaccard_pairs(
     shingles whose posting list exceeds the limit — the stop-shingle
     mitigation for 100 TB corpora.
     """
-    sh = with_shingles(df, id_col, text_col, k, hashed=True).cache()
+    # no .cache(): shingling is cheap after the tokenize-once fix, and a
+    # cache here would pin storage forever in a long-lived session (the
+    # operator cannot know when its plan is done being used)
+    sh = with_shingles(df, id_col, text_col, k, hashed=True)
     posts = sh.select(
         F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )

@@ -56,6 +56,8 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     downstream feature math is real and testable.
     """
     arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:  # zero-byte payload -> 1x1 black pixel, not a crash
+        return np.zeros((1, 1), dtype=np.uint8)
     side = max(1, int(len(arr) ** 0.5))
     return arr[: side * side].reshape(side, side)
 

@@ -49,10 +49,17 @@ def interval_join(
     p = points.withColumn("__bin", p_bin)
     i = intervals.withColumn("__bin", F.explode(F.sequence(i_start_bin, i_end_bin)))
 
-    cond = [p["__bin"] == i["__bin"]] + [p[c] == i[c] for c in by]
-    joined = p.join(i, cond, how).filter(
-        (p[point_ts] >= i[start_col]) & (p[point_ts] <= i[end_col])
+    # the range predicate is part of the JOIN CONDITION, not a post-join
+    # filter — a filter would silently drop the null-extended rows of an
+    # outer join, collapsing how='left' to inner semantics
+    cond = (
+        (p["__bin"] == i["__bin"])
+        & (p[point_ts] >= i[start_col])
+        & (p[point_ts] <= i[end_col])
     )
+    for c in by:
+        cond = cond & (p[c] == i[c])
+    joined = p.join(i, cond, how)
     # single copy of the by/bin columns
     keep_p = [p[c] for c in points.columns]
     keep_i = [i[c] for c in intervals.columns if c not in by]

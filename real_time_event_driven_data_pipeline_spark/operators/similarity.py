@@ -69,13 +69,15 @@ def embedding_similar_pairs(
     full = e.toPandas()
     full_ids = full[id_col].to_numpy()
     full_mat = np.stack(full["v"].to_numpy()).astype(np.float64)
-    full_norm = full_mat / np.sqrt((full_mat * full_mat).sum(axis=1))[:, None]
-    bc = emb.sparkSession.sparkContext.broadcast((full_ids, full_mat, full_norm))
+    # broadcast the raw matrix only; normalization is one cheap pass
+    # recomputed per task (halves the broadcast footprint)
+    bc = emb.sparkSession.sparkContext.broadcast((full_ids, full_mat))
 
     out_schema = "id_a bigint, id_b bigint, cos_sim double"
 
     def _block(batches):
-        ids_f, mat_f, norm_f = bc.value
+        ids_f, mat_f = bc.value
+        norm_f = mat_f / np.sqrt((mat_f * mat_f).sum(axis=1))[:, None]
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -42,14 +42,20 @@ def salted_count_distinct(
     alias = out_alias or f"{distinct_col}_distinct"
     shard = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_shards)).alias("__shard")
     deduped = (
-        df.select(*group_cols, F.col(distinct_col), shard)
+        # COUNT(DISTINCT x) ignores NULLs — drop them before sharding...
+        df.filter(F.col(distinct_col).isNotNull())
+        .select(*group_cols, F.col(distinct_col), shard)
         .dropDuplicates([*group_cols, "__shard", distinct_col])
         .groupBy(*group_cols, "__shard")
         .agg(F.count(F.lit(1)).alias("__partial"))
-    )
-    return (
-        deduped.groupBy(*group_cols)
+        .groupBy(*group_cols)
         .agg(F.sum("__partial").cast("long").alias(alias))
+    )
+    # ...but groupBy preserves groups whose values are ALL null (count 0),
+    # so restore them from the full group-key set
+    groups = df.select(*group_cols).dropDuplicates()
+    return groups.join(deduped, group_cols, "left").select(
+        *group_cols, F.coalesce(F.col(alias), F.lit(0)).cast("long").alias(alias)
     )
 
 
@@ -65,8 +71,17 @@ def salted_join(
     dim side replicated n_salts times.
 
     Output columns = fact columns + dim columns (join keys from both
-    sides retained, as with an expression join).
+    sides retained, as with an expression join).  Supported ``how``:
+    inner / left / left_semi / left_anti — shapes where the replicated
+    dim side cannot surface as unmatched output rows.  right/full would
+    emit each unmatched dim row once per replica and are rejected.
     """
+    if how not in {"inner", "left", "left_outer", "left_semi", "left_anti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the dim side is "
+            "replicated n_salts times, so outer-preserved dim rows would "
+            "be duplicated"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int")
     )

@@ -64,17 +64,11 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+    # import errors must propagate: swallowing one would silently shrink
+    # the registered query set and the driver would "pass" on the rump
+    from . import breadth_queries  # noqa: F401
     from . import core_queries  # noqa: F401
-    try:
-        from . import breadth_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import extension_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import streaming_queries  # noqa: F401
-    except ImportError:
-        pass
+    from . import extension_queries  # noqa: F401
+    from . import streaming_queries  # noqa: F401
+
     _LOADED = True

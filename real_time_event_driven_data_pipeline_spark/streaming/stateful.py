@@ -8,6 +8,14 @@ is a run of one user's events where consecutive gaps are <= ``gap``;
 it cannot be expressed as a (non-session) windowed aggregation because
 the window boundary depends on the data.
 
+Correctness under lateness: state holds the full LIST of open sessions
+per key, new events merge into it interval-style (a late event may
+extend a session backward, bridge two open sessions, or start its own),
+and a session is emitted ONLY once the event-time watermark passes
+session_end + gap — the point after which no admissible event can
+extend or merge it.  Emitting on in-data gaps alone would mis-split
+sessions when events arrive out of order across micro-batches.
+
 Scale notes: state is partitioned by the grouping key across the
 cluster and checkpointed by the state store (RocksDB-backed in prod
 configs); each executor holds only its keys' state.  Event-time
@@ -27,9 +35,38 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )
-_STATE_SCHEMA = "start long, last long, n long"  # epoch-micros + count
+# open sessions, parallel arrays sorted by start (epoch-micros + counts)
+_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
 
 _US = 1_000_000
+_MS = 1_000
+
+
+def _merge_sessions(
+    sessions: list[list[int]], ts_list: list[int], gap_us: int
+) -> list[list[int]]:
+    """Merge sorted event times into gap-sessions interval-style."""
+    for t in ts_list:
+        placed = False
+        for s in sessions:
+            if s[0] - gap_us <= t <= s[1] + gap_us:
+                s[0] = min(s[0], t)
+                s[1] = max(s[1], t)
+                s[2] += 1
+                placed = True
+                break
+        if not placed:
+            sessions.append([t, t, 1])
+    sessions.sort(key=lambda s: s[0])
+    # bridge sessions a late event may have connected
+    merged: list[list[int]] = []
+    for s in sessions:
+        if merged and s[0] - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], s[1])
+            merged[-1][2] += s[2]
+        else:
+            merged.append(s)
+    return merged
 
 
 def _close_sessions_fn(gap_minutes: float, ts_col: str, user_col: str):
@@ -41,34 +78,38 @@ def _close_sessions_fn(gap_minutes: float, ts_col: str, user_col: str):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            # event-time timeout: watermark passed last_ts + gap -> the
-            # open session can never be extended; flush it
-            start, last, n = state.get
-            state.remove()
-            yield _emit(user_id, [(start, last, n)])
-            return
+        sessions: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [[s, e, n] for s, e, n in zip(starts, lasts, ns)]
 
-        ts_list: list[int] = []
-        for pdf in pdfs:
-            ts_list.extend(
-                int(t) for t in pdf[ts_col].astype("datetime64[us]").astype("int64")
+        if not state.hasTimedOut:
+            ts_list: list[int] = []
+            for pdf in pdfs:
+                ts_list.extend(
+                    int(t) for t in pdf[ts_col].astype("datetime64[us]").astype("int64")
+                )
+            ts_list.sort()
+            sessions = _merge_sessions(sessions, ts_list, gap_us)
+
+        # flush every session the watermark has sealed: no admissible
+        # event (>= watermark) can reach [start - gap, last + gap]
+        wm_us = state.getCurrentWatermarkMs() * _MS
+        closed = [s for s in sessions if s[1] + gap_us < wm_us]
+        keep = [s for s in sessions if s[1] + gap_us >= wm_us]
+
+        if keep:
+            state.update(
+                ([s[0] for s in keep], [s[1] for s in keep], [s[2] for s in keep])
             )
-        ts_list.sort()
-        start, last, n = state.get if state.exists else (None, None, 0)
-        closed: list[tuple[int, int, int]] = []
-        for t in ts_list:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_us:
-                closed.append((start, last, n))
-                start, last, n = t, t, 1
-            else:
-                last, n = t, n + 1
-        state.update((start, last, n))
-        # timeout when the event-time watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_us) // 1000)
-        yield _emit(user_id, closed)
+            # wake when the watermark passes the oldest open session's
+            # seal point (must be strictly > current watermark)
+            next_ms = min(s[1] + gap_us for s in keep) // _MS + 1
+            state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
+        elif state.exists:
+            state.remove()
+
+        yield _emit(user_id, [tuple(s) for s in closed])
 
     return fn
 
@@ -118,11 +159,11 @@ def sessionize_stream(
 ) -> DataFrame:
     """Closed gap-based sessions per user over a streaming frame.
 
-    Emits a row per *closed* session: one the data closed (a later
-    event arrived past the gap) or the event-time timeout closed (the
-    watermark passed session_end + gap).  Open sessions remain in
-    state across micro-batches — the thing stateless windowing cannot
-    do.
+    Emits a row per session once the event-time watermark passes
+    ``session_end + gap`` (the session can no longer change).  Open
+    sessions — including ones a late event might still extend backward
+    or bridge — remain in state across micro-batches, which is the
+    thing stateless windowing cannot do.
     """
     # watermarks require TIMESTAMP (ltz) — sessions are UTC-pinned so a
     # cast from NTZ parquet sources is lossless

@@ -50,6 +50,20 @@ def naive(points, intervals):
     }
 
 
+def test_left_join_keeps_unmatched_points(spark, frames):
+    points, intervals = frames
+    rows = interval_join(
+        points, intervals, "ts", "s", "e", by=["user"], how="left"
+    ).collect()
+    matched = {(r.pid, r.iid) for r in rows if r.iid is not None}
+    unmatched = {r.pid for r in rows if r.iid is None}
+    assert matched == naive(points, intervals)
+    # point 3 (13:00, covered only by interval 11? 11 spans 11:00-14:00 ->
+    # matched) — unmatched set = points with zero containing intervals
+    all_matched_pids = {p for p, _ in matched}
+    assert unmatched == {r.pid for r in points.collect()} - all_matched_pids
+
+
 @pytest.mark.parametrize("bin_seconds", [60, 3600, 86400])
 def test_matches_naive_all_bin_widths(spark, frames, bin_seconds):
     points, intervals = frames

@@ -43,6 +43,29 @@ def test_salted_join_matches_plain_join(spark):
     assert got == want
 
 
+def test_salted_count_distinct_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, 5), (1, 5), (2, None), (2, None)], "key int, value int"
+    )
+    got = {
+        (r.key, r.n)
+        for r in skew.salted_count_distinct(df, ["key"], "value", out_alias="n").collect()
+    }
+    want = {
+        (r.key, r.n)
+        for r in df.groupBy("key").agg(F.countDistinct("value").alias("n")).collect()
+    }
+    assert got == want  # key 2 (all nulls) absent in both
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    df = _skewed_df(spark)
+    with pytest.raises(ValueError, match="replicated"):
+        skew.salted_join(df, df, "key", "key", how="full")
+
+
 def test_top_keys_finds_hot_key(spark):
     df = _skewed_df(spark)
     top = skew.top_keys(df, ["key"], n=1).collect()

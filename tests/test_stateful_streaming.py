@@ -78,6 +78,54 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     assert not missing, f"{len(missing)} closeable sessions not emitted"
 
 
+def test_out_of_order_across_batches_single_session(spark, tmp_path):
+    """A late-but-within-watermark event arriving in a later batch must
+    merge into (and extend backward) the open session, not split it."""
+    out_dir = str(tmp_path / "ooo_out")
+    ckpt = str(tmp_path / "ooo_ck")
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+
+    def run():
+        schema = spark.read.parquet(str(src)).schema
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            sessionize_stream(stream, gap_minutes=GAP_MIN)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return {
+                (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            return set()
+
+    def mk(rows):
+        return pd.DataFrame(
+            [(u, e, pd.Timestamp(t)) for u, e, t in rows],
+            columns=["user_id", "event_id", "ts"],
+        ).astype({"ts": "datetime64[us]"})
+
+    # batch 1: 10:00 for user 1
+    mk([(1, 1, "2025-03-01T10:00:00")]).to_parquet(src / "a.parquet")
+    run()
+    # batch 2: LATE 09:40 (within 1h watermark) + far-future watermark
+    # driver for user 2 that seals user 1's session
+    mk([(1, 2, "2025-03-01T09:40:00"), (2, 9, "2025-03-03T00:00:00")]).to_parquet(
+        src / "b.parquet"
+    )
+    got = run()
+    u1 = {s for s in got if s[0] == 1}
+    assert u1 == {(1, "2025-03-01 09:40:00", "2025-03-01 10:00:00", 2)}, got
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     from real_time_event_driven_data_pipeline_spark.streaming.stateful import (
         dedup_stream,
