@@ -33,6 +33,25 @@ from pyspark.sql import types as T
 
 from .text import fingerprint, tokens_expr
 
+# One live cache per slot: the shingle relation feeds ~5 branches of
+# the pair-join plan (posts, gdf, both join sides, verification), so
+# caching it is a 3x win — but an operator can't know when its plan is
+# done, so each call evicts the previous call's cache instead of
+# leaking one per invocation in a long-lived session.
+_ACTIVE_CACHES: dict[str, DataFrame] = {}
+
+
+def _scoped_cache(df: DataFrame, slot: str) -> DataFrame:
+    prev = _ACTIVE_CACHES.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+    _ACTIVE_CACHES[slot] = df.cache()
+    return _ACTIVE_CACHES[slot]
+
+
 # --- exact dedup ---
 
 
@@ -104,10 +123,7 @@ def ngram_jaccard_pairs(
     shingles whose posting list exceeds the limit — the stop-shingle
     mitigation for 100 TB corpora.
     """
-    # no .cache(): shingling is cheap after the tokenize-once fix, and a
-    # cache here would pin storage forever in a long-lived session (the
-    # operator cannot know when its plan is done being used)
-    sh = with_shingles(df, id_col, text_col, k, hashed=True)
+    sh = _scoped_cache(with_shingles(df, id_col, text_col, k, hashed=True), "ngram_sh")
     posts = sh.select(
         F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )
