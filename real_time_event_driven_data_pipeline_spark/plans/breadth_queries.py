@@ -544,3 +544,82 @@ def q_daily_revenue_7d_ma(spark, sf_dir):
         )
         .orderBy("ship_date")
     )
+
+
+# --- 6-way star join over every dimension table (TPC-H Q5 shape) ---
+# Exercises join reordering + broadcast selection across region ->
+# nation -> {customer, supplier} -> orders -> lineitem with the
+# local-supplier condition (customer and supplier in the same nation).
+
+
+@register(
+    "regional_supplier_volume",
+    """
+    SELECT n.n_name                                      AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT)                      AS n_items
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1 ORDER BY revenue DESC, nation
+    """,
+    "join: 6-way star (TPC-H Q5 shape), local-supplier condition",
+)
+def q_regional_supplier_volume(spark, sf_dir):
+    region, nation, customer, orders, lineitem, supplier = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (supplier.s_suppkey == lineitem.l_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# --- correlated-subquery shape (decorrelated to a self-join/window) ---
+
+
+@register(
+    "parts_above_brand_avg",
+    """
+    SELECT p_partkey, p_brand, p_retailprice,
+           avg_brand_price
+    FROM (
+        SELECT p_partkey, p_brand, p_retailprice,
+               AVG(p_retailprice) OVER (PARTITION BY p_brand) AS avg_brand_price
+        FROM part
+    )
+    WHERE p_retailprice > avg_brand_price
+    ORDER BY p_partkey
+    """,
+    "subquery: correlated avg filter (decorrelated via window)",
+)
+def q_parts_above_brand_avg(spark, sf_dir):
+    (part,) = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("avg_brand_price", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("avg_brand_price"))
+        .select("p_partkey", "p_brand", "p_retailprice", "avg_brand_price")
+        .orderBy("p_partkey")
+    )
