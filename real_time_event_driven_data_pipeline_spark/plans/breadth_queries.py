@@ -605,9 +605,13 @@ def q_regional_supplier_volume(spark, sf_dir):
     SELECT p_partkey, p_brand, p_retailprice,
            avg_brand_price
     FROM (
+        -- exact integer-cents average: double SUM() accumulation order
+        -- differs between engines in the last bits
         SELECT p_partkey, p_brand, p_retailprice,
-               AVG(p_retailprice) OVER (PARTITION BY p_brand) AS avg_brand_price
+               SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) OVER w / 100.0
+                 / COUNT(*) OVER w AS avg_brand_price
         FROM part
+        WINDOW w AS (PARTITION BY p_brand)
     )
     WHERE p_retailprice > avg_brand_price
     ORDER BY p_partkey
@@ -615,10 +619,15 @@ def q_regional_supplier_volume(spark, sf_dir):
     "subquery: correlated avg filter (decorrelated via window)",
 )
 def q_parts_above_brand_avg(spark, sf_dir):
+    from ..functions.money import cents
+
     (part,) = _t(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand")
+    avg_exact = (F.sum(cents("p_retailprice")).over(w) / F.lit(100.0)) / F.count(
+        F.lit(1)
+    ).over(w)
     return (
-        part.withColumn("avg_brand_price", F.avg("p_retailprice").over(w))
+        part.withColumn("avg_brand_price", avg_exact)
         .filter(F.col("p_retailprice") > F.col("avg_brand_price"))
         .select("p_partkey", "p_brand", "p_retailprice", "avg_brand_price")
         .orderBy("p_partkey")
