@@ -632,3 +632,35 @@ def q_parts_above_brand_avg(spark, sf_dir):
         .select("p_partkey", "p_brand", "p_retailprice", "avg_brand_price")
         .orderBy("p_partkey")
     )
+
+
+# --- histogram / binning (floor-division buckets, engine-exact) ---
+
+
+@register(
+    "price_histogram",
+    """
+    SELECT CAST(FLOOR(l_extendedprice / 500) AS BIGINT) * 500 AS bin_low,
+           CAST(COUNT(*) AS BIGINT)                           AS n_items,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+                                                              AS bin_revenue
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+    "agg: histogram binning by floor division",
+)
+def q_price_histogram(spark, sf_dir):
+    from ..functions.money import cents
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.withColumn(
+            "bin_low", (F.floor(F.col("l_extendedprice") / 500) * 500).cast("long")
+        )
+        .groupBy("bin_low")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(cents("l_extendedprice")) / 100.0, 2).alias("bin_revenue"),
+        )
+        .orderBy("bin_low")
+    )
