@@ -150,6 +150,24 @@ def dedup_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join.
+
+    The static side is re-read per micro-batch by Spark (so a slowly
+    changing dimension table picks up updates between batches) and is
+    broadcast when small — the standard pattern for attaching dimension
+    attributes to an event stream without stateful machinery.
+    """
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, how)
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: float = 30.0,

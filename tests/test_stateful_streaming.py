@@ -126,6 +126,40 @@ def test_out_of_order_across_batches_single_session(spark, tmp_path):
     assert u1 == {(1, "2025-03-01 09:40:00", "2025-03-01 10:00:00", 2)}, got
 
 
+def test_stream_static_enrichment_join(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.streaming.stateful import (
+        enrich_stream,
+    )
+
+    events = load_testdata(spark, "/root/testdata/sf0.001", "events")["events"]
+    src = str(tmp_path / "enrich_src")
+    events.write.parquet(src)
+    dim = events.select("user_id").distinct().withColumn(
+        "tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .groupBy("tier")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "enrich_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.tier: r["count"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    want = {
+        r.tier: r["count"]
+        for r in events.join(dim, "user_id").groupBy("tier").count().collect()
+    }
+    assert got == want and set(got) == {"even", "odd"}
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     from real_time_event_driven_data_pipeline_spark.streaming.stateful import (
         dedup_stream,
