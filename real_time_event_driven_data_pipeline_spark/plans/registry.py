@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         return
     # import errors must propagate: swallowing one would silently shrink
     # the registered query set and the driver would "pass" on the rump
+    from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
     from . import core_queries  # noqa: F401
     from . import extension_queries  # noqa: F401
