@@ -472,3 +472,94 @@ def q_top_tokens(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "tok")
         .limit(20)
     )
+
+
+# --- near-dup cluster assembly: connected components over pair edges ---
+# Pairs alone under-delete (A~B, B~C, A!~C leaves two survivors of one
+# group); components give transitive duplicate clusters.  Oracle: the
+# same edge set via the exact-Jaccard SQL, closed with a recursive CTE.
+
+NEAR_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [] END AS s
+    FROM toks
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(id, comp) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+), comps AS (
+    SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comps ORDER BY doc_id
+"""
+
+
+@register(
+    "near_dup_clusters",
+    NEAR_DUP_CLUSTERS_SQL,
+    "ext: connected-components duplicate clusters (iterative min-label propagation)",
+)
+def q_near_dup_clusters(spark, sf_dir):
+    from ..operators import components
+
+    # Edges via the MinHash-LSH scale path (banding recall at this
+    # threshold is total — pinned in tests/test_extensions.py — so the
+    # exact-Jaccard recursive-CTE oracle still matches).
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return components.near_dup_clusters(pairs).orderBy("doc_id")
+
+
+# --- per-label embedding centroids (class prototypes) ---
+# The aggregation half of k-means / prototype classifiers: mean vector
+# per label.  Floats are summed as exact 1e-9-scaled integers so the
+# result is independent of accumulation order (FP sums are not).
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH flat AS (
+    SELECT label,
+           unnest(embedding)                  AS x,
+           generate_subscripts(embedding, 1)  AS i
+    FROM embeddings
+)
+SELECT label,
+       CAST(i AS INT) AS dim,
+       SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+         / 1000000000.0 / COUNT(*) AS centroid,
+       CAST(COUNT(*) AS BIGINT)    AS n_vectors
+FROM flat
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
+@register(
+    "embedding_centroids",
+    EMBEDDING_CENTROIDS_SQL,
+    "ext: per-label mean embedding (posexplode + exact scaled-integer sums)",
+)
+def q_embedding_centroids(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    scaled = F.round(F.col("x").cast("double") * 1e9).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            (F.sum(scaled) / F.lit(1e9) / F.count(F.lit(1))).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,53 @@
+"""Connected-components operator: transitive closure correctness.
+
+The near-dup pipeline needs A~B, B~C to collapse into ONE cluster even
+when A!~C; pairs alone can't express that.  These tests pin the
+operator on hand-built graphs (chains, stars, disjoint cliques,
+singleton edges) and on the registered query's oracle shape.
+"""
+
+from __future__ import annotations
+
+from real_time_event_driven_data_pipeline_spark.operators.components import (
+    connected_components,
+    near_dup_clusters,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components(df).collect()
+    return {r["id"]: r["comp"] for r in rows}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2, 2-3, 3-4, 4-5: diameter 4, exercises multiple propagation rounds
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 32), (30, 32)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_star_and_direction_independence(spark):
+    # edges pointing both ways; hub has the max id
+    got = _cc(spark, [(9, 1), (9, 2), (3, 9), (4, 9)])
+    assert set(got.values()) == {1}
+    assert len(got) == 5
+
+
+def test_cluster_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    rows = near_dup_clusters(pairs).collect()
+    by_doc = {r["doc_id"]: (r["component"], r["cluster_size"]) for r in rows}
+    assert by_doc == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        7: (7, 2),
+        8: (7, 2),
+    }
