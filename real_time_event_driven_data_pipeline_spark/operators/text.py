@@ -149,3 +149,55 @@ def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.size(pieces).cast("long").alias("n_bpe_tokens"),
         F.size(tokens_expr(text_col)).cast("long").alias("n_ws_tokens"),
     )
+
+
+# --- PII scrubbing (training-data redaction pass) ---
+# Sequential replace: emails first (their local parts can contain
+# digits), then IPs (more specific than phones), then phone-ish digit
+# runs.  Counts are taken stepwise on the text as-of each step so the
+# three counters partition the redactions (no double counting).  All
+# three patterns are valid in both Java regex (Spark) and RE2 (DuckDB
+# oracle).
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d() -]{7,}\d"
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs.
+
+    Output: (id, clean_text, n_emails, n_ips, n_phones).  Pure JVM
+    regexp expressions — codegen'd, no Python in the path.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), 0))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IP), 0))
+    t2 = F.regexp_replace(t1, PII_IP, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), 0))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        t3.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+# --- deterministic hash split (train/val/test assignment) ---
+# Fixed-width lowercase hex sorts lexicographically in numeric order,
+# so thresholding the first two md5 hex chars gives engine-identical
+# buckets with no hex->int conversion: 'cd' = 205/256 ~ 80% train,
+# 'e6' = 230/256 ~ 10% val, rest test.  Keyed on the stable doc id —
+# re-runs and re-shards never move a document across splits (the
+# property random() splits lack).
+
+
+def train_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    b = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.select(
+        F.col(id_col),
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test").alias("split"),
+    )

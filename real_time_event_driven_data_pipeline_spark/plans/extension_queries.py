@@ -563,3 +563,167 @@ def q_embedding_centroids(spark, sf_dir):
         )
         .orderBy("label", "dim")
     )
+
+
+# --- PII scrubbing (redaction pass; fixtures carry the real PII,
+#     see tests/test_extensions.py — testdata text is digit-free) ---
+
+PII_SCRUB_SQL = """
+WITH s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+    FROM documents
+), s2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+    FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t, '\\+?\\d[\\d() -]{7,}\\d', '<PHONE>', 'g') AS clean_text,
+       n_emails, n_ips,
+       CAST(len(regexp_extract_all(t, '\\+?\\d[\\d() -]{7,}\\d')) AS BIGINT) AS n_phones
+FROM s2 ORDER BY doc_id
+"""
+
+
+@register("pii_scrubbed_docs", PII_SCRUB_SQL, "ext: PII redaction (email/IP/phone)")
+def q_pii_scrubbed_docs(spark, sf_dir):
+    return text.scrub_pii(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# --- deterministic train/val/test split ---
+
+TRAIN_SPLIT_SQL = """
+WITH assigned AS (
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+@register(
+    "train_split_counts",
+    TRAIN_SPLIT_SQL,
+    "ext: deterministic hash-keyed train/val/test split",
+)
+def q_train_split_counts(spark, sf_dir):
+    return (
+        text.train_split(_docs(spark, sf_dir))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+# --- per-source corpus profile (curation dashboard aggregate) ---
+
+SOURCE_PROFILE_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                        AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)                    AS total_chars,
+       CAST(FLOOR((2 * SUM(n_chars) + COUNT(*)) / (2 * COUNT(*))) AS BIGINT)
+                                                       AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT)            AS n_langs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+                                                       AS total_bpe_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "source_profile",
+    SOURCE_PROFILE_SQL,
+    "ext: per-source corpus profile (docs/chars/tokens/langs)",
+)
+def q_source_profile(spark, sf_dir):
+    from ..operators.text import BPE_ISH_PATTERN
+
+    docs = _docs(spark, sf_dir)
+    n = F.count(F.lit(1))
+    tot_chars = F.sum("n_chars")
+    return (
+        docs.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            tot_chars.cast("long").alias("total_chars"),
+            # round-half-up integer average (see functions/money.py)
+            F.floor((2 * tot_chars + n) / (2 * n)).cast("long").alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(
+                F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+            ).cast("long").alias("total_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- greedy sequential context packing (token budgeting) ---
+# Assigns docs (in stable doc_id order) to 4096-token context windows
+# by running token count: bin = floor(preceding_cumsum / 4096).  This is
+# the deterministic shard-local approximation of sequence packing; the
+# global orderBy is the scale caveat (per-shard packing drops it, at the
+# cost of per-shard remainder waste).
+
+CONTEXT_PACKING_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok
+    FROM documents
+), packed AS (
+    SELECT doc_id, n_tok,
+           CAST(FLOOR((SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 4096)
+                AS BIGINT) AS bin
+    FROM toks
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT)  AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       MIN(doc_id)               AS first_doc,
+       MAX(doc_id)               AS last_doc
+FROM packed GROUP BY bin ORDER BY bin
+"""
+
+
+@register(
+    "context_packing",
+    CONTEXT_PACKING_SQL,
+    "ext: greedy sequential packing of docs into 4096-token windows",
+)
+def q_context_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.text import BPE_ISH_PATTERN
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "bin", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 4096).cast("long")
+    )
+    return (
+        packed.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin")
+    )

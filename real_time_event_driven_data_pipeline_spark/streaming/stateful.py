@@ -168,6 +168,56 @@ def enrich_stream(
     return events.join(F.broadcast(dim), on, how)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (the attribution shape, streaming).
+
+    Inner-joins two event streams on ``key``, keeping right events whose
+    timestamp lies in ``[left_ts - lookback, left_ts]`` — e.g. clicks
+    preceding a purchase.  Both sides carry event-time watermarks and
+    the join condition time-bounds both streams, so Spark can size the
+    join state: each side buffers only rows the other side's watermark
+    could still match (state ~ rate x (watermark + lookback) per side,
+    partitioned by key across executors).  Without the time bound the
+    state would grow forever — the condition is load-bearing, not an
+    optimization.  This is the streaming twin of the batch binned range
+    join (operators/rangejoin.py).
+
+    ``left_ts`` and ``right_ts`` must be distinct names (rename before
+    calling); the output keeps left's ``key`` column only.
+    """
+    from pyspark.sql import functions as F
+
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    l = (  # noqa: E741
+        left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+        .withWatermark(left_ts, watermark)
+        .alias("l")
+    )
+    r = (
+        right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+        .withWatermark(right_ts, watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: float = 30.0,

@@ -144,3 +144,39 @@ def test_multimodal_feature_extraction(spark):
         assert r.thumb_w == 8 and r.thumb_h == 8
     frames = multimodal.frame_sample_stub(media, every_ms=1000).collect()
     assert [(f.frame_idx, f.frame_ts_ms) for f in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+
+
+def test_pii_scrub_on_dirty_fixture(spark):
+    rows = [
+        (1, "contact john.doe+x@example.co.uk for details"),
+        (2, "server at 192.168.1.100 responded"),
+        (3, "call +1 (555) 123-4567 or 555 987 6543 today"),
+        (4, "a@b.io then 10.0.0.1 then 555-000-1111 2222"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.scrub_pii(df).collect()}
+    assert got[1].clean_text == "contact <EMAIL> for details"
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (1, 0, 0)
+    assert got[2].clean_text == "server at <IP> responded"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 1, 0)
+    assert got[3].clean_text == "call <PHONE> or <PHONE> today"
+    assert got[3].n_phones == 2
+    assert got[4].clean_text == "<EMAIL> then <IP> then <PHONE>"
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (1, 1, 1)
+    assert got[5].clean_text == "nothing sensitive here"
+    assert (got[5].n_emails, got[5].n_ips, got[5].n_phones) == (0, 0, 0)
+
+
+def test_train_split_stable_and_plausible(spark, docs):
+    a = {r.doc_id: r.split for r in text.train_split(docs).collect()}
+    b = {r.doc_id: r.split for r in text.train_split(docs).collect()}
+    assert a == b  # keyed on id: re-runs never move a doc
+    from collections import Counter
+
+    c = Counter(a.values())
+    n = sum(c.values())
+    # 80/10/10 within generous tolerance at 500 docs
+    assert 0.7 < c["train"] / n < 0.9
+    assert 0.04 < c["val"] / n < 0.16
+    assert 0.04 < c["test"] / n < 0.16
