@@ -440,3 +440,103 @@ def q_acctbal_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# --- TPC-H Q4 shape: lateness semi-count per priority ---
+
+
+@register(
+    "late_shipment_priorities",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_late_orders
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+    "J1,A8: TPC-H Q4 late orders per priority (post-join date predicate)",
+)
+def q_late_shipment_priorities(spark, sf_dir):
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_orderkey").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- TPC-H Q22 shape: scalar-subquery threshold + anti join ---
+# The global-average threshold is a single-row aggregate broadcast into
+# the filter; the comparison is exact integer cents x count (no double
+# average crosses an engine boundary).  The "no urgent orders" clause is
+# a left-anti join against the pruned urgent-order keys.
+
+
+@register(
+    "idle_rich_customers",
+    """
+    WITH thresh AS (
+        SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+               CAST(COUNT(*) AS BIGINT)                    AS n
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
+    FROM customer c, thresh t
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * t.n > t.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY 1
+    """,
+    "A-scalar-subquery,J3: TPC-H Q22 above-avg balance, no urgent orders",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    thresh = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents("c_acctbal")).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        customer.join(F.broadcast(thresh))  # single-row scalar subquery
+        .filter(cents("c_acctbal") * F.col("n") > F.col("sum_cents"))
+        .join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(cents("c_acctbal")) / 100.0, 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- TPC-H Q16 shape: distinct-supplier counts with exclusions ---
+
+
+@register(
+    "part_supplier_variety",
+    """
+    SELECT p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13)
+    GROUP BY 1, 2
+    ORDER BY n_suppliers DESC, p.p_type, p.p_size
+    """,
+    "A8,P-IN-list: TPC-H Q16 supplier variety with brand/size exclusions",
+)
+def q_part_supplier_variety(spark, sf_dir):
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    filtered = part.filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    return (
+        lineitem.join(F.broadcast(filtered), lineitem.l_partkey == filtered.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), "p_type", "p_size")
+    )

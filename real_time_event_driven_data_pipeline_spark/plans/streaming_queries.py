@@ -241,3 +241,98 @@ def q_user_sessionization(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --- conversion funnel (ordered-stage analytics) ---
+# Per user: earliest ts of each stage; a stage converts only if it
+# happens strictly after the previous stage's first occurrence.  One
+# shuffle (groupBy user) computes all stages via conditional min —
+# no joins, no self-union, scales linearly in events.
+
+FUNNEL_SQL = """
+WITH stages AS (
+    SELECT user_id,
+           MIN(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+           MIN(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+           MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT)                             AS n_users,
+       CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_viewed,
+       CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS BIGINT)
+                                                            AS n_clicked_after_view,
+       CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                               AND t_purchase > t_click) AS BIGINT)
+                                                            AS n_purchased_after_click
+FROM stages
+"""
+
+
+@register(
+    "conversion_funnel",
+    FUNNEL_SQL,
+    "event analytics: ordered-stage conversion funnel via conditional MIN",
+)
+def q_conversion_funnel(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = events.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(viewed, 1)).alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_after_click"),
+    )
+
+
+# --- cohort retention (first-seen day x activity-day matrix) ---
+# Two shuffles: per-user first day, then (cohort, day-offset) counts;
+# the user-grain frame is reused for both via a single groupBy chain.
+
+COHORT_SQL = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           CAST(ts AS DATE) - f.cohort_day AS day_offset
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day,
+       CAST(day_offset AS INT)   AS day_offset,
+       CAST(COUNT(*) AS BIGINT)  AS n_active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "cohort_retention",
+    COHORT_SQL,
+    "event analytics: cohort retention matrix (first-seen day x offset)",
+)
+def q_cohort_retention(spark, sf_dir):
+    events = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    firsts = events.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).alias("day_offset"),
+        )
+        .dropDuplicates(["user_id", "cohort_day", "day_offset"])
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", F.col("day_offset").cast("int").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -70,3 +70,45 @@ def test_whole_stage_codegen_on_kpi_path(spark):
     )
     assert "isFinalPlan=true" in plan
     assert "*(" in plan, "no WholeStageCodegen spans in the KPI plan"
+
+
+def test_q6_pushdown_reaches_scan(spark):
+    # all three predicate families (date range, discount band, quantity
+    # cap) must reach the parquet reader: at 100 TB this is the
+    # difference between reading row-group stats and reading the table
+    df = ent.queries()["discount_revenue_opportunity"](spark, SF_DIR)
+    # formatted mode: toString() truncates long pushed-filter lists
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    assert "LessThan(l_quantity" in pushed
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read, f"unpruned scan: {read}"
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_pricing_summary_single_group_shuffle(spark):
+    # TPC-H Q1 shape: scan -> partial agg -> ONE key shuffle -> final
+    # agg (+ the final sort's range exchange); no joins
+    plan = _plan(ent.queries()["pricing_summary"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, plan has {n_exchanges}"
+
+
+def test_large_orders_broadcasts_dims_after_agg(spark):
+    # the heavy lineitem agg shuffles; both dimension joins broadcast
+    plan = _plan(ent.queries()["large_quantity_orders"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_selective_filter_pushed_in_top_loss(spark):
+    # l_returnflag = 'R' must be in the scan, not a post-scan Filter only
+    plan = _plan(ent.queries()["top_loss_customers"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "EqualTo(l_returnflag,R)" in pushed
