@@ -288,7 +288,12 @@ def minhash_lsh_pairs(
     volume stays ~linear in the number of true near-dups.
     Output: (id_a, id_b, jaccard), verified exact, id_a < id_b.
     """
-    sig = minhash_band_buckets(df, id_col, text_col, k, num_hashes, rows_per_band)
+    # cache: both sides of the candidate self-join consume the signature
+    # relation — without the cache the Python signature stage runs twice
+    sig = _scoped_cache(
+        minhash_band_buckets(df, id_col, text_col, k, num_hashes, rows_per_band),
+        "minhash_sig",
+    )
     bands = sig.select(F.col(id_col), F.posexplode("buckets").alias("band", "bucket"))
     left = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -298,8 +303,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    # exact verification restricted to candidates via semi-joins
-    sh = with_shingles(df, id_col, text_col, k, hashed=True)
+    # exact verification restricted to candidates via semi-joins; cached
+    # because both verification branches read the shingle relation
+    sh = _scoped_cache(with_shingles(df, id_col, text_col, k, hashed=True), "minhash_sh")
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
@@ -388,7 +394,8 @@ def simhash_near_pairs(
     """Pairs within Hamming distance <= max_hamming via pigeonhole
     banding: split 64 bits into 4 16-bit bands; any pair with distance
     <= 3 shares at least one exact band.  Output (id_a, id_b, hamming)."""
-    sig = simhash_signatures(df, id_col, text_col)
+    # cached: the banding self-join reads the signature relation twice
+    sig = _scoped_cache(simhash_signatures(df, id_col, text_col), "simhash_sig")
     bucket_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))

@@ -237,7 +237,11 @@ ORDER BY doc_id
 def q_curated_corpus(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     qualified = text.quality_filter(docs)
-    return dedup.curate_corpus(qualified).select("doc_id").orderBy("doc_id")
+    # LSH pair generation (the scale path); output identical to the
+    # exact path at this threshold — pinned in tests/test_extensions.py
+    return (
+        dedup.curate_corpus(qualified, use_lsh=True).select("doc_id").orderBy("doc_id")
+    )
 
 
 # --- similarity search ---
