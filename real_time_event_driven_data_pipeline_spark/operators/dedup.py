@@ -202,7 +202,10 @@ def curate_corpus(
     banding recall is total, which pytest pins at this threshold).
     Returns the surviving rows of ``df``.
     """
-    survivors = dedup_exact(df, id_col, text_col)
+    # cached: the pair generator's signature/shingle branches, the drop
+    # anti-join, and the returned frame all re-derive survivors, whose
+    # lineage includes the regex-heavy quality gate upstream
+    survivors = _scoped_cache(dedup_exact(df, id_col, text_col), "curate_survivors")
     pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
     pairs = pair_fn(survivors, id_col, text_col, k=k, threshold=near_dup_threshold)
     drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()

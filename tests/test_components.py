@@ -51,3 +51,47 @@ def test_cluster_sizes(spark):
         7: (7, 2),
         8: (7, 2),
     }
+
+
+# --- property-based: random graphs vs a union-find reference ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical representative = min id of the component
+    return {v: find(v) for v in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_cc_matches_union_find(spark, edges):
+    got = _cc(spark, [(int(a), int(b)) for a, b in edges])
+    assert got == _union_find(edges)
