@@ -540,3 +540,39 @@ def q_part_supplier_variety(spark, sf_dir):
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
         .orderBy(F.desc("n_suppliers"), "p_type", "p_size")
     )
+
+
+# --- GROUPING SETS (the general form of rollup/cube) ---
+# Heterogeneous grains in one pass: per-flag, per-status, and grand
+# total, without computing the (flag x status) cross grain CUBE would.
+
+
+@register(
+    "revenue_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "agg: GROUPING SETS heterogeneous grains",
+)
+def q_revenue_grouping_sets(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum(cents("l_extendedprice")) / 100.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )

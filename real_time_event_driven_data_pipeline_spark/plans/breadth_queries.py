@@ -664,3 +664,53 @@ def q_price_histogram(spark, sf_dir):
         )
         .orderBy("bin_low")
     )
+
+
+# --- set op: INTERSECT (completes union/except coverage) ---
+
+
+@register(
+    "both_priority_customers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    ORDER BY o_custkey
+    """,
+    "set ops: intersect",
+)
+def q_both_priority_customers(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low).orderBy("o_custkey")
+
+
+# --- distribution windows: percent_rank / cume_dist ---
+# Both are int/int ratios of deterministic ranks (unique-key tiebreak),
+# so the doubles are bit-identical across engines.
+
+
+@register(
+    "top_order_percentiles",
+    """
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS total_price,
+           PERCENT_RANK() OVER (ORDER BY ROUND(o_totalprice, 2), o_orderkey) AS pct_rank,
+           CUME_DIST()    OVER (ORDER BY ROUND(o_totalprice, 2), o_orderkey) AS cume
+    FROM orders WHERE o_orderkey % 191 = 0
+    ORDER BY o_orderkey
+    """,
+    "window: percent_rank + cume_dist",
+)
+def q_top_order_percentiles(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    sub = orders.filter(F.col("o_orderkey") % 191 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+    w = Window.orderBy("total_price", "o_orderkey")
+    return (
+        sub.withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cume", F.cume_dist().over(w))
+        .orderBy("o_orderkey")
+    )

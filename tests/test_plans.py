@@ -13,7 +13,14 @@ from .conftest import SF_DIR
 # queries whose plan legitimately contains a nested-loop/cross shape:
 # cross joins of single-row aggregates (validate_*) cost nothing, and
 # the brute-force ANN baseline IS corpus x broadcast-queries by design.
-CROSS_OK = {"validate_fk_orphans", "validate_duplicate_keys", "ann_cosine_topk"}
+CROSS_OK = {
+    "validate_fk_orphans",
+    "validate_duplicate_keys",
+    "ann_cosine_topk",
+    # scalar-subquery threshold: a single-row aggregate broadcast into
+    # the filter IS a (free) broadcast nested-loop join by construction
+    "idle_rich_customers",
+}
 
 
 def _plan(df) -> str:
