@@ -167,3 +167,42 @@ def streaming_windowed_kpis(
         )
         .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value", "approx_unique_users")
     )
+
+
+def incremental_kpi_upsert(
+    events: DataFrame,
+    kv_store_path: str,
+    checkpoint_dir: str,
+    table: str = "windowed_kpis",
+    **kpi_kwargs,
+):
+    """True incremental serving: windowed KPIs -> per-micro-batch
+    idempotent KV upsert.
+
+    ``update`` output mode emits only the windows each micro-batch
+    changed; the ``foreachBatch`` upsert overwrites those keys in the
+    serving store (idempotent by (window_start, key), so micro-batch
+    retries are safe).  Contrast with ``EventDrivenPipeline``'s
+    reference-parity full recompute: here state, output, and write
+    volume are all proportional to the CHANGED windows, not to history —
+    the shape that holds at 100 TB/day.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    kpis = streaming_windowed_kpis(events, **kpi_kwargs)
+    key_col = kpi_kwargs.get("key_col", "event_type")
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_kv_upsert(
+            batch_df, kv_store_path, ["window_start", key_col], table=table
+        )
+
+    return (
+        kpis.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

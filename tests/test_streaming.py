@@ -147,3 +147,49 @@ def test_streaming_windowed_kpis_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_incremental_kpi_upsert_matches_batch(spark, tmp_path):
+    """update-mode windowed KPIs + foreachBatch upsert == batch agg,
+    including across a second activation that only touches new windows."""
+    from real_time_event_driven_data_pipeline_spark.sources.readers import load_testdata
+    from real_time_event_driven_data_pipeline_spark.streaming.pipeline import (
+        incremental_kpi_upsert,
+        streaming_windowed_kpis,
+    )
+
+    events = load_testdata(spark, "/root/testdata/sf0.001", "events")["events"]
+    # split by TIME: a second arrival of genuinely newer data.  (An
+    # id-parity split would put most of batch 2 behind the watermark
+    # established by batch 1 — correctly dropped as late, but then the
+    # store can't equal the batch aggregate.)
+    split_ts = events.selectExpr("percentile(unix_micros(ts), 0.5)").collect()[0][0]
+    early = events.filter(F.unix_micros("ts") <= split_ts)
+    late = events.filter(F.unix_micros("ts") > split_ts)
+    src = str(tmp_path / "ev")
+    early.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    store, ckpt = str(tmp_path / "kv.db"), str(tmp_path / "ckpt")
+
+    def activate():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = incremental_kpi_upsert(stream, store, ckpt)
+        q.awaitTermination()
+
+    activate()
+    # second arrival: the other half lands as a new file
+    late.write.mode("append").parquet(src)
+    activate()
+
+    from real_time_event_driven_data_pipeline_spark.sinks.kv import SQLiteKVStore
+
+    got = {
+        k.replace("T", " "): (str(v["n_events"]), str(float(v["sum_value"])))
+        for k, v in SQLiteKVStore(store, "windowed_kpis").all_items().items()
+    }
+    expected = {
+        f"{r['window_start']}|{r['event_type']}": (str(r["n_events"]), str(float(r["sum_value"])))
+        for r in streaming_windowed_kpis(events).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
