@@ -336,3 +336,44 @@ def q_cohort_retention(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# --- per-day event-type map (nested collect -> canonical string) ---
+# Two-level aggregation building a map-shaped result; emitted as a
+# sorted "type:count" string so value comparison is engine-agnostic.
+
+DAILY_TYPE_MAP_SQL = """
+WITH per AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT day,
+       string_agg(event_type || ':' || n, '|' ORDER BY event_type) AS type_counts,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM per GROUP BY day ORDER BY day
+"""
+
+
+@register(
+    "daily_event_type_map",
+    DAILY_TYPE_MAP_SQL,
+    "agg: two-level rollup into a map-shaped canonical string",
+)
+def q_daily_event_type_map(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    per = (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per.groupBy("day")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.concat_ws(":", "event_type", "n"))), "|"
+            ).alias("type_counts"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("day")
+    )
