@@ -576,3 +576,773 @@ def q_revenue_grouping_sets(spark, sf_dir):
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+# --- TPC-H Q3 shape: top-k revenue over a 3-way selective join ---
+# Both filters push to their scans; customer side broadcasts; the final
+# ORDER BY ... LIMIT compiles to TakeOrderedAndProject (per-partition
+# top-k + driver merge), never a global sort -- the 100 TB-safe top-k.
+
+
+@register(
+    "top_unshipped_orders",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0, 4)
+               AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) DESC,
+             l.l_orderkey
+    LIMIT 10
+    """,
+    "J1,J2,O-topk: TPC-H Q3 unshipped-order revenue top-10",
+)
+def q_top_unshipped_orders(spark, sf_dir):
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_orders = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp"))
+        .join(open_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_units4(disc_price)).alias("rev_u4"))
+        .orderBy(F.desc("rev_u4"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev_u4") / 10000.0, 4).alias("revenue"),
+            "order_date",
+            "o_orderpriority",
+        )
+    )
+
+
+# --- TPC-H Q13 shape: outer-join fan-in + distribution-of-counts ---
+# The join predicate carries an extra non-key conjunct (priority
+# exclusion) so customers whose only orders are urgent still appear
+# with c_count = 0 -- the semantics LEFT OUTER + COUNT(col) exists for.
+# Two shuffles: custkey (join+first agg share it) then c_count.
+
+
+@register(
+    "order_count_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "J-outer,A1: TPC-H Q13 customer order-count distribution",
+)
+def q_order_count_distribution(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    non_urgent = orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        customer.join(
+            non_urgent, customer.c_custkey == non_urgent.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # COUNT(col): nulls excluded
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- TPC-H Q11 shape: HAVING against a global scalar subquery ---
+# Per-part value restricted to one nation's suppliers; survivors are
+# parts worth > 0.1% of the nation total.  The total is a single-row
+# re-aggregation of the SAME grouped frame (cached: one lineitem scan),
+# broadcast back as a scalar -- compare in exact integer cents.
+
+
+@register(
+    "important_part_stock",
+    """
+    WITH pv AS (
+        SELECT l.l_partkey,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS value_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, ROUND(value_cents / 100.0, 2) AS part_value
+    FROM pv
+    WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    "A-scalar-subquery,J1,J2: TPC-H Q11 important stock value",
+)
+def q_important_part_stock(spark, sf_dir):
+    lineitem, supplier, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nation_supps = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        lineitem.join(F.broadcast(nation_supps), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("value_cents"))
+        .cache()  # consumed twice: the total and the filtered output
+    )
+    total = pv.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        pv.join(F.broadcast(total))  # single-row scalar
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# --- TPC-H Q15 shape: rows equal to the max of their own aggregate ---
+# Per-supplier quarterly revenue, keep the max. The max comes from an
+# empty-frame window over the (supplier-count-sized) aggregate -- one
+# lineitem scan total, no re-aggregation, ties all kept.
+
+
+@register(
+    "top_revenue_suppliers",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_u4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(r.rev_u4 / 10000.0, 4) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_u4 = (SELECT MAX(rev_u4) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    "A-max-of-agg,window: TPC-H Q15 top supplier(s)",
+)
+def q_top_revenue_suppliers(spark, sf_dir):
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_units4(disc_price)).alias("rev_u4"))
+    )
+    best = rev.withColumn("max_u4", F.max("rev_u4").over(Window.partitionBy())).filter(
+        F.col("rev_u4") == F.col("max_u4")
+    )
+    return (
+        supplier.join(F.broadcast(best), supplier.s_suppkey == best.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_u4") / 10000.0, 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- TPC-H Q17 shape: correlated per-key average threshold ---
+# "Revenue from small-quantity items of one brand's parts."  The
+# correlated AVG becomes a per-part pre-aggregation re-joined on the
+# key; the brand filter semi-reduces lineitem FIRST so the stats agg
+# only sees the brand's rows.  The avg comparison  qty < avg(qty)/5  is
+# evaluated as  5*qty*cnt < sum_qty  -- exact integers, no double avg.
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH li_b AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#23'
+    ),
+    stats AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT)        AS cnt
+        FROM li_b GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+               AS small_qty_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM li_b l JOIN stats s ON l.l_partkey = s.l_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
+    """,
+    "J-correlated-avg: TPC-H Q17 small-quantity revenue",
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li_b = (
+        lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .cache()  # feeds both the stats agg and the probe side
+    )
+    stats = li_b.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li_b.join(stats, "l_partkey")
+        .filter(5 * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum(cents("l_extendedprice")) / 100.0, 2).alias(
+                "small_qty_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- TPC-H Q19 shape: disjunction of conjunctive predicate bundles ---
+# Three (brand, size-range, qty-range) bundles OR'd together.  Catalyst
+# CNF-extracts the part-only disjunction (brand/size) into the part
+# scan and the common  l_returnflag <> 'R'  factor into the lineitem
+# scan, so the OR doesn't defeat pushdown; the join stays a broadcast
+# equi-join with the residual OR as a post-join filter.
+
+
+@register(
+    "disjunctive_promo_revenue",
+    """
+    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0, 4)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11 AND l.l_returnflag <> 'R')
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20 AND l.l_returnflag <> 'R')
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30 AND l.l_returnflag <> 'R')
+    """,
+    "P-disjunctive-pushdown: TPC-H Q19 bundled OR predicates",
+)
+def q_disjunctive_promo_revenue(spark, sf_dir):
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    qty = F.col("l_quantity")
+
+    def bundle(brand: str, max_size: int, qlo: int, qhi: int) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & qty.between(qlo, qhi)
+            & (F.col("l_returnflag") != "R")
+        )
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            bundle("Brand#12", 5, 1, 11)
+            | bundle("Brand#23", 10, 10, 20)
+            | bundle("Brand#3", 15, 20, 30)
+        )
+        .agg(
+            F.round(F.sum(_units4(disc_price)) / 10000.0, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins ---
+# "Suppliers who were the SOLE returned line in a multi-supplier
+# finalized order."  EXISTS(other supplier in order) -> left-semi
+# self-join; NOT EXISTS(other supplier ALSO returned) -> left-anti
+# self-join; both shuffle lineitem on l_orderkey so the exchange is
+# shared, and the supplier/nation dimension broadcasts.
+
+
+@register(
+    "waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_1'
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    "J-semi,J-anti-correlated: TPC-H Q21 sole-blame suppliers",
+)
+def q_waiting_suppliers(spark, sf_dir):
+    lineitem, supplier, nation, orders = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "orders"
+    )
+    l1 = lineitem.filter(F.col("l_returnflag") == "R").alias("l1")
+    others = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    returned_others = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    final_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    nation_supps = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    blamed = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            returned_others,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(final_orders, F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    return (
+        blamed.join(F.broadcast(nation_supps), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# --- LAG/LEAD day-over-day deltas (offset window functions) ---
+# The only window shapes not yet exercised: offset functions over an
+# ordered unpartitioned window.  The window input is the DAY-grain
+# aggregate (a few thousand rows even at 100 TB), so the single-
+# partition WindowExec is deliberate and safe; deltas are computed in
+# exact integer cents before the presentation divide.
+
+
+@register(
+    "daily_revenue_dod",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1
+    )
+    SELECT day,
+           ROUND(rev_c / 100.0, 2) AS revenue,
+           ROUND((rev_c - LAG(rev_c)  OVER (ORDER BY day)) / 100.0, 2) AS dod_change,
+           ROUND((LEAD(rev_c) OVER (ORDER BY day) - rev_c) / 100.0, 2) AS next_change
+    FROM d ORDER BY day
+    """,
+    "W-offset: LAG/LEAD day-over-day revenue deltas",
+)
+def q_daily_revenue_dod(spark, sf_dir):
+    (orders,) = _t(spark, sf_dir, "orders")
+    day_w = Window.orderBy("day")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    return (
+        daily.select(
+            "day",
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round((F.col("rev_c") - F.lag("rev_c").over(day_w)) / 100.0, 2).alias(
+                "dod_change"
+            ),
+            F.round((F.lead("rev_c").over(day_w) - F.col("rev_c")) / 100.0, 2).alias(
+                "next_change"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# --- TPC-H Q2 shape: groupwise-min + join back (min-cost supplier) ---
+# No partsupp table in this schema, so "cost" is each supplier's
+# minimum observed line price for the part.  Two chained aggregations
+# share the (partkey, suppkey) shuffle; the equal-to-min join back is
+# on (partkey, min_cents) -- exact integers, tie-preserving exactly as
+# TPC-H Q2 keeps all min-cost suppliers.  Dimension chain
+# part/supplier/nation/region all broadcast.
+
+
+@register(
+    "min_cost_suppliers",
+    """
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, MIN(cost_c) AS best_c FROM costs GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+           ROUND(c.cost_c / 100.0, 2) AS best_price
+    FROM costs c
+    JOIN best b     ON c.l_partkey = b.l_partkey AND c.cost_c = b.best_c
+    JOIN part p     ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'ASIA'
+    ORDER BY p.p_partkey, s.s_suppkey
+    """,
+    "A-groupwise-min,J-chain: TPC-H Q2 min-cost supplier per part",
+)
+def q_min_cost_suppliers(spark, sf_dir):
+    lineitem, part, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    costs = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents("l_extendedprice")).alias("cost_c"))
+        .cache()  # feeds the per-part min AND the equal-to-min join back
+    )
+    best = (
+        costs.groupBy("l_partkey")
+        .agg(F.min("cost_c").alias("best_c"))
+        .withColumnRenamed("l_partkey", "b_partkey")  # disambiguate the self-join
+    )
+    asia_supps = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == F.col("r_regionkey"),
+                )
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    sel_parts = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    return (
+        costs.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cost_c") == F.col("best_c")),
+        )
+        .join(F.broadcast(sel_parts), costs.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(asia_supps), costs.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("cost_c") / 100.0, 2).alias("best_price"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+# --- TPC-H Q7 shape: bi-directional nation-pair trade volume ---
+# The OR of the two (supplier-nation, customer-nation) orientations is
+# evaluated AFTER both dimension joins; both nation joins broadcast and
+# the fact chain shuffles only on its join keys.
+
+
+@register(
+    "nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(u4) / 10000.0, 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT)    AS n_lines
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS u4
+        FROM supplier s
+        JOIN lineitem l  ON s.s_suppkey = l.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN customer c  ON c.c_custkey = o.o_custkey
+        JOIN nation n1   ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2   ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "J-chain,P-disjunctive: TPC-H Q7 nation-pair volume per year",
+)
+def q_nation_trade_volume(spark, sf_dir):
+    lineitem, orders, customer, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    pair = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supps = supplier.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    custs = customer.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+        customer.c_nationkey == F.col("ck"),
+    ).select("c_custkey", "cust_nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(supps), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(custs, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(_units4(disc_price)) / 10000.0, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- TPC-H Q8 shape: conditional-share-of-total per year ---
+# Market share of one supplier nation inside one customer region.  The
+# share is a ratio of two SUMs over the same group -- both kept in
+# exact integer ten-thousandths, so the final double division is
+# correctly rounded and bit-identical in any IEEE engine (no ROUND on
+# the quotient, none needed).
+
+
+@register(
+    "nation_market_share",
+    """
+    SELECT o_year,
+           SUM(CASE WHEN supp_nation = 'NATION_5' THEN u4 ELSE 0 END) AS nation_u4,
+           SUM(u4)                                                    AS total_u4,
+           SUM(CASE WHEN supp_nation = 'NATION_5' THEN u4 ELSE 0 END) / SUM(u4)
+               AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS u4,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        JOIN region r   ON r.r_regionkey = n2.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+    "A-conditional-ratio,J-chain: TPC-H Q8 market share per year",
+)
+def q_nation_market_share(spark, sf_dir):
+    lineitem, orders, customer, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    europe_custs = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    nation.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supps = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    u4 = _units4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nation_u4 = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("u4")).otherwise(F.lit(0))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(europe_custs), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supps), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            u4.alias("u4"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            nation_u4.alias("nation_u4"),
+            F.sum("u4").alias("total_u4"),
+            (nation_u4 / F.sum("u4")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- TPC-H Q9 shape: profit by supplier nation and year ---
+# No partsupp supplycost; cost is the part's retail price x quantity.
+# Profit stays in exact integer ten-thousandths end-to-end:
+# u4(disc_price) - retail_cents * qty * 100.
+
+
+@register(
+    "nation_profit",
+    """
+    SELECT n_name, o_year, ROUND(SUM(profit_u4) / 10000.0, 4) AS profit
+    FROM (
+        SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                 - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                   * CAST(l.l_quantity AS BIGINT) * 100 AS profit_u4
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year
+    """,
+    "J-chain,P-like: TPC-H Q9 profit by nation and year",
+)
+def q_nation_profit(spark, sf_dir):
+    lineitem, part, supplier, nation, orders = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders"
+    )
+    red_parts = part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supps = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    profit_u4 = _units4(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - cents("p_retailprice") * F.col("l_quantity").cast("long") * 100
+    return (
+        lineitem.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supps), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(profit_u4) / 10000.0, 4).alias("profit"))
+        .orderBy("n_name", "o_year")
+    )
+
+
+# --- TPC-H Q12 shape: two-way conditional counts on a lateness band ---
+# No l_shipmode column; the band attribute is l_linestatus and
+# "critical" is the urgent/high priority pair.  Both CASE-sums ride the
+# same aggregate; the lateness predicate is a post-join filter.
+
+
+@register(
+    "late_lines_by_status",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    "A-conditional-pair: TPC-H Q12 priority counts per status band",
+)
+def q_late_lines_by_status(spark, sf_dir):
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- TPC-H Q20 shape: HAVING-gated IN-subquery (nested semi-join) ---
+# Suppliers who moved > 50 units of any blue part in 1996: the inner
+# HAVING aggregate produces supplier keys, consumed as a left-semi
+# join; the nation dimension broadcasts.
+
+
+@register(
+    "excess_stock_suppliers",
+    """
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'blue%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 50
+    )
+    ORDER BY s.s_name
+    """,
+    "J-semi-nested,A-having: TPC-H Q20 excess-stock suppliers",
+)
+def q_excess_stock_suppliers(spark, sf_dir):
+    lineitem, part, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    blue_parts = part.filter(F.col("p_name").like("blue%")).select("p_partkey")
+    movers = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(blue_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(movers, supplier.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -20,6 +20,7 @@ CROSS_OK = {
     # scalar-subquery threshold: a single-row aggregate broadcast into
     # the filter IS a (free) broadcast nested-loop join by construction
     "idle_rich_customers",
+    "important_part_stock",
 }
 
 
@@ -112,6 +113,40 @@ def test_large_orders_broadcasts_dims_after_agg(spark):
     plan = _plan(ent.queries()["large_quantity_orders"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_top_unshipped_orders_is_topk_not_sort(spark):
+    # ORDER BY ... LIMIT must compile to TakeOrderedAndProject
+    # (per-partition heap + driver merge of 10 rows), never a global
+    # range-partition sort -- the difference at 100 TB
+    plan = _plan(ent.queries()["top_unshipped_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    # and the selective filters still reach both big-table scans
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    # TPC-H Q19 shape: the OR of conjunctive bundles must not defeat
+    # pushdown -- Catalyst extracts the part-only disjunction into the
+    # part scan and the lineitem-only disjunction into the lineitem scan
+    df = ent.queries()["disjunctive_promo_revenue"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed_sections = plan.split("PushedFilters:")[1:]
+    with_or = [s for s in pushed_sections if "Or(" in s.splitlines()[0]]
+    assert len(with_or) >= 2, "OR bundles not pushed to both scans"
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_semi_anti_pushdown(spark):
+    # Q21 shape: the returnflag filter feeds the probe and anti sides at
+    # the scan; EXISTS/NOT EXISTS are real LeftSemi/LeftAnti joins
+    plan = _plan(ent.queries()["waiting_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("EqualTo(l_returnflag,R)") >= 2
 
 
 def test_selective_filter_pushed_in_top_loss(spark):
