@@ -48,3 +48,94 @@ def cobucketed_join(
     """Join two co-bucketed tables; with matching bucket specs Catalyst
     plans a shuffle-free sort-merge join."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+# --- dynamic partition overwrite + MERGE-style upsert ---
+# The reference re-publishes the full KPI result into DynamoDB on every
+# activation (reference: docker-images/transformation/transform.py:149-202).
+# At 100 TB the scale-correct analogue for an analytical sink is to
+# rewrite ONLY the date partitions an arrival event touched.
+
+
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+
+@contextmanager
+def _conf(spark: SparkSession, key: str, value: str):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Replace only the partitions present in ``df``; others untouched.
+
+    ``partitionOverwriteMode=dynamic`` makes ``mode("overwrite")`` drop
+    just the partition directories the incoming frame writes — the
+    idempotent per-day re-publish primitive.  A static overwrite (the
+    default) would truncate the whole table: O(history) instead of
+    O(changed days) per activation.
+    """
+    with _conf(
+        df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ):
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> None:
+    """MERGE INTO emulation on plain partitioned parquet.
+
+    Semantics: rows in ``updates`` replace existing rows with the same
+    ``key_cols``; other existing rows in touched partitions survive;
+    untouched partitions are never read or written.  Plan shape:
+
+    1. The touched-partition values are collected (day-grain: one tiny
+       row per partition) and turned into a pushable predicate, so the
+       read-back scans only those partition directories.
+    2. Survivors = existing ⟕anti updates on the key — executed as a
+       broadcast anti join when the update batch is small.
+    3. survivors ∪ updates is localCheckpoint-ed (materialized on
+       executors, truncating lineage to the input files) before the
+       dynamic overwrite, because Spark cannot overwrite a path it is
+       still lazily reading.
+    """
+    import functools
+    import operator
+    from pathlib import Path
+
+    touched = updates.select(*partition_cols).distinct().collect()
+    if not touched:
+        return
+    target = Path(path)
+    if target.exists() and any(target.iterdir()):
+        row_pred = functools.reduce(
+            operator.or_,
+            (
+                functools.reduce(
+                    operator.and_, (F.col(c) == r[c] for c in partition_cols)
+                )
+                for r in touched
+            ),
+        )
+        existing = spark.read.parquet(path).filter(row_pred)  # partition-pruned
+        survivors = existing.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        out = survivors.unionByName(updates)
+    else:
+        out = updates
+    overwrite_partitions(out.localCheckpoint(), path, partition_cols)

@@ -53,3 +53,67 @@ def test_write_kv_batch_roundtrip_and_idempotency(spark, tmp_path):
     assert item is not None
     assert item["daily_revenue"] == str(round(sample["daily_revenue"], 2))
     assert item["order_date"] == f"{sample['order_date']:%Y-%m-%d}"
+
+
+# --- partitioned analytical sink: dynamic overwrite + MERGE upsert ---
+
+
+def _read_days(spark, path):
+    rows = spark.read.parquet(path).collect()
+    return {(r.day, r.k): r.v for r in rows}
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.sinks.tables import overwrite_partitions
+
+    path = str(tmp_path / "kpis")
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 1, 30.0), ("d3", 1, 40.0)],
+        "day string, k int, v double",
+    )
+    overwrite_partitions(base, path, ["day"])
+    # re-publish d2 only, with different content
+    patch = spark.createDataFrame([("d2", 9, 99.0)], "day string, k int, v double")
+    overwrite_partitions(patch, path, ["day"])
+    got = _read_days(spark, path)
+    assert got == {("d1", 1): 10.0, ("d1", 2): 20.0, ("d2", 9): 99.0, ("d3", 1): 40.0}
+
+
+def test_merge_upsert_partitioned_key_semantics(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.sinks.tables import (
+        merge_upsert_partitioned,
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "kpis")
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 1, 30.0)],
+        "day string, k int, v double",
+    )
+    overwrite_partitions(base, path, ["day"])
+    updates = spark.createDataFrame(
+        # update (d1,2), insert (d1,3), insert new day d9
+        [("d1", 2, 21.0), ("d1", 3, 31.0), ("d9", 1, 90.0)],
+        "day string, k int, v double",
+    )
+    merge_upsert_partitioned(spark, updates, path, ["day", "k"], ["day"])
+    got = _read_days(spark, path)
+    assert got == {
+        ("d1", 1): 10.0,   # untouched key in touched partition survives
+        ("d1", 2): 21.0,   # replaced
+        ("d1", 3): 31.0,   # inserted
+        ("d2", 1): 30.0,   # untouched partition intact
+        ("d9", 1): 90.0,   # new partition created
+    }
+    # idempotent: re-applying the same batch changes nothing
+    merge_upsert_partitioned(spark, updates, path, ["day", "k"], ["day"])
+    assert _read_days(spark, path) == got
+
+
+def test_merge_upsert_into_empty_dir(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.sinks.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "fresh")
+    updates = spark.createDataFrame([("d1", 1, 1.0)], "day string, k int, v double")
+    merge_upsert_partitioned(spark, updates, path, ["day", "k"], ["day"])
+    assert _read_days(spark, path) == {("d1", 1): 1.0}
