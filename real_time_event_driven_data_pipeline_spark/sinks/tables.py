@@ -90,6 +90,28 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def touched_partitions_predicate(touched_rows, partition_cols: list[str]):
+    """OR-of-ANDs equality predicate over partition columns.
+
+    Built only from partition-column equality comparisons, so Catalyst
+    classifies the whole disjunction as a PartitionFilter: the read-back
+    lists only the touched partition directories and never opens a file
+    in any other partition (pinned in tests/test_sinks.py).
+    """
+    import functools
+    import operator
+
+    return functools.reduce(
+        operator.or_,
+        (
+            functools.reduce(
+                operator.and_, (F.col(c) == r[c] for c in partition_cols)
+            )
+            for r in touched_rows
+        ),
+    )
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     updates: DataFrame,
@@ -113,8 +135,6 @@ def merge_upsert_partitioned(
        dynamic overwrite, because Spark cannot overwrite a path it is
        still lazily reading.
     """
-    import functools
-    import operator
     from pathlib import Path
 
     touched = updates.select(*partition_cols).distinct().collect()
@@ -122,15 +142,7 @@ def merge_upsert_partitioned(
         return
     target = Path(path)
     if target.exists() and any(target.iterdir()):
-        row_pred = functools.reduce(
-            operator.or_,
-            (
-                functools.reduce(
-                    operator.and_, (F.col(c) == r[c] for c in partition_cols)
-                )
-                for r in touched
-            ),
-        )
+        row_pred = touched_partitions_predicate(touched, partition_cols)
         existing = spark.read.parquet(path).filter(row_pred)  # partition-pruned
         survivors = existing.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"

@@ -117,3 +117,24 @@ def test_merge_upsert_into_empty_dir(spark, tmp_path):
     updates = spark.createDataFrame([("d1", 1, 1.0)], "day string, k int, v double")
     merge_upsert_partitioned(spark, updates, path, ["day", "k"], ["day"])
     assert _read_days(spark, path) == {("d1", 1): 1.0}
+
+
+def test_merge_readback_predicate_partition_prunes(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.sinks.tables import (
+        overwrite_partitions,
+        touched_partitions_predicate,
+    )
+
+    path = str(tmp_path / "pruned")
+    base = spark.createDataFrame(
+        [("d1", 1, 1.0), ("d2", 1, 2.0), ("d3", 1, 3.0)],
+        "day string, k int, v double",
+    )
+    overwrite_partitions(base, path, ["day"])
+    pred = touched_partitions_predicate([{"day": "d1"}, {"day": "d3"}], ["day"])
+    df = spark.read.parquet(path).filter(pred)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "d1" in pf and "d3" in pf, f"predicate not pruned: {pf}"
+    # and no residual data filter opens files in other partitions
+    assert df.count() == 2
