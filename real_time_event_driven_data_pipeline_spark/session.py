@@ -25,6 +25,12 @@ RUNTIME_CONFS = {
     # rejects it unless nanos are surfaced as long (converted back to
     # timestamps in sources.readers.load_testdata)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # testdata timestamp[us] columns have isAdjustedToUTC=false; read
+    # them as TimestampType (not NTZ) so unix_micros/watermarks accept
+    # them and timestamp predicates still push down to the parquet scan
+    # (a cast-in-the-loader would sit between scan and filter).  Session
+    # tz is UTC, so the instant equals DuckDB's naive reading.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

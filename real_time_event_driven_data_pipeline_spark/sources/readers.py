@@ -76,14 +76,21 @@ def read_json_table(
     return require_non_empty(df, path) if check_non_empty else df
 
 
-def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
-    """Convert nanos-as-long columns back to timestamps (µs truncation).
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize testdata timestamp encodings to plain ``TimestampType``.
 
-    With ``spark.sql.legacy.parquet.nanosAsLong`` (session.py) a
-    TIMESTAMP(NANOS) parquet column arrives as LongType nanoseconds.
-    ``ts div 1000`` keeps the math in exact integers (ns since epoch
-    overflows double's 53-bit mantissa) and matches DuckDB's own
-    ns→µs truncation, so oracles agree.
+    The driver's parquet has shipped two encodings across rounds:
+
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
+      (session.py) the column arrives as LongType nanoseconds.
+      ``ts div 1000`` keeps the math in exact integers (ns since epoch
+      overflows double's 53-bit mantissa) and matches DuckDB's own
+      ns→µs truncation, so oracles agree.
+    - timestamp[us] with isAdjustedToUTC=false: Spark reads it as
+      TIMESTAMP_NTZ, which functions like ``unix_micros`` and streaming
+      watermarks reject.  Casting NTZ→TIMESTAMP interprets the wall
+      value in the session timezone (pinned UTC in session.py), so the
+      instant is unchanged and still matches DuckDB's naive reading.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -91,19 +98,18 @@ def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 
 def load_testdata(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
     """Load driver testdata parquet tables as {name: DataFrame}."""
     names = tables or tuple(TESTDATA_SCHEMAS)
-    out = {}
-    for t in names:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if t == "events":
-            df = _restore_nanos_timestamps(df)
-        out[t] = df
-    return out
+    return {
+        t: _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        for t in names
+    }
 
 
 def read_stream_csv(
