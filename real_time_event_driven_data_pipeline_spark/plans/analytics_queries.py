@@ -374,8 +374,9 @@ def q_part_name_features(spark, sf_dir):
     """
     WITH wide AS (
         SELECT l_returnflag,
-               SUM(CAST(l_quantity AS BIGINT))                   AS qty,
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)   AS qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                                                                 AS price_cents,
                CAST(COUNT(*) AS BIGINT)                          AS n_items
         FROM lineitem GROUP BY 1
     )
@@ -431,7 +432,7 @@ def q_acctbal_deciles(spark, sf_dir):
     (customer,) = _t(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
-        customer.withColumn("decile", F.ntile(10).over(w))
+        customer.withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -1150,8 +1151,9 @@ def q_nation_trade_volume(spark, sf_dir):
     "nation_market_share",
     """
     SELECT o_year,
-           SUM(CASE WHEN supp_nation = 'NATION_5' THEN u4 ELSE 0 END) AS nation_u4,
-           SUM(u4)                                                    AS total_u4,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN u4 ELSE 0 END) AS BIGINT)
+                                                                      AS nation_u4,
+           CAST(SUM(u4) AS BIGINT)                                    AS total_u4,
            SUM(CASE WHEN supp_nation = 'NATION_5' THEN u4 ELSE 0 END) / SUM(u4)
                AS mkt_share
     FROM (
@@ -1274,10 +1276,10 @@ def q_nation_profit(spark, sf_dir):
     "late_lines_by_status",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
     GROUP BY l.l_linestatus

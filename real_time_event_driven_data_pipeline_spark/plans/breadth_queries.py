@@ -306,7 +306,7 @@ def q_top3_parts_per_brand(spark, sf_dir):
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
     return (
-        per_part.withColumn("rn", F.row_number().over(w))
+        per_part.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter("rn <= 3")
         .select("p_brand", "p_partkey", "revenue", "rn")
         .orderBy("p_brand", "rn")
