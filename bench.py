@@ -2,9 +2,16 @@
 
 Runs the engine's registered queries at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
-prints ONE JSON line:
+prints ONE compact JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...}
+     "queries": {10 slowest only}, "sf": ..., "n_queries": N,
+     "detail": "BENCH_DETAIL.json"}
+
+The line is deliberately short: round 1 showed the driver's capture
+window truncating a ~3 KB line carrying all 92 per-query timings,
+leaving ``"parsed": null`` in BENCH_r01.json.  The full per-query dict
+now goes to ``BENCH_DETAIL.json`` next to this script; stdout keeps
+only the headline total plus the 10 slowest queries (bounded length).
 
 Timing covers plan construction + execution (count-style materialize,
 no driver-side collect of large results); session bootstrap is
@@ -60,7 +67,8 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
+    detail_path = REPO / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
@@ -68,6 +76,22 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+            },
+            indent=2,
+        )
+        + "\n"
+    )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail": detail_path.name,
             }
         )
     )
