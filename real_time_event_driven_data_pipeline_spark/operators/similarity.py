@@ -9,8 +9,9 @@ double accumulation produces identical bits (verified exact vs DuckDB
 Scale design:
 - ``cosine_topk`` broadcasts the (small) query set against the corpus —
   one pass, no corpus shuffle; ranking is a per-query top-k window.
-- ``embedding_similar_pairs`` is the exact all-pairs path (corpus ⋈
-  corpus); use for moderate corpora or verification.
+- ``embedding_similar_pairs`` is the exact all-pairs path: a
+  triangle-blocked self-join (each block-pair scored by one task, BLAS
+  inside, in-order re-score on emit) — distributed, O(1) driver memory.
 - ``lsh_bucket_ann`` is the 100 TB path: random-hyperplane sign
   buckets (deterministic seeded planes) -> candidates share a bucket ->
   exact re-scoring of candidates only.
@@ -52,51 +53,86 @@ def embedding_similar_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
-    Block-nested-loop: the corpus is broadcast once as a float64 matrix;
-    each partition scores its block against it with one BLAS matmul,
-    then the (few) pairs above ``threshold - margin`` are re-scored with
-    the in-order fold so emitted values are bit-exact vs the oracle.
-    All-pairs exact is inherently O(n^2) — this shape keeps the n^2 in
-    BLAS with zero shuffle.  Past broadcast size (~1e7 vectors) use
-    ``lsh_bucket_ann``; that is the 100 TB path.
+    Triangle-blocked distributed self-join — nothing is collected to the
+    driver.  Each vector is hashed into one of ``n_blocks`` blocks and
+    replicated to the ``n_blocks`` unordered block-pairs it participates
+    in, so every global pair (x, y) is scored by exactly one task: the
+    one owning block-pair (min(bx, by), max(bx, by)).  Per task, one
+    BLAS matmul scores the a-side block against the b-side block; the
+    (few) candidates above ``threshold - margin`` are re-scored with the
+    in-order fold so emitted values are bit-exact vs the oracle.
+
+    Cost model at scale: shuffle volume = n_blocks * |corpus| rows,
+    n_blocks*(n_blocks+1)/2 independent tasks of (n/n_blocks)^2 BLAS
+    work, O(block^2 / n_blocks^2) peak task memory, O(1) driver memory.
+    Grow ``n_blocks`` ~ sqrt(cluster cores) so tasks stay cache-sized.
+    All-pairs exact is inherently O(n^2); past ~1e7 vectors use
+    ``lsh_bucket_ann`` — that is the 100 TB path.
     """
     import math
 
-    e = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-    full = e.toPandas()
-    full_ids = full[id_col].to_numpy()
-    full_mat = np.stack(full["v"].to_numpy()).astype(np.float64)
-    # broadcast the raw matrix only; normalization is one cheap pass
-    # recomputed per task (halves the broadcast footprint)
-    bc = emb.sparkSession.sparkContext.broadcast((full_ids, full_mat))
+    nb = int(n_blocks)
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("_blk"),
+    )
+    # replicate each vector to its nb unordered block-pairs; the pair
+    # keys {min(b,j)*nb + max(b,j) : j in 0..nb-1} are all distinct, so
+    # replication is exactly nb copies per row with no dedup needed
+    rep = e.select(
+        "_id",
+        "v",
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("_j"),
+    ).select(
+        "_id",
+        "v",
+        "_blk",
+        (F.least("_blk", "_j") * nb + F.greatest("_blk", "_j")).alias("_bp"),
+    )
 
     out_schema = "id_a bigint, id_b bigint, cos_sim double"
 
-    def _block(batches):
-        ids_f, mat_f = bc.value
-        norm_f = mat_f / np.sqrt((mat_f * mat_f).sum(axis=1))[:, None]
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bid = pdf[id_col].to_numpy()
-            bm = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            bnorm = bm / np.sqrt((bm * bm).sum(axis=1))[:, None]
-            sims = bnorm @ norm_f.T
-            cand = (sims >= threshold - 1e-6) & (bid[:, None] < ids_f[None, :])
-            rows = []
-            for i, j in zip(*np.nonzero(cand)):
-                va, vb = bm[i], mat_f[j]
-                cos = _inorder_dot(va, vb) / math.sqrt(
-                    _inorder_dot(va, va) * _inorder_dot(vb, vb)
-                )
-                if cos >= threshold:
-                    rows.append((int(bid[i]), int(ids_f[j]), cos))
-            yield pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
+    def _score(key, pdf):
+        bp = int(key[0])
+        bi, bj = divmod(bp, nb)
+        if pdf.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        a = pdf[pdf["_blk"] == bi]
+        b = a if bi == bj else pdf[pdf["_blk"] == bj]
+        if a.empty or b.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        ids_a = a["_id"].to_numpy()
+        ids_b = b["_id"].to_numpy()
+        mat_a = np.stack(a["v"].to_numpy()).astype(np.float64)
+        mat_b = np.stack(b["v"].to_numpy()).astype(np.float64)
+        norm_a = mat_a / np.sqrt((mat_a * mat_a).sum(axis=1))[:, None]
+        norm_b = mat_b / np.sqrt((mat_b * mat_b).sum(axis=1))[:, None]
+        sims = norm_a @ norm_b.T
+        # each unordered pair occurs once across tasks; within the
+        # diagonal task it occurs twice (i,j)/(j,i), so keep id_a < id_b
+        # there; off-diagonal tasks see it once — normalize order on emit
+        if bi == bj:
+            cand = (sims >= threshold - 1e-6) & (ids_a[:, None] < ids_b[None, :])
+        else:
+            cand = sims >= threshold - 1e-6
+        rows = []
+        for i, j in zip(*np.nonzero(cand)):
+            va, vb = mat_a[i], mat_b[j]
+            cos = _inorder_dot(va, vb) / math.sqrt(
+                _inorder_dot(va, va) * _inorder_dot(vb, vb)
+            )
+            if cos >= threshold:
+                ia, ib = int(ids_a[i]), int(ids_b[j])
+                rows.append((min(ia, ib), max(ia, ib), cos))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
 
-    return e.mapInPandas(_block, schema=out_schema)
+    return rep.groupBy("_bp").applyInPandas(_score, schema=out_schema)
 
 
 def cosine_topk(
@@ -171,12 +207,19 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
+    max_rows: int = 100_000,
     n_iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """Deterministic spherical k-means on a corpus sample (driver-side
-    numpy — IVF training is O(sample), not O(corpus); at 100 TB train on
-    a bounded sample or swap in pyspark.ml.clustering.KMeans).
+    """Deterministic spherical k-means on a *bounded* corpus sample.
+
+    Driver-side numpy is fine here because IVF training is O(sample),
+    never O(corpus): the materialized sample is hard-capped at
+    ``max_rows`` (``limit`` short-circuits the scan after enough rows),
+    so driver memory stays bounded no matter the corpus size.  For a
+    statistically spread sample at 100 TB pass ``sample_fraction`` ~
+    max_rows/|corpus| (the fraction-sample runs distributed *before*
+    the cap), or swap in pyspark.ml.clustering.KMeans.
 
     Spherical (unit-norm data + centroids, assign by max dot product)
     because the search metric is cosine — Euclidean cells misalign with
@@ -185,6 +228,8 @@ def train_ivf_centroids(
     sample = corpus.select(as_double(vec_col).alias("v"))
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
+    if max_rows is not None:
+        sample = sample.limit(int(max_rows))
     mat = np.stack(sample.toPandas()["v"].to_numpy()).astype(np.float64)
     mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
     rng = np.random.default_rng(seed)

@@ -180,3 +180,48 @@ def test_train_split_stable_and_plausible(spark, docs):
     assert 0.7 < c["train"] / n < 0.9
     assert 0.04 < c["val"] / n < 0.16
     assert 0.04 < c["test"] / n < 0.16
+
+
+def test_embedding_pairs_block_invariant(spark, emb):
+    """The triangle-blocked self-join must emit the identical pair set
+    (and bit-identical cosines) for any block count — each unordered
+    pair is owned by exactly one block-pair task."""
+    base = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.embedding_similar_pairs(emb, threshold=0.45, n_blocks=1).collect()
+    }
+    assert base, "fixture should contain similar pairs at t=0.45"
+    for nb in (3, 8):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in similarity.embedding_similar_pairs(
+                emb, threshold=0.45, n_blocks=nb
+            ).collect()
+        }
+        assert got == base, f"n_blocks={nb} changed the result"
+
+
+def test_embedding_pairs_no_driver_collect(spark, emb, monkeypatch):
+    """Scale guard: the exact-pairs path must never materialize the
+    corpus on the driver (VERDICT r1 flagged a toPandas()+broadcast).
+    Poison every driver-side materialization route and run the query."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side collect in embedding_similar_pairs")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    out = similarity.embedding_similar_pairs(emb, threshold=0.45, n_blocks=4)
+    monkeypatch.undo()
+    assert out.count() > 0
+
+
+def test_ivf_training_bounded_sample(spark, emb):
+    """max_rows caps the driver-side materialization; centroids stay
+    deterministic and the cap path produces usable cells."""
+    cent = similarity.train_ivf_centroids(emb, n_centroids=8, max_rows=200)
+    assert cent.shape[0] == 8
+    # unit-norm centroids
+    norms = np.sqrt((cent * cent).sum(axis=1))
+    assert np.allclose(norms, 1.0)
