@@ -30,7 +30,17 @@ RUNTIME_CONFS = {
     # them and timestamp predicates still push down to the parquet scan
     # (a cast-in-the-loader would sit between scan and filter).  Session
     # tz is UTC, so the instant equals DuckDB's naive reading.
+    # Session-global on purpose; safe because the engine itself never
+    # writes TIMESTAMP_NTZ parquet (all timestamp columns flow through
+    # TimestampType end-to-end — pinned by
+    # tests/test_sinks.py::test_sinks_never_write_ntz_parquet), so the
+    # only NTZ-typed parquet a session ever reads is driver testdata.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # write timestamps as TIMESTAMP(MICROS, adjustedToUTC=true) instead
+    # of legacy INT96: engine-written parquet is explicitly instant-typed,
+    # so the inferTimestampNTZ=false above can never reinterpret our own
+    # sink output (it only ever fires on foreign NTZ files)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
@@ -42,6 +52,46 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # conf not runtime-settable on this build — fine
     return spark
+
+
+def object_store_confs(env: dict[str, str] | None = None) -> dict[str, str]:
+    """Opt-in S3A object-store configuration, env-driven.
+
+    Mirrors the reference's session bootstrap (reference:
+    docker-images/validation/validate.py:58-63 and
+    docker-images/transformation/transform.py:64-69 set fs.s3a.impl,
+    the DefaultAWSCredentialsProviderChain, and the hadoop-aws jars)
+    as a dormant hook: empty dict unless ``RTEDP_S3A=1``, so local and
+    test sessions carry zero object-store config.
+
+    Env knobs (all optional beyond the RTEDP_S3A switch):
+      RTEDP_S3A_CREDENTIALS_PROVIDER  override the credential chain
+      RTEDP_S3A_ENDPOINT              custom endpoint (MinIO / on-prem)
+      RTEDP_S3A_PATH_STYLE=1          path-style access for non-AWS stores
+      RTEDP_S3A_JARS                  comma list for spark.jars (hadoop-aws
+                                      + aws sdk bundle, as in the reference
+                                      Dockerfiles)
+    Credentials themselves are never read here — the provider chain picks
+    up the standard AWS env/instance-profile sources on the cluster.
+    """
+    if env is None:
+        env = dict(os.environ)
+    if env.get("RTEDP_S3A") != "1":
+        return {}
+    confs = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.aws.credentials.provider": env.get(
+            "RTEDP_S3A_CREDENTIALS_PROVIDER",
+            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain",
+        ),
+    }
+    if env.get("RTEDP_S3A_ENDPOINT"):
+        confs["spark.hadoop.fs.s3a.endpoint"] = env["RTEDP_S3A_ENDPOINT"]
+    if env.get("RTEDP_S3A_PATH_STYLE") == "1":
+        confs["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if env.get("RTEDP_S3A_JARS"):
+        confs["spark.jars"] = env["RTEDP_S3A_JARS"]
+    return confs
 
 
 def get_spark(app_name: str = "rtedp-spark", cpus: int | None = None) -> SparkSession:
@@ -62,6 +112,8 @@ def get_spark(app_name: str = "rtedp-spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in object_store_confs().items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
