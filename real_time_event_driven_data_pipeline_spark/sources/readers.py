@@ -76,16 +76,24 @@ def read_json_table(
     return require_non_empty(df, path) if check_non_empty else df
 
 
-def _normalize_timestamps(df: DataFrame) -> DataFrame:
+# Tables whose LongType 'ts' is epoch-NANOSECONDS surfaced by
+# spark.sql.legacy.parquet.nanosAsLong (session.py).  Gated by table
+# name so a future table with a genuine long 'ts' (epoch seconds/micros)
+# is never silently rescaled (ADVICE r1).
+_NANOS_TS_TABLES = frozenset({"events"})
+
+
+def _normalize_timestamps(df: DataFrame, table: str) -> DataFrame:
     """Normalize testdata timestamp encodings to plain ``TimestampType``.
 
     The driver's parquet has shipped two encodings across rounds:
 
-    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
-      (session.py) the column arrives as LongType nanoseconds.
-      ``ts div 1000`` keeps the math in exact integers (ns since epoch
-      overflows double's 53-bit mantissa) and matches DuckDB's own
-      ns→µs truncation, so oracles agree.
+    - TIMESTAMP(NANOS) (events.ts only — see ``_NANOS_TS_TABLES``): with
+      ``spark.sql.legacy.parquet.nanosAsLong`` (session.py) the column
+      arrives as LongType nanoseconds.  ``ts div 1000`` keeps the math
+      in exact integers (ns since epoch overflows double's 53-bit
+      mantissa) and matches DuckDB's own ns→µs truncation, so oracles
+      agree.
     - timestamp[us] with isAdjustedToUTC=false: Spark reads it as
       TIMESTAMP_NTZ, which functions like ``unix_micros`` and streaming
       watermarks reject.  Casting NTZ→TIMESTAMP interprets the wall
@@ -96,7 +104,11 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if (
+            table in _NANOS_TS_TABLES
+            and field.name == "ts"
+            and isinstance(field.dataType, T.LongType)
+        ):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
@@ -107,7 +119,7 @@ def load_testdata(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, D
     """Load driver testdata parquet tables as {name: DataFrame}."""
     names = tables or tuple(TESTDATA_SCHEMAS)
     return {
-        t: _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        t: _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
         for t in names
     }
 

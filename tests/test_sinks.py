@@ -138,3 +138,40 @@ def test_merge_readback_predicate_partition_prunes(spark, tmp_path):
     assert "d1" in pf and "d3" in pf, f"predicate not pruned: {pf}"
     # and no residual data filter opens files in other partitions
     assert df.count() == 2
+
+
+def test_sinks_never_write_ntz_parquet(spark, tmp_path):
+    """Guard for the session-global inferTimestampNTZ=false (ADVICE r1):
+    that conf is only safe while the engine never writes TIMESTAMP_NTZ
+    parquet itself.  Push a timestamp column through the analytical sink
+    and assert the written file reads back as plain TimestampType."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from real_time_event_driven_data_pipeline_spark.sinks.tables import (
+        overwrite_partitions,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        (F.col("id") % 2).alias("day"),
+    )
+    out = str(tmp_path / "ntz_probe")
+    overwrite_partitions(df, out, ["day"])
+
+    # physical check: parquet logical type must be UTC-adjusted (instant),
+    # not NTZ — independent of any read-time session conf
+    import glob
+
+    files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    assert files
+    ts_field = pq.read_schema(files[0]).field("ts")
+    assert getattr(ts_field.type, "tz", None) is not None, (
+        f"sink wrote NTZ parquet: {ts_field}"
+    )
+
+    # logical check: read-back is TimestampType under the engine session
+    back = spark.read.parquet(out)
+    assert isinstance(back.schema["ts"].dataType, T.TimestampType)
