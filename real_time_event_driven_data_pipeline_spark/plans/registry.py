@@ -65,11 +65,38 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # import errors must propagate: swallowing one would silently shrink
-    # the registered query set and the driver would "pass" on the rump
-    from . import analytics_queries  # noqa: F401
-    from . import breadth_queries  # noqa: F401
+    # the registered query set and the driver would "pass" on the rump.
+    # Order matters: the driver samples a prefix of the registration
+    # order, and round 1 sampled only analytics+breadth — so the
+    # families it has not yet hash-checked (reference-parity core KPIs,
+    # the LLM-pipeline extensions, streaming twins) register first this
+    # round; analytics/breadth (50 driver-green rows in r1) go last.
     from . import core_queries  # noqa: F401
     from . import extension_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
+    from . import analytics_queries  # noqa: F401
+    from . import breadth_queries  # noqa: F401
+
+    # pull the r1 hash-mismatch fixes (oracle typing, fixed this round)
+    # into the sampled prefix right behind the never-sampled families,
+    # so CORRECTNESS_r2 records their green rows explicitly
+    _prioritize(
+        "flag_measures_long",
+        "nation_market_share",
+        "late_lines_by_status",
+        "acctbal_deciles",
+        "top3_parts_per_brand",
+        after=40,
+    )
 
     _LOADED = True
+
+
+def _prioritize(*names: str, after: int) -> None:
+    """Reorder QUERIES so ``names`` sit at position ``after`` onward
+    (dict insertion order is the driver's sampling order)."""
+    rest = [n for n in QUERIES if n not in names]
+    order = rest[:after] + [n for n in names if n in QUERIES] + rest[after:]
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES.update({n: snapshot[n] for n in order})
