@@ -175,3 +175,43 @@ def test_sinks_never_write_ntz_parquet(spark, tmp_path):
     # logical check: read-back is TimestampType under the engine session
     back = spark.read.parquet(out)
     assert isinstance(back.schema["ts"].dataType, T.TimestampType)
+
+
+def test_kv_store_protocol_pluggable(spark, tmp_path):
+    """Same upsert contract against both adapters (the Protocol slot a
+    DynamoDB writer would fill): executor-side write, idempotent rewrite,
+    typed read-back — identical items from either store."""
+    import pytest  # noqa: F401
+    from real_time_event_driven_data_pipeline_spark.sinks.kv import (
+        JsonDirKVStore,
+        KVStore,
+    )
+
+    products, orders, order_items = make_ecom(n_products=60, n_orders=50, seed=11)
+    kpis = category_kpis(
+        to_spark(spark, order_items, ECOM_SCHEMAS["order_items"]),
+        to_spark(spark, orders, ECOM_SCHEMAS["orders"]),
+        to_spark(spark, products, ECOM_SCHEMAS["products"]),
+    ).cache()
+    n = kpis.count()
+    key_cols = ["category", "order_date"]
+
+    sqlite_path = str(tmp_path / "kv.db")
+    json_dir = str(tmp_path / "kvdir")
+
+    def sqlite_factory():
+        return SQLiteKVStore(sqlite_path, "kpis")
+
+    def jsondir_factory():
+        return JsonDirKVStore(json_dir)
+
+    stores = {}
+    for factory in (sqlite_factory, jsondir_factory):
+        assert isinstance(factory(), KVStore)  # structural conformance
+        write_kv_batch(kpis, "", key_cols, store_factory=factory)
+        write_kv_batch(kpis, "", key_cols, store_factory=factory)  # idempotent
+        store = factory()
+        assert store.count() == n
+        stores[factory.__name__] = store.all_items()
+
+    assert stores["sqlite_factory"] == stores["jsondir_factory"]
