@@ -77,6 +77,11 @@ class EventDrivenPipeline:
         self.kv_store_path = kv_store_path
         self.kpi_key_cols = kpi_key_cols or {}
         self.reports: list[tuple[int, ValidationReport]] = []
+        # compact per-table key index: the cross-batch duplicate probe
+        # reads this narrow sidecar (primary-key columns only), never
+        # the full accumulated valid data — probe I/O is O(#keys * key
+        # width) instead of O(history * row width) per activation
+        self.key_index_dir = f"{valid_dir.rstrip('/')}_keyidx" if self.primary_key else None
 
     # -- validation gate (the exit-code branch, in-engine) --
 
@@ -92,18 +97,18 @@ class EventDrivenPipeline:
         # Reference parity: the reference re-validates the WHOLE folder
         # each activation (validate.py loads all files so far), so a
         # re-delivered file with already-seen keys must fail.  We keep
-        # it incremental: only the new batch's keys are probed against
-        # the accumulated valid data (semi-join, not a full recompute).
+        # it incremental AND bounded: only the new batch's keys are
+        # probed, and only against the key-index sidecar (primary-key
+        # columns of accepted rows), not the full history (ADVICE r1 —
+        # the probe side no longer grows with row width or KPI columns).
         if report.passed and self.primary_key:
             try:
-                existing = self.spark.read.parquet(self.valid_dir)
+                seen_keys = self.spark.read.parquet(self.key_index_dir)
             except Exception:
-                existing = None  # first activation, nothing accumulated
-            if existing is not None:
+                seen_keys = None  # first activation, nothing accumulated
+            if seen_keys is not None:
                 n_dups = (
-                    batch_df.join(
-                        existing.select(self.primary_key), self.primary_key, "left_semi"
-                    )
+                    batch_df.join(seen_keys, self.primary_key, "left_semi")
                     .limit(1)
                     .count()
                 )
@@ -118,6 +123,10 @@ class EventDrivenPipeline:
         self.reports.append((epoch_id, report))
         target = self.valid_dir if report.passed else self.quarantine_dir
         batch_df.write.mode("append").parquet(target)
+        if report.passed and self.key_index_dir:
+            batch_df.select(self.primary_key).write.mode("append").parquet(
+                self.key_index_dir
+            )
         if report.passed:
             self._recompute_kpis()
 

@@ -115,6 +115,12 @@ def test_event_driven_activations_and_quarantine(spark, pipeline_env):
     }
     assert {k: v["daily_revenue"] for k, v in store.all_items().items()} == expected2
 
+    # the cross-batch dup probe reads the narrow key-index sidecar (pk
+    # columns of ACCEPTED rows only), never the full valid history
+    idx = spark.read.parquet(pipe.key_index_dir)
+    assert idx.columns == ["id"]
+    assert idx.count() == 300  # part1 + part2; dirty/redelivered excluded
+
 
 def test_streaming_windowed_kpis_matches_batch(spark, tmp_path):
     from real_time_event_driven_data_pipeline_spark.sources.readers import load_testdata
