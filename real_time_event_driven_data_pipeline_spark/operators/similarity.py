@@ -327,3 +327,29 @@ def lsh_bucket_ann(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def semantic_dedup_clusters(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-space near-duplicate clustering: exact cosine pairs
+    (triangle-blocked, ``embedding_similar_pairs``) -> connected
+    components -> (vec_id, component, cluster_size).
+
+    The semantic complement to the lexical MinHash/SimHash family: two
+    documents whose embeddings sit above ``threshold`` cluster together
+    even with zero shingle overlap.  The canonical keeper of a cluster
+    is its minimum id (== ``component``), so downstream curation drops
+    ``vec_id != component`` rows — same contract as the lexical
+    ``near_dup_clusters``.
+    """
+    from .components import near_dup_clusters
+
+    pairs = embedding_similar_pairs(
+        emb, id_col=id_col, vec_col=vec_col, threshold=threshold, n_blocks=n_blocks
+    )
+    return near_dup_clusters(pairs).withColumnRenamed("doc_id", id_col)

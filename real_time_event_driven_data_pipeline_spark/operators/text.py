@@ -201,3 +201,78 @@ def train_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col(id_col),
         F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test").alias("split"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (corpus mixing weights).
+
+    The training-mix step: keep stratum s at ``rates[s]`` (0..1).  The
+    keep decision is the same md5-hex threshold as ``train_split`` (a
+    pure function of the stable doc id + stratum), so re-runs, re-shards
+    and incremental arrivals sample consistently — a row once kept is
+    kept forever, which random ``sampleBy`` cannot promise.  Thresholds
+    are expressed at 1/65536 granularity via the first 4 hex chars.
+    """
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    expr = None
+    for s, r in rates.items():
+        cut = format(min(65535, int(round(r * 65536))), "04x")
+        cond = (F.col(strata_col) == s) & (h < cut)
+        expr = cond if expr is None else (expr | cond)
+    if default_rate > 0:
+        cut = format(min(65535, int(round(default_rate * 65536))), "04x")
+        other = ~F.col(strata_col).isin(*rates) & (h < cut)
+        expr = other if expr is None else (expr | other)
+    return df.filter(expr if expr is not None else F.lit(False))
+
+
+def doc_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window chunking with overlap (context-window preparation).
+
+    Splits each document into windows of ``chunk_tokens`` whitespace
+    tokens advancing by ``chunk_tokens - overlap``; the final short
+    window is kept (its tokens would otherwise be lost to the trainer).
+    Pure Catalyst array expressions — sequence + transform + slice +
+    posexplode — so chunking scales with the corpus scan and never
+    leaves the JVM.
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text), chunk_idx
+    0-based in document order.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    # 1-based start positions 1, 1+step, ... <= n (n=0 -> no chunks);
+    # a start s > 1 with s + overlap > n adds no new tokens (the
+    # previous window already covers s..n, which is pure overlap) — drop
+    # it so the final short chunk exists exactly when it carries content
+    starts = F.filter(
+        F.when(n > 0, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda s: (s == 1) | (s + overlap <= n),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "ctoks"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("ctoks").cast("long").alias("n_chunk_tokens"),
+            F.array_join("ctoks", " ").alias("chunk_text"),
+        )
+    )

@@ -731,3 +731,109 @@ def q_context_packing(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --- round 2 additions: chunking, corpus mixing, semantic dedup ---
+
+DOC_CHUNKS_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), st AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) > 0
+                THEN list_filter(generate_series(1, len(t), 48),
+                                 s -> s = 1 OR s + 16 <= len(t))
+                ELSE [] END AS starts
+    FROM toks
+), idx AS (
+    SELECT doc_id, t, starts, unnest(generate_series(1, len(starts))) AS i
+    FROM st WHERE len(starts) > 0
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT)                                        AS chunk_idx,
+       CAST(len(t[starts[i] : least(starts[i] + 63, len(t))]) AS BIGINT)
+                                                                    AS n_chunk_tokens,
+       array_to_string(t[starts[i] : least(starts[i] + 63, len(t))], ' ')
+                                                                    AS chunk_text
+FROM idx ORDER BY doc_id, chunk_idx
+"""
+
+
+@register(
+    "doc_chunks",
+    DOC_CHUNKS_SQL,
+    "ext: token-window chunking with overlap (context-window prep)",
+)
+def q_doc_chunks(spark, sf_dir):
+    return text.doc_chunks(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# corpus-mix rates: src0 kept whole, src1 half, src2 quarter, the long
+# tail at 10% — the md5 thresholds are the hex cut points of those rates
+STRATIFIED_SAMPLE_SQL = """
+WITH hashed AS (
+    SELECT source, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+    FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM hashed
+WHERE (source = 'src0' AND h < 'ffff')
+   OR (source = 'src1' AND h < '8000')
+   OR (source = 'src2' AND h < '4000')
+   OR (source NOT IN ('src0', 'src1', 'src2') AND h < '199a')
+GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "stratified_sample_counts",
+    STRATIFIED_SAMPLE_SQL,
+    "ext: deterministic per-source corpus mixing (md5-threshold sampleBy)",
+)
+def q_stratified_sample_counts(spark, sf_dir):
+    kept = text.stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+            / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(id, comp) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+), comps AS (
+    SELECT id AS vec_id, MIN(comp) AS component FROM reach GROUP BY id
+)
+SELECT vec_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comps ORDER BY vec_id
+"""
+
+
+@register(
+    "semantic_dedup_clusters",
+    SEMANTIC_DEDUP_SQL,
+    "ext: embedding-cosine near-dup clustering (semantic dedup)",
+)
+def q_semantic_dedup_clusters(spark, sf_dir):
+    return similarity.semantic_dedup_clusters(
+        _emb(spark, sf_dir), threshold=0.45
+    ).orderBy("vec_id")

@@ -225,3 +225,52 @@ def test_ivf_training_bounded_sample(spark, emb):
     # unit-norm centroids
     norms = np.sqrt((cent * cent).sum(axis=1))
     assert np.allclose(norms, 1.0)
+
+
+def test_doc_chunks_covers_all_tokens_no_phantom_tail(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # tail chunk 49..100
+        (2, " ".join(f"t{i}" for i in range(64))),   # exactly one window
+        (3, " ".join(f"t{i}" for i in range(10))),   # short doc, one chunk
+        (4, "one"),
+        (5, ""),                                     # empty -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in text.doc_chunks(df, chunk_tokens=64, overlap=16).collect()
+    }
+    # doc1: starts 1 and 49 (97 dropped: 97+16 > 100)
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1)}
+    assert got[(1, 0)][0] == 64 and got[(1, 1)][0] == 52
+    assert got[(1, 1)][1].split()[0] == "t48"  # start 49, 1-based
+    # last token appears in the tail chunk (nothing lost to the trainer)
+    assert got[(1, 1)][1].split()[-1] == "t99"
+    # doc2: exactly one window, no phantom overlap-only second chunk
+    assert {k for k in got if k[0] == 2} == {(2, 0)}
+    # short docs: single partial chunk
+    assert got[(3, 0)][0] == 10
+    assert got[(4, 0)] == (1, "one")
+    # empty text: split("") == [""] in both Spark and DuckDB (the
+    # module-wide token semantics), so one 1-"token" empty chunk
+    assert got[(5, 0)] == (1, "")
+    # overlap: chunk i+1 repeats the last 16 tokens of chunk i
+    assert got[(1, 0)][1].split()[-16:] == got[(1, 1)][1].split()[:16]
+
+
+def test_stratified_sample_consistent_and_monotone(spark, docs):
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    a = {r.doc_id for r in text.stratified_sample(docs, rates, default_rate=0.1).collect()}
+    b = {r.doc_id for r in text.stratified_sample(docs, rates, default_rate=0.1).collect()}
+    assert a == b  # deterministic
+    # raising a rate only ever adds documents (incremental-arrival safety)
+    bigger = {r.doc_id for r in text.stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.8, "src2": 0.25}, default_rate=0.1
+    ).collect()}
+    assert a <= bigger
+    # src0 kept whole
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    kept_src0 = text.stratified_sample(docs, rates, default_rate=0.1).filter(
+        F.col("source") == "src0"
+    ).count()
+    assert kept_src0 == n_src0
