@@ -16,11 +16,14 @@ id, so AQE keeps partitioning stable across rounds.  ``localCheckpoint``
 truncates lineage every round — without it the plan doubles per
 iteration and the driver, not the data, becomes the bottleneck.
 
-For adversarial long-chain graphs at 100 TB, swap the propagation loop
-for the alternating large-star/small-star rounds of Kiveris et al.
-("Connected Components in MapReduce and Beyond", SoCC'14), which
-converge in O(log n); the DataFrame skeleton (join-agg-min per round)
-is identical, so the swap is local to this module.
+For adversarial long-chain graphs, ``connected_components_star``
+implements the alternating large-star/small-star rounds of Kiveris et
+al. ("Connected Components in MapReduce and Beyond", SoCC'14), which
+converge in O(log^2 n) rounds independent of diameter; both algorithms
+are property-tested equal against a union-find reference.  Min-label
+propagation stays the default: near-dup graphs have tiny diameter and
+its per-round cost (one join + one agg) is lower than the two star
+rounds.
 """
 
 from __future__ import annotations
@@ -101,3 +104,90 @@ def near_dup_clusters(
     return comps.withColumn(
         "cluster_size", F.count(F.lit(1)).over(w).cast("long")
     )
+
+
+def _min_neighbor_star(e: DataFrame, large: bool) -> DataFrame:
+    """One star round (Kiveris et al., SoCC'14), as DataFrame ops.
+
+    ``e`` is a directed edge list.  Per center u over its neighborhood
+    N(u): m = min(N(u) ∪ {u}); emit (v, m) for the selected neighbors —
+    strictly larger ones in a large-star round (keeps every component
+    connected while hanging big ids off small ones), all of them plus
+    the center in a small-star round (star-collapses onto the minimum).
+    """
+    nbrs = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if large:
+        nbrs = nbrs.unionByName(nbrs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    else:
+        nbrs = nbrs.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+    m = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    m = m.select("u", F.least("u", "m").alias("m"))
+    joined = nbrs.join(m, "u")
+    if large:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        out = (
+            joined.select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .unionByName(m.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+        )
+    return out.filter(F.col("src") != F.col("dst")).dropDuplicates()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Components via alternating large-star/small-star rounds.
+
+    Same output contract as ``connected_components`` ((id, comp), comp =
+    min reachable id over vertices incident to an edge), but round count
+    is O(log^2 n) in the component size regardless of graph diameter —
+    the scale path for adversarial long-chain graphs where min-label
+    propagation needs O(diameter) rounds.  Each round is two shuffles
+    (neighborhood-min agg + join); ``localCheckpoint`` truncates lineage
+    per round exactly as in the propagation loop.
+    """
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # vertices from the raw edge list: a vertex whose only edge is a
+    # self-loop must still come back as its own singleton component
+    vertices = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    e = e0.filter(F.col("src") != F.col("dst")).dropDuplicates().localCheckpoint()
+    for _ in range(max_iter):
+        e = _min_neighbor_star(e, large=True)
+        e = _min_neighbor_star(e, large=False).localCheckpoint()
+        # Fixed points of the alternating rounds are exactly unions of
+        # stars rooted at each component minimum (Kiveris et al. §3):
+        # every edge is (member, root) and no root appears on the src
+        # side.  Probe that invariant directly — one semi-join + limit(1)
+        # per round — instead of diffing edge sets.
+        nonstar = (
+            e.join(
+                e.select(F.col("src").alias("dst")).dropDuplicates(),
+                "dst",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if nonstar == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_iter} rounds"
+        )
+    comp = e.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
+    # star roots carry their own id; vertices can also end isolated in a
+    # converged 2-vertex component where the root edge is the only one
+    roots = vertices.join(comp, "id", "left_anti").withColumn("comp", F.col("id"))
+    return comp.unionByName(roots)

@@ -95,3 +95,48 @@ def _union_find(edges):
 def test_cc_matches_union_find(spark, edges):
     got = _cc(spark, [(int(a), int(b)) for a, b in edges])
     assert got == _union_find(edges)
+
+
+# --- large-star/small-star: same answers, diameter-independent rounds ---
+
+from real_time_event_driven_data_pipeline_spark.operators.components import (  # noqa: E402
+    connected_components_star,
+)
+
+
+def _cc_star(spark, edges, max_iter=40):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components_star(df, max_iter=max_iter).collect()
+    return {r["id"]: r["comp"] for r in rows}
+
+
+def test_star_cc_on_fixed_graphs(spark):
+    assert _cc_star(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1
+    }
+    assert _cc_star(spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 32), (30, 32)]) == {
+        10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30
+    }
+    # self-loop-only vertex survives as a singleton (union-find parity)
+    assert _cc_star(spark, [(5, 5), (1, 2)]) == {5: 5, 1: 1, 2: 1}
+
+
+def test_star_cc_long_chain_few_rounds(spark):
+    """The adversarial case for min-label propagation: a 300-vertex path
+    has diameter 299, but the star algorithm must collapse it within
+    O(log^2 n) alternating rounds — 12 is generous headroom for n=300
+    and would be far exceeded by any O(diameter) scheme."""
+    n = 300
+    got = _cc_star(spark, [(i, i + 1) for i in range(n)], max_iter=12)
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_star_cc_matches_union_find(spark, edges):
+    got = _cc_star(spark, [(int(a), int(b)) for a, b in edges])
+    assert got == _union_find(edges)
