@@ -135,6 +135,27 @@ def cmd_pipeline(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_maintain(spark: SparkSession, args) -> int:
+    """Post-ingestion table maintenance: compact fragmented partitions
+    (the operational follow-up to streaming appends; sinks/maintenance)."""
+    from .sinks.maintenance import compact_partitions, partition_file_stats
+
+    before = partition_file_stats(spark, args.path)
+    done = compact_partitions(
+        spark,
+        args.path,
+        args.partition_cols.split(","),
+        target_file_bytes=args.target_file_mb * 1024 * 1024,
+        min_files_to_compact=args.min_files,
+    )
+    for part, n_out in sorted(done.items()):
+        logger.info(
+            "compacted %s: %d files -> %d", part, before[part][0], n_out
+        )
+    logger.info("compaction done: %d partitions rewritten", len(done))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="rtedp-spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -149,6 +170,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--landing-dir", required=True)
     p.add_argument("--work-dir", required=True)
     p.add_argument("--store")
+    p = sub.add_parser("maintain")
+    p.add_argument("--path", required=True)
+    p.add_argument("--partition-cols", dest="partition_cols", required=True)
+    p.add_argument("--target-file-mb", dest="target_file_mb", type=int, default=128)
+    p.add_argument("--min-files", dest="min_files", type=int, default=4)
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -162,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
             "validate": cmd_validate,
             "transform": cmd_transform,
             "pipeline": cmd_pipeline,
+            "maintain": cmd_maintain,
         }[args.command]
         return handler(spark, args)
     except Exception:

@@ -88,6 +88,17 @@ class EventDrivenPipeline:
     def _gate(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # pin the micro-batch: the validation battery, dup probe, data
+        # write and key-index write are each an action, and an uncached
+        # batch_df re-scans the arrival files per action (~3x source
+        # reads per activation, visible in numInputRows)
+        batch_df = batch_df.persist()
+        try:
+            self._gate_pinned(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _gate_pinned(self, batch_df: DataFrame, epoch_id: int) -> None:
         report = validate_tables(
             {self.table_name: batch_df},
             {self.table_name: self.contract_schema},
@@ -139,16 +150,28 @@ class EventDrivenPipeline:
                     kpis, self.kv_store_path, self.kpi_key_cols[name], table=name
                 )
 
-    def run_available_now(self) -> None:
-        """One activation: drain currently available files, then stop."""
-        stream = read_stream_csv(self.spark, self.landing_dir, self.schema)
-        q = (
-            stream.writeStream.foreachBatch(self._gate)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    def run_available_now(self, listener=None) -> None:
+        """One activation: drain currently available files, then stop.
+
+        ``listener`` (a ``StreamingQueryListener``, e.g.
+        ``streaming.listener.MetricsLogListener``) is attached for the
+        activation and detached after — per-batch telemetry without
+        leaking listeners into a shared session.
+        """
+        if listener is not None:
+            self.spark.streams.addListener(listener)
+        try:
+            stream = read_stream_csv(self.spark, self.landing_dir, self.schema)
+            q = (
+                stream.writeStream.foreachBatch(self._gate)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if listener is not None:
+                self.spark.streams.removeListener(listener)
 
 
 def streaming_windowed_kpis(

@@ -96,3 +96,25 @@ def test_transform_writes_kpi_store(spark, csv_dirs, tmp_path):
     # keys serialize dates as yyyy-MM-dd (reference sink contract)
     k = con.execute("SELECT k FROM order_kpis LIMIT 1").fetchone()[0]
     assert len(k) == 10 and k[4] == "-" and k[7] == "-"
+
+
+def test_maintain_compacts_fragmented_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from real_time_event_driven_data_pipeline_spark.sinks.maintenance import (
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "table")
+    df = spark.range(500).select(
+        "id", F.concat(F.lit("d"), (F.col("id") % 2).cast("string")).alias("day")
+    )
+    for i in range(5):
+        df.filter(F.col("id") % 5 == i).write.mode("append").partitionBy("day").parquet(path)
+    assert all(n >= 5 for n, _ in partition_file_stats(spark, path).values())
+
+    rc = cli.main(["maintain", "--path", path, "--partition-cols", "day"])
+    assert rc == 0
+    after = partition_file_stats(spark, path)
+    assert all(n == 1 for n, _ in after.values())
+    assert spark.read.parquet(path).count() == 500

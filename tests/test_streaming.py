@@ -199,3 +199,27 @@ def test_incremental_kpi_upsert_matches_batch(spark, tmp_path):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_metrics_listener_captures_batches(spark, pipeline_env):
+    import time as _time
+
+    from real_time_event_driven_data_pipeline_spark.streaming.listener import (
+        MetricsLogListener,
+    )
+
+    pipe, dirs = pipeline_env
+    _, _, order_items = make_ecom(n_products=50, n_orders=40, seed=7)
+    _write_csv(order_items.iloc[:80], f"{dirs['landing']}/part1.csv")
+    listener = MetricsLogListener()
+    pipe.run_available_now(listener=listener)
+    # listener events are delivered async; poll briefly
+    for _ in range(40):
+        if listener.records:
+            break
+        _time.sleep(0.25)
+    assert listener.records, "no progress events captured"
+    # numInputRows counts source reads; the cached gate reads the 80
+    # arrival rows once (plus the cache-materializing first action)
+    assert sum(r["num_input_rows"] for r in listener.records) >= 80
+    assert all("batch_id" in r for r in listener.records)
