@@ -154,3 +154,34 @@ def test_selective_filter_pushed_in_top_loss(spark):
     plan = _plan(ent.queries()["top_loss_customers"](spark, SF_DIR))
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "EqualTo(l_returnflag,R)" in pushed
+
+
+def test_embedding_pairs_distributed_no_corpus_broadcast(spark):
+    """r2 redesign pin: the exact pair scorer is a grouped Pandas stage
+    behind ONE hash exchange on the block-pair id — never a corpus
+    broadcast, never a driver collect feeding a local relation."""
+    plan = _plan(ent.queries()["embedding_similar_pairs"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "LocalTableScan" not in plan  # no driver-materialized corpus
+    assert plan.count("Exchange hashpartitioning") == 1
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "vec_id" in read and "embedding" in read
+
+
+def test_doc_chunks_scan_local_no_hash_shuffle(spark):
+    """Chunking is per-row array work (sequence/slice/posexplode): the
+    only exchange allowed is the presentation sort's range partition."""
+    plan = _plan(ent.queries()["doc_chunks"](spark, SF_DIR))
+    assert "Generate" in plan  # posexplode stayed in the JVM
+    assert "Exchange hashpartitioning" not in plan
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+
+
+def test_stratified_sample_is_filter_plus_one_shuffle(spark):
+    """The mixing gate is a pushed-down-style scan filter (md5 threshold,
+    no join against a rates table) feeding partial+final count."""
+    plan = _plan(ent.queries()["stratified_sample_counts"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan and "partial_count" in plan
