@@ -146,3 +146,19 @@ def read_stream_csv(
 
 def read_stream_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
+
+
+def read_orc_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    check_non_empty: bool = False,
+) -> DataFrame:
+    """ORC scan (single file or folder) — the second columnar format the
+    engine serves natively.  Same pushdown/pruning story as parquet
+    (ORC carries min/max stride statistics Spark's reader consumes);
+    pass ``schema`` to skip footer-driven inference on huge file lists.
+    """
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.orc(path)
+    return require_non_empty(df, path) if check_non_empty else df

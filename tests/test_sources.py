@@ -61,3 +61,29 @@ def test_empty_guard_raises(spark, tmp_path):
     p.write_text("")
     with pytest.raises(EmptyInputError):
         read_json_table(spark, str(p), nullable_copy(ECOM_ORDERS), check_non_empty=True)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.sources.readers import (
+        read_orc_table,
+    )
+
+    path = str(tmp_path / "orc_table")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").write.orc(path)
+    df = read_orc_table(spark, path).filter("id >= 990").select("v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual" in plan
+    assert df.count() == 10
+
+    # empty guard contract matches CSV/JSON readers
+    import pytest as _pytest
+
+    from real_time_event_driven_data_pipeline_spark.sources.readers import (
+        EmptyInputError,
+    )
+
+    empty = str(tmp_path / "orc_empty")
+    spark.range(0).write.orc(empty)
+    with _pytest.raises(EmptyInputError):
+        read_orc_table(spark, empty, check_non_empty=True)
