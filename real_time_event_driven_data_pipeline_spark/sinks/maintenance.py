@@ -194,3 +194,41 @@ def refresh_rollup(
         pred = touched_partitions_predicate(changed, partition_cols)
         updates = agg_fn(base.filter(pred))
     merge_upsert_partitioned(spark, updates, rollup_path, key_cols, partition_cols)
+
+
+def compact_unpartitioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+) -> int | None:
+    """Compact an unpartitioned parquet directory (e.g. the streaming
+    pipeline's key-index sidecar, which accretes one file per accepted
+    activation).
+
+    Writes the coalesced copy to ``<path>.compact-tmp`` first, then
+    swaps directories with two Hadoop-FS renames — readers racing the
+    swap see either the old or the new file set, never a partial mix.
+    Returns the output file count, or None if below the threshold.
+    """
+    stats = partition_file_stats(spark, path)
+    n_files = sum(n for n, _ in stats.values())
+    n_bytes = sum(b for _, b in stats.values())
+    if n_files < min_files_to_compact:
+        return None
+    n_out = max(1, math.ceil(n_bytes / target_file_bytes))
+    df = spark.read.parquet(path).coalesce(n_out).localCheckpoint()
+
+    fs, root, jvm = _hadoop_fs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp, old = hpath(f"{path}.compact-tmp"), hpath(f"{path}.compact-old")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    df.write.mode("overwrite").parquet(f"{path}.compact-tmp")
+    if not fs.rename(root, old):
+        raise OSError(f"compact_unpartitioned: cannot move {path} aside")
+    if not fs.rename(tmp, root):
+        fs.rename(old, root)  # roll back
+        raise OSError(f"compact_unpartitioned: swap failed for {path}")
+    fs.delete(old, True)
+    return n_out

@@ -102,3 +102,23 @@ def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
     # empty change set is a no-op
     refresh_rollup(spark, base2, rollup_path, _daily_rollup, ["day", "k"], ["day"], changed=[])
     assert {(r.day, r.k) for r in spark.read.parquet(rollup_path).collect()} == set(want)
+
+
+def test_compact_unpartitioned_sidecar(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.sinks.maintenance import (
+        compact_unpartitioned,
+    )
+
+    path = str(tmp_path / "keyidx")
+    for i in range(6):  # six activation appends
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(path)
+    assert sum(n for n, _ in partition_file_stats(spark, path).values()) >= 6
+
+    rows_before = sorted(r.id for r in spark.read.parquet(path).collect())
+    n_out = compact_unpartitioned(spark, path, target_file_bytes=1 << 30)
+    assert n_out == 1
+    stats = partition_file_stats(spark, path)
+    assert sum(n for n, _ in stats.values()) == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows_before
+    # below threshold -> no-op
+    assert compact_unpartitioned(spark, path) is None
