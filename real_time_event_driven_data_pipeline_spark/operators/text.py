@@ -276,3 +276,50 @@ def doc_chunks(
             F.array_join("ctoks", " ").alias("chunk_text"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher repetition rules):
+    documents dominated by repeated lines or a single repeated phrase
+    are boilerplate/spam, invisible to length/stopword gates.
+
+    - dup_line_ratio: 1 - distinct(lines)/count(lines) over newline
+      splits (0 for single-line docs);
+    - top_bigram_ratio: occurrences of the most frequent token bigram
+      over total bigrams (0 when < 2 tokens; ratio of exact ints).
+
+    Pure Catalyst array expressions; one scan, no shuffle, no Python.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("long")
+    n_distinct_lines = F.size(F.array_distinct(lines)).cast("long")
+
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams).cast("long")
+    # max multiplicity via sort + longest equal run is O(n log n) per
+    # doc; simpler and exact: count occurrences of each distinct bigram
+    # with an aggregate fold over the distinct list
+    top_count = F.aggregate(
+        F.array_distinct(bigrams),
+        F.lit(0).cast("long"),
+        lambda acc, b: F.greatest(
+            acc, F.size(F.filter(bigrams, lambda x: x == b)).cast("long")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        (1 - n_distinct_lines / n_lines).alias("dup_line_ratio"),
+        F.when(n_bigrams > 0, top_count / n_bigrams)
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+    )

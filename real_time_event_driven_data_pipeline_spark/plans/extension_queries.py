@@ -837,3 +837,36 @@ def q_semantic_dedup_clusters(spark, sf_dir):
     return similarity.semantic_dedup_clusters(
         _emb(spark, sf_dir), threshold=0.45
     ).orderBy("vec_id")
+
+
+REPETITION_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           string_split(text, chr(10)) AS l,
+           regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+), big AS (
+    SELECT doc_id, l,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1])
+                ELSE [] END AS bg
+    FROM base
+)
+SELECT doc_id,
+       1 - len(list_distinct(l))::DOUBLE / len(l)              AS dup_line_ratio,
+       CASE WHEN len(bg) > 0
+            THEN list_max(list_transform(list_distinct(bg),
+                     b -> len(list_filter(bg, x -> x = b))))::DOUBLE / len(bg)
+            ELSE 0.0 END                                       AS top_bigram_ratio
+FROM big ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_repetition_stats",
+    REPETITION_SQL,
+    "ext: Gopher repetition signals (dup-line / top-bigram ratios)",
+)
+def q_doc_repetition_stats(spark, sf_dir):
+    return text.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")

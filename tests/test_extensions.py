@@ -274,3 +274,20 @@ def test_stratified_sample_consistent_and_monotone(spark, docs):
         F.col("source") == "src0"
     ).count()
     assert kept_src0 == n_src0
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    rows = [
+        (1, "line\nline\nline\nunique"),              # 4 lines, 2 distinct
+        (2, "buy now buy now buy now buy now"),       # dominated bigram
+        (3, "all words here are fully distinct ok"),  # clean
+        (4, "single"),                                # 1 token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert got[1].dup_line_ratio == 0.5
+    # "buy now"×4 + "now buy"×3 over 7 bigrams
+    assert abs(got[2].top_bigram_ratio - 4 / 7) < 1e-12
+    assert got[3].dup_line_ratio == 0.0
+    assert abs(got[3].top_bigram_ratio - 1 / 6) < 1e-12  # all bigrams unique
+    assert got[4].top_bigram_ratio == 0.0
