@@ -137,15 +137,31 @@ def cmd_pipeline(spark: SparkSession, args) -> int:
 
 def cmd_maintain(spark: SparkSession, args) -> int:
     """Post-ingestion table maintenance: compact fragmented partitions
-    (the operational follow-up to streaming appends; sinks/maintenance)."""
-    from .sinks.maintenance import compact_partitions, partition_file_stats
+    (the operational follow-up to streaming appends; sinks/maintenance).
+    ``--partition-cols ''`` selects the unpartitioned path (e.g. the
+    streaming key-index sidecar), compacted via atomic directory swap."""
+    from .sinks.maintenance import (
+        compact_partitions,
+        compact_unpartitioned,
+        partition_file_stats,
+    )
 
+    target = args.target_file_mb * 1024 * 1024
+    if not args.partition_cols:
+        n_out = compact_unpartitioned(
+            spark, args.path, target_file_bytes=target, min_files_to_compact=args.min_files
+        )
+        logger.info(
+            "compaction done: %s",
+            f"table rewritten into {n_out} file(s)" if n_out else "below threshold, no-op",
+        )
+        return 0
     before = partition_file_stats(spark, args.path)
     done = compact_partitions(
         spark,
         args.path,
         args.partition_cols.split(","),
-        target_file_bytes=args.target_file_mb * 1024 * 1024,
+        target_file_bytes=target,
         min_files_to_compact=args.min_files,
     )
     for part, n_out in sorted(done.items()):
@@ -172,7 +188,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--store")
     p = sub.add_parser("maintain")
     p.add_argument("--path", required=True)
-    p.add_argument("--partition-cols", dest="partition_cols", required=True)
+    p.add_argument("--partition-cols", dest="partition_cols", default="")
     p.add_argument("--target-file-mb", dest="target_file_mb", type=int, default=128)
     p.add_argument("--min-files", dest="min_files", type=int, default=4)
     args = parser.parse_args(argv)

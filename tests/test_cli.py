@@ -118,3 +118,17 @@ def test_maintain_compacts_fragmented_partitions(spark, tmp_path):
     after = partition_file_stats(spark, path)
     assert all(n == 1 for n, _ in after.values())
     assert spark.read.parquet(path).count() == 500
+
+
+def test_maintain_unpartitioned_sidecar(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.sinks.maintenance import (
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "keyidx")
+    for i in range(5):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+    rc = cli.main(["maintain", "--path", path])
+    assert rc == 0
+    assert sum(n for n, _ in partition_file_stats(spark, path).values()) == 1
+    assert spark.read.parquet(path).count() == 50

@@ -291,3 +291,39 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert got[3].dup_line_ratio == 0.0
     assert abs(got[3].top_bigram_ratio - 1 / 6) < 1e-12  # all bigrams unique
     assert got[4].top_bigram_ratio == 0.0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+    chunk=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_doc_chunks_coverage_properties(spark, n_tokens, chunk, data):
+    """For any (n, chunk_size, overlap): chunks cover every token, in
+    order, with exactly `overlap` repeated tokens between neighbors
+    (less only at the final short chunk), and concatenating the
+    non-overlap parts reconstructs the document."""
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        text.doc_chunks(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    step = chunk - overlap
+    rebuilt = []
+    for i, r in enumerate(rows):
+        ctoks = r.chunk_text.split()
+        assert len(ctoks) == r.n_chunk_tokens <= chunk
+        assert ctoks == words[i * step : i * step + len(ctoks)]  # in-order window
+        rebuilt.extend(ctoks if i == 0 else ctoks[overlap:])
+    assert rebuilt == words  # full coverage, no loss, no phantom tail
