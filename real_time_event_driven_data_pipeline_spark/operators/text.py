@@ -323,3 +323,49 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("top_bigram_ratio"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-token shingle, slide a window of ``window`` hashes,
+    keep the minimum of each window — the classic rolling-hash selection
+    guaranteeing any shared run of ~k+window tokens between two
+    documents shares at least one fingerprint (partial-overlap
+    detection, e.g. quote/boilerplate reuse, where whole-doc md5 and
+    Jaccard-over-all-shingles are too coarse).
+
+    The "hash" is the md5 hex of the shingle and the window minimum is
+    lexicographic — bit-identical in any engine, so the output is
+    oracle-exact.  Emits (id, fp) rows, distinct per document; pure
+    Catalyst array expressions, one scan, no shuffle, no Python.
+    """
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(grams)
+    fps = F.when(
+        m >= window,
+        F.transform(
+            F.sequence(F.lit(1), m - (window - 1)),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        ),
+    ).otherwise(grams)  # short docs: every shingle hash is a fingerprint
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
+    )

@@ -870,3 +870,37 @@ FROM big ORDER BY doc_id
 )
 def q_doc_repetition_stats(spark, sf_dir):
     return text.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+WINNOWING_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                         i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS g
+    FROM toks
+), fps AS (
+    SELECT doc_id,
+           CASE WHEN len(g) >= 4
+                THEN list_transform(generate_series(1, len(g) - 3),
+                         i -> list_min(g[i : i + 3]))
+                ELSE g END AS f
+    FROM grams
+)
+SELECT doc_id, unnest(list_distinct(f)) AS fp
+FROM fps ORDER BY doc_id, fp
+"""
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    WINNOWING_SQL,
+    "ext: winnowing rolling-hash fingerprints (partial-overlap detection)",
+)
+def q_doc_winnowing_fingerprints(spark, sf_dir):
+    return text.winnowing_fingerprints(_docs(spark, sf_dir), k=3, window=4).orderBy(
+        "doc_id", "fp"
+    )

@@ -327,3 +327,25 @@ def test_doc_chunks_coverage_properties(spark, n_tokens, chunk, data):
         assert ctoks == words[i * step : i * step + len(ctoks)]  # in-order window
         rebuilt.extend(ctoks if i == 0 else ctoks[overlap:])
     assert rebuilt == words  # full coverage, no loss, no phantom tail
+
+
+def test_winnowing_detects_partial_overlap(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "intro words here " + shared + " closing remarks"),
+        (2, shared + " completely different ending text follows now"),
+        (3, "totally unrelated content with zero overlapping runs present"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {i: set() for i, _ in rows}
+    for r in text.winnowing_fingerprints(df).collect():
+        fps[r.doc_id].add(r.fp)
+    # winnowing guarantee: a shared run of >= k+window-1 tokens shares
+    # at least one selected fingerprint
+    assert fps[1] & fps[2], "shared 12-token run produced no common fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # determinism
+    again = {i: set() for i, _ in rows}
+    for r in text.winnowing_fingerprints(df).collect():
+        again[r.doc_id].add(r.fp)
+    assert again == fps
