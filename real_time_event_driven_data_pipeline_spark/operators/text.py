@@ -254,8 +254,11 @@ def doc_chunks(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = tokens_expr(text_col)
-    n = F.size(toks)
+    # tokens materialized into a column BEFORE the window lambdas —
+    # referencing the raw split() expression inside a lambda re-tokenizes
+    # the document once per chunk (the with_shingles lesson, dedup.py)
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    n = F.size("_toks")
     # 1-based start positions 1, 1+step, ... <= n (n=0 -> no chunks);
     # a start s > 1 with s + overlap > n adds no new tokens (the
     # previous window already covers s..n, which is pure overlap) — drop
@@ -266,9 +269,9 @@ def doc_chunks(
         ),
         lambda s: (s == 1) | (s + overlap <= n),
     )
-    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    chunks = F.transform(starts, lambda s: F.slice("_toks", s, chunk_tokens))
     return (
-        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "ctoks"))
+        toked.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "ctoks"))
         .select(
             id_col,
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
@@ -291,32 +294,50 @@ def repetition_stats(
       over total bigrams (0 when < 2 tokens; ratio of exact ints).
 
     Pure Catalyst array expressions; one scan, no shuffle, no Python.
+    Arrays are materialized into columns before the lambdas (the
+    with_shingles lesson — inlined expressions re-evaluate per element),
+    and the max bigram multiplicity is a longest-equal-run fold over the
+    SORTED bigram array: O(n log n) per doc, not O(distinct * n).
     """
-    lines = F.split(F.col(text_col), "\n")
-    n_lines = F.size(lines).cast("long")
-    n_distinct_lines = F.size(F.array_distinct(lines)).cast("long")
+    staged = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        tokens_expr(text_col).alias("_toks"),
+    )
+    n_lines = F.size("_lines").cast("long")
+    n_distinct_lines = F.size(F.array_distinct("_lines")).cast("long")
 
-    toks = tokens_expr(text_col)
-    n = F.size(toks)
+    n = F.size("_toks")
     bigrams = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_bigrams = F.size(bigrams).cast("long")
-    # max multiplicity via sort + longest equal run is O(n log n) per
-    # doc; simpler and exact: count occurrences of each distinct bigram
-    # with an aggregate fold over the distinct list
-    top_count = F.aggregate(
-        F.array_distinct(bigrams),
-        F.lit(0).cast("long"),
-        lambda acc, b: F.greatest(
-            acc, F.size(F.filter(bigrams, lambda x: x == b)).cast("long")
-        ),
+    staged = staged.select(id_col, "_lines", F.array_sort(bigrams).alias("_bg"))
+    n_bigrams = F.size("_bg").cast("long")
+    zero = F.lit(0).cast("long")
+    run_len = lambda acc, x: (  # noqa: E731
+        F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
     )
-    return df.select(
+    top_count = F.aggregate(
+        F.col("_bg"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_len(acc, x).alias("run"),
+            F.greatest(acc.best, run_len(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return staged.select(
         F.col(id_col),
         (1 - n_distinct_lines / n_lines).alias("dup_line_ratio"),
         F.when(n_bigrams > 0, top_count / n_bigrams)
@@ -343,29 +364,30 @@ def winnowing_fingerprints(
     The "hash" is the md5 hex of the shingle and the window minimum is
     lexicographic — bit-identical in any engine, so the output is
     oracle-exact.  Emits (id, fp) rows, distinct per document; pure
-    Catalyst array expressions, one scan, no shuffle, no Python.
+    Catalyst array expressions, one scan, no shuffle, no Python.  Both
+    the token and gram arrays are materialized into columns before the
+    lambdas that index them (the with_shingles lesson, dedup.py) — the
+    inlined-expression version re-tokenized per shingle and re-hashed
+    per window, turning a linear scan quadratic.
     """
-    toks = tokens_expr(text_col)
-    n = F.size(toks)
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    n = F.size("_toks")
     grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(k)]
-                )
-            ),
+            lambda i: F.md5(F.array_join(F.slice("_toks", i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    m = F.size(grams)
+    grammed = toked.select(F.col(id_col), grams.alias("_grams"))
+    m = F.size("_grams")
     fps = F.when(
         m >= window,
         F.transform(
             F.sequence(F.lit(1), m - (window - 1)),
-            lambda i: F.array_min(F.slice(grams, i, window)),
+            lambda i: F.array_min(F.slice("_grams", i, window)),
         ),
-    ).otherwise(grams)  # short docs: every shingle hash is a fingerprint
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp"))
+    ).otherwise(F.col("_grams"))  # short docs: every shingle hash is a fp
+    return grammed.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
     )
