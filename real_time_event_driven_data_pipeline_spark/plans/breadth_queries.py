@@ -714,3 +714,51 @@ def q_top_order_percentiles(spark, sf_dir):
         .withColumn("cume", F.cume_dist().over(w))
         .orderBy("o_orderkey")
     )
+
+
+# --- full outer join (J-variant breadth: both-null-sides month edges) ---
+
+MONTHLY_ORDERS_SHIPMENTS_SQL = """
+WITH o AS (
+    SELECT date_trunc('month', o_orderdate)::DATE AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+), l AS (
+    SELECT date_trunc('month', l_shipdate)::DATE AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_shipped
+    FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(o.month, l.month) AS month, o.n_orders, l.n_lines, l.qty_shipped
+FROM o FULL OUTER JOIN l ON o.month = l.month
+ORDER BY month
+"""
+
+
+@register(
+    "monthly_orders_vs_shipments",
+    MONTHLY_ORDERS_SHIPMENTS_SQL,
+    "J-full-outer: order months vs shipment months (one-sided edges)",
+)
+def q_monthly_orders_vs_shipments(spark, sf_dir):
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    o = (
+        orders.groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    l = (
+        lineitem.groupBy(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_shipped"),
+        )
+    )
+    return (
+        o.join(l, "month", "full_outer")
+        .select("month", "n_orders", "n_lines", "qty_shipped")
+        .orderBy("month")
+    )
