@@ -421,3 +421,86 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_near_dup_pairs(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Arrival-time near-dup gate: all Jaccard >= threshold pairs that
+    involve at least one NEW document — (new, existing) and (new, new) —
+    without re-running the all-pairs search over the whole corpus.
+
+    Same inverted-index + PPJoin prefix/positional machinery as
+    ``ngram_jaccard_pairs`` (rarity order and prefixes computed over the
+    COMBINED corpus, so the prefix-filter guarantee is unchanged), but
+    the candidate join's probe side is restricted to new documents:
+    join work scales with |new| x posting overlap, never |corpus|^2.
+    This is the per-activation dedup step of a streaming curation
+    pipeline — at 100 TB the historical side is touched only through
+    its (cacheable) posting lists.  Ids must be unique across both
+    inputs.  Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    combined = existing.select(id_col, text_col).unionByName(
+        new.select(id_col, text_col)
+    )
+    sh = _scoped_cache(
+        with_shingles(combined, id_col, text_col, k, hashed=True), "inc_sh"
+    )
+    posts = sh.select(
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    gdf = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy(id_col).orderBy("gdf", "shingle")
+    prefix = (
+        posts.join(gdf, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select(F.col(id_col), "shingle", "pos", "n_sh")
+    )
+    new_ids = new.select(id_col).dropDuplicates()
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("pos").alias("pos_a"), F.col("n_sh").alias("n_a"),
+    )
+    b = prefix.join(new_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("pos").alias("pos_b"), F.col("n_sh").alias("n_b"),
+    )
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b")))
+    candidates = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")) + 1
+            >= alpha
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

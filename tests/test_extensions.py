@@ -349,3 +349,36 @@ def test_winnowing_detects_partial_overlap(spark):
     for r in text.winnowing_fingerprints(df).collect():
         again[r.doc_id].add(r.fp)
     assert again == fps
+
+
+def test_incremental_near_dups_equals_full_restricted(spark, docs):
+    """The arrival-time dedup gate must find exactly the full-corpus
+    near-dup pairs that involve at least one new document."""
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = {
+        p: j for p, j in full.items() if p[0] in new_ids or p[1] in new_ids
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.incremental_near_dup_pairs(
+            existing, new, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture split should leave near-dup pairs touching new docs"
+    # pure existing-existing pairs are excluded by construction
+    assert all(a in new_ids or b in new_ids for a, b in got)
+
+    # empty arrival -> empty result
+    assert (
+        dedup.incremental_near_dup_pairs(
+            docs, new.limit(0), threshold=0.5
+        ).count()
+        == 0
+    )
