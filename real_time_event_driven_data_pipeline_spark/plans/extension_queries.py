@@ -904,3 +904,39 @@ def q_doc_winnowing_fingerprints(spark, sf_dir):
     return text.winnowing_fingerprints(_docs(spark, sf_dir), k=3, window=4).orderBy(
         "doc_id", "fp"
     )
+
+
+# deterministic arrival split: doc_id % 5 == 0 plays the "new batch"
+INCREMENTAL_NEAR_DUP_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [] END AS s
+    FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))::DOUBLE
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+  AND len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "incremental_near_dups",
+    INCREMENTAL_NEAR_DUP_SQL,
+    "ext: arrival-time near-dup gate (new batch vs accumulated corpus)",
+)
+def q_incremental_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_near_dup_pairs(existing, new, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )

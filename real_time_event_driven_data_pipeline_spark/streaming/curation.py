@@ -1,0 +1,179 @@
+"""Streaming corpus curation: the LLM-data pipeline on the arrival model.
+
+Applies the reference's event-driven shape (file arrival -> validate ->
+branch -> serve; SURVEY §3.3) to training-data curation.  Each
+activation drains newly landed document files and gates them:
+
+    1. quality filter   (C4/Gopher thresholds; operators/text.py)
+    2. exact-dup gate   (md5 fingerprint vs a narrow fingerprint
+                         sidecar of everything accepted so far, plus
+                         keep-min-id within the batch)
+    3. near-dup gate    (``incremental_near_dup_pairs`` — new batch vs
+                         accumulated corpus + within-batch, PPJoin
+                         machinery; drops the NEW side of each pair so
+                         the accepted corpus never changes retroactively)
+
+Survivors append to the corpus; rejects land in quarantine with a
+``reject_reason`` column.  The fingerprint sidecar is the same narrow
+key-index pattern as the KPI pipeline's dup probe (pipeline.py) and is
+compactable with ``sinks.maintenance.compact_unpartitioned``.
+
+Scale note: the near-dup gate re-derives the historical side's shingle
+postings from corpus text each activation — O(corpus) scan per arrival.
+The posting lists are deterministic per document, so the 100 TB
+evolution is a posting-index sidecar maintained append-only alongside
+the corpus (the probe side is already O(batch)); the gate's join work
+is O(batch x posting overlap) either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import incremental_near_dup_pairs
+from ..operators.text import fingerprint, quality_filter
+from ..sources.readers import read_stream_csv
+
+DOCS_ARRIVAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+class CorpusCurationPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_dir: str,
+        corpus_dir: str,
+        quarantine_dir: str,
+        checkpoint_dir: str,
+        schema: T.StructType = DOCS_ARRIVAL_SCHEMA,
+        near_dup_threshold: float = 0.5,
+        quality_kwargs: dict | None = None,
+    ):
+        self.spark = spark
+        self.landing_dir = landing_dir
+        self.corpus_dir = corpus_dir
+        self.quarantine_dir = quarantine_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.schema = schema
+        self.near_dup_threshold = near_dup_threshold
+        self.quality_kwargs = quality_kwargs or {}
+        self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
+        self.stats: list[dict] = []
+
+    # -- helpers ---------------------------------------------------------
+
+    def _read_or_none(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None  # first activation
+
+    def _quarantine(self, rows: DataFrame, reason: str) -> None:
+        rows.withColumn("reject_reason", F.lit(reason)).write.mode("append").parquet(
+            self.quarantine_dir
+        )
+
+    # -- the gate --------------------------------------------------------
+
+    def _gate(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.persist()
+        try:
+            self._gate_pinned(batch, epoch_id)
+        finally:
+            batch.unpersist()
+
+    def _gate_pinned(self, batch: DataFrame, epoch_id: int) -> None:
+        n_arrived = batch.count()
+
+        # 1. quality gate
+        passed = quality_filter(batch, **self.quality_kwargs).persist()
+        n_quality = passed.count()
+        self._quarantine(batch.join(passed, "doc_id", "left_anti"), "quality")
+
+        # 2. exact-dup gate: against history (fingerprint sidecar), then
+        # keep-min-id within the batch
+        fps = passed.join(fingerprint(passed), "doc_id")  # + fp column
+        seen = self._read_or_none(self.fp_index_dir)
+        if seen is not None:
+            hist_dup = fps.join(seen.select("fp"), "fp", "left_semi")
+            self._quarantine(hist_dup.drop("fp"), "exact_dup")
+            fps = fps.join(seen.select("fp"), "fp", "left_anti")
+        keep_min = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        batch_dup = fps.join(keep_min, ["fp", "doc_id"], "left_anti")
+        self._quarantine(batch_dup.drop("fp"), "exact_dup")
+        fresh = fps.join(keep_min, ["fp", "doc_id"], "left_semi").persist()
+        n_exact = fresh.count()
+
+        # 3. near-dup gate: new batch vs accumulated corpus + within batch
+        corpus = self._read_or_none(self.corpus_dir)
+        existing = (
+            corpus.select("doc_id", "text")
+            if corpus is not None
+            else self.spark.createDataFrame([], "doc_id long, text string")
+        )
+        pairs = incremental_near_dup_pairs(
+            existing, fresh.select("doc_id", "text"),
+            threshold=self.near_dup_threshold,
+        )
+        new_ids = fresh.select("doc_id").withColumnRenamed("doc_id", "nid")
+        # drop the NEW side of every pair: id_b when new, else id_a
+        # (id_a < id_b and the pair touches >= 1 new doc by construction)
+        drop = (
+            pairs.join(new_ids, pairs.id_b == F.col("nid"), "left_semi")
+            .select(F.col("id_b").alias("doc_id"))
+            .unionByName(
+                pairs.join(new_ids, pairs.id_b == F.col("nid"), "left_anti").select(
+                    F.col("id_a").alias("doc_id")
+                )
+            )
+            .dropDuplicates()
+        )
+        self._quarantine(
+            fresh.drop("fp").join(drop, "doc_id", "left_semi"), "near_dup"
+        )
+        survivors = fresh.join(drop, "doc_id", "left_anti").persist()
+        n_accepted = survivors.count()
+
+        # 4. publish: corpus rows + fingerprint sidecar (accepted only)
+        survivors.drop("fp").write.mode("append").parquet(self.corpus_dir)
+        survivors.select("fp").write.mode("append").parquet(self.fp_index_dir)
+
+        self.stats.append(
+            {
+                "epoch": epoch_id,
+                "arrived": n_arrived,
+                "quality_pass": n_quality,
+                "after_exact": n_exact,
+                "accepted": n_accepted,
+            }
+        )
+        passed.unpersist()
+        fresh.unpersist()
+        survivors.unpersist()
+
+    def run_available_now(self, listener=None) -> None:
+        """One activation: drain currently landed files, then stop."""
+        if listener is not None:
+            self.spark.streams.addListener(listener)
+        try:
+            stream = read_stream_csv(self.spark, self.landing_dir, self.schema)
+            q = (
+                stream.writeStream.foreachBatch(self._gate)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if listener is not None:
+                self.spark.streams.removeListener(listener)

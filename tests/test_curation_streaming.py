@@ -1,0 +1,99 @@
+"""Streaming corpus curation: per-arrival quality gate, exact-dup gate
+against history, and incremental near-dup gate — history never changes
+retroactively, rejects carry reasons."""
+
+import random
+
+import pytest
+
+from real_time_event_driven_data_pipeline_spark.streaming.curation import (
+    CorpusCurationPipeline,
+)
+
+VOCAB = [f"word{i}" for i in range(60)] + list("the a and of to in is it that for".split())
+
+
+def _doc(rng, n=40):
+    # enough English stopwords to pass the stopword-ratio gate
+    toks = [rng.choice(VOCAB) for _ in range(n)]
+    return " ".join(toks)
+
+
+def _write(rows, path):
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_csv(path, index=False)
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    return (
+        CorpusCurationPipeline(
+            spark,
+            landing_dir=str(landing),
+            corpus_dir=str(tmp_path / "corpus"),
+            quarantine_dir=str(tmp_path / "quarantine"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ),
+        str(landing),
+    )
+
+
+def test_curation_pipeline_gates_across_activations(spark, pipe):
+    pipe, landing = pipe
+    rng = random.Random(7)
+    base = {i: _doc(rng) for i in range(1, 9)}
+
+    # activation 1: 8 clean docs + 1 too-short (quality) + 1 exact dup
+    # of doc 3 + 1 near-dup of doc 5 (one token changed) — all in-batch
+    near5 = base[5].split()
+    near5[10] = "sentinel"
+    rows1 = (
+        [(i, t, "src") for i, t in base.items()]
+        + [(20, "too short", "src")]
+        + [(21, base[3], "src")]
+        + [(22, " ".join(near5), "src")]
+    )
+    _write(rows1, f"{landing}/batch1.csv")
+    pipe.run_available_now()
+    s = pipe.stats[-1]
+    assert (s["arrived"], s["quality_pass"]) == (11, 10)
+    assert s["after_exact"] == 9  # 21 dropped (dup of 3)
+    assert s["accepted"] == 8  # 22 dropped (near-dup of 5)
+
+    corpus = {r.doc_id for r in spark.read.parquet(pipe.corpus_dir).collect()}
+    assert corpus == set(base)
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    assert reasons == {20: "quality", 21: "exact_dup", 22: "near_dup"}
+
+    # activation 2: re-delivery of doc 2 (exact dup vs HISTORY), a
+    # near-dup of doc 7 vs HISTORY, and one genuinely fresh doc
+    near7 = base[7].split()
+    near7[0] = "changed"
+    rows2 = [
+        (30, base[2], "src"),
+        (31, " ".join(near7), "src"),
+        (32, _doc(rng), "src"),
+    ]
+    _write(rows2, f"{landing}/batch2.csv")
+    pipe.run_available_now()
+    s = pipe.stats[-1]
+    assert (s["arrived"], s["accepted"]) == (3, 1)
+
+    corpus2 = {r.doc_id for r in spark.read.parquet(pipe.corpus_dir).collect()}
+    assert corpus2 == set(base) | {32}  # history unchanged, 32 accepted
+    reasons2 = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    assert reasons2[30] == "exact_dup" and reasons2[31] == "near_dup"
+
+    # fingerprint sidecar is narrow (fp only) and tracks accepted rows
+    fpidx = spark.read.parquet(pipe.fp_index_dir)
+    assert fpidx.columns == ["fp"]
+    assert fpidx.count() == len(corpus2)
