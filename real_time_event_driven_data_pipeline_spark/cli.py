@@ -172,6 +172,24 @@ def cmd_maintain(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_export(spark: SparkSession, args) -> int:
+    """Ship a curated corpus as deterministic training shards + manifest
+    (the loader hand-off; sinks/maintenance.py::export_training_shards)."""
+    from .sinks.maintenance import export_training_shards
+
+    df = spark.read.parquet(args.corpus)
+    manifest = export_training_shards(
+        df, args.out, rows_per_shard=args.rows_per_shard, id_col=args.id_col
+    )
+    logger.info(
+        "exported %d rows into %d shard(s) at %s",
+        manifest["n_rows"],
+        manifest["n_shards"],
+        args.out,
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="rtedp-spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -191,6 +209,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partition-cols", dest="partition_cols", default="")
     p.add_argument("--target-file-mb", dest="target_file_mb", type=int, default=128)
     p.add_argument("--min-files", dest="min_files", type=int, default=4)
+    p = sub.add_parser("export")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--rows-per-shard", dest="rows_per_shard", type=int, default=100_000)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -205,6 +228,7 @@ def main(argv: list[str] | None = None) -> int:
             "transform": cmd_transform,
             "pipeline": cmd_pipeline,
             "maintain": cmd_maintain,
+            "export": cmd_export,
         }[args.command]
         return handler(spark, args)
     except Exception:

@@ -504,3 +504,112 @@ def incremental_near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def doc_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, n_sh, shingle) posting rows — the appendable near-dup index.
+
+    Postings are deterministic per document (hashed distinct k-shingles),
+    so an accepted document's rows never change: the index is append-only
+    alongside the corpus, and the arrival-time gate
+    (``incremental_near_dup_pairs_indexed``) reads it instead of
+    re-shingling history.
+    """
+    sh = with_shingles(df, id_col, text_col, k, hashed=True)
+    return sh.select(
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+
+
+def incremental_near_dup_pairs_indexed(
+    existing_posts: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``incremental_near_dup_pairs`` with the historical side supplied
+    as a posting index (``doc_postings`` rows) instead of raw text.
+
+    Identical output; the difference is operational: history costs one
+    narrow index scan (no text read, no re-shingling — the O(corpus)
+    term of the text-side variant), and the exact-verification step
+    reconstructs shingle sets only for candidate documents.  This is
+    the 100 TB shape of the arrival-time dedup gate.
+    """
+    sh_new = _scoped_cache(
+        with_shingles(new, id_col, text_col, k, hashed=True), "inc_sh_new"
+    )
+    posts_new = sh_new.select(
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    posts_all = existing_posts.select(id_col, "n_sh", "shingle").unionByName(posts_new)
+
+    gdf = posts_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy(id_col).orderBy("gdf", "shingle")
+    prefix = (
+        posts_all.join(gdf, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select(F.col(id_col), "shingle", "pos", "n_sh")
+    )
+    new_ids = new.select(id_col).dropDuplicates()
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("pos").alias("pos_a"), F.col("n_sh").alias("n_a"),
+    )
+    b = prefix.join(new_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("pos").alias("pos_b"), F.col("n_sh").alias("n_b"),
+    )
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b")))
+    candidates = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")) + 1
+            >= alpha
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+    # exact verification: shingle sets from the new side's arrays and,
+    # for the (few) candidate historical docs only, from their postings
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates()
+    )
+    exist_sets = (
+        existing_posts.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
+    all_sets = exist_sets.unionByName(sh_new.select(id_col, "shingles"))
+    sa = all_sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = all_sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -18,12 +18,13 @@ Survivors append to the corpus; rejects land in quarantine with a
 key-index pattern as the KPI pipeline's dup probe (pipeline.py) and is
 compactable with ``sinks.maintenance.compact_unpartitioned``.
 
-Scale note: the near-dup gate re-derives the historical side's shingle
-postings from corpus text each activation — O(corpus) scan per arrival.
-The posting lists are deterministic per document, so the 100 TB
-evolution is a posting-index sidecar maintained append-only alongside
-the corpus (the probe side is already O(batch)); the gate's join work
-is O(batch x posting overlap) either way.
+Scale note: the near-dup gate never re-reads corpus text — accepted
+documents' shingle postings append to a posting-index sidecar
+(``doc_postings``; deterministic per doc, so append-only is exact), and
+each activation reads that narrow index plus the batch: gate work is
+O(batch x posting overlap) with history touched only through the index.
+Both sidecars are compactable with
+``sinks.maintenance.compact_unpartitioned``.
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import incremental_near_dup_pairs
+from ..operators.dedup import doc_postings, incremental_near_dup_pairs_indexed
 from ..operators.text import fingerprint, quality_filter
 from ..sources.readers import read_stream_csv
 
@@ -66,6 +67,7 @@ class CorpusCurationPipeline:
         self.near_dup_threshold = near_dup_threshold
         self.quality_kwargs = quality_kwargs or {}
         self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
+        self.post_index_dir = f"{corpus_dir.rstrip('/')}_postidx"
         self.stats: list[dict] = []
 
     # -- helpers ---------------------------------------------------------
@@ -114,15 +116,14 @@ class CorpusCurationPipeline:
         fresh = fps.join(keep_min, ["fp", "doc_id"], "left_semi").persist()
         n_exact = fresh.count()
 
-        # 3. near-dup gate: new batch vs accumulated corpus + within batch
-        corpus = self._read_or_none(self.corpus_dir)
-        existing = (
-            corpus.select("doc_id", "text")
-            if corpus is not None
-            else self.spark.createDataFrame([], "doc_id long, text string")
-        )
-        pairs = incremental_near_dup_pairs(
-            existing, fresh.select("doc_id", "text"),
+        # 3. near-dup gate: new batch vs the posting index + within batch
+        posts = self._read_or_none(self.post_index_dir)
+        if posts is None:
+            posts = self.spark.createDataFrame(
+                [], "doc_id long, n_sh int, shingle long"
+            )
+        pairs = incremental_near_dup_pairs_indexed(
+            posts, fresh.select("doc_id", "text"),
             threshold=self.near_dup_threshold,
         )
         new_ids = fresh.select("doc_id").withColumnRenamed("doc_id", "nid")
@@ -144,9 +145,12 @@ class CorpusCurationPipeline:
         survivors = fresh.join(drop, "doc_id", "left_anti").persist()
         n_accepted = survivors.count()
 
-        # 4. publish: corpus rows + fingerprint sidecar (accepted only)
+        # 4. publish: corpus rows + both sidecars (accepted only)
         survivors.drop("fp").write.mode("append").parquet(self.corpus_dir)
         survivors.select("fp").write.mode("append").parquet(self.fp_index_dir)
+        doc_postings(survivors.select("doc_id", "text")).write.mode("append").parquet(
+            self.post_index_dir
+        )
 
         self.stats.append(
             {

@@ -132,3 +132,21 @@ def test_maintain_unpartitioned_sidecar(spark, tmp_path):
     assert rc == 0
     assert sum(n for n, _ in partition_file_stats(spark, path).values()) == 1
     assert spark.read.parquet(path).count() == 50
+
+
+def test_export_shards_from_corpus(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    corpus = str(tmp_path / "corpus")
+    spark.range(250).select(
+        F.col("id").alias("doc_id"), F.sha1(F.col("id").cast("string")).alias("text")
+    ).write.parquet(corpus)
+    out = str(tmp_path / "shards")
+    rc = cli.main(["export", "--corpus", corpus, "--out", out, "--rows-per-shard", "100"])
+    assert rc == 0
+    with open(f"{out}/_manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["n_rows"] == 250 and manifest["n_shards"] == 3
+    assert spark.read.parquet(out).count() == 250

@@ -97,3 +97,16 @@ def test_curation_pipeline_gates_across_activations(spark, pipe):
     fpidx = spark.read.parquet(pipe.fp_index_dir)
     assert fpidx.columns == ["fp"]
     assert fpidx.count() == len(corpus2)
+
+
+def test_posting_sidecar_tracks_accepted(spark, pipe):
+    pipe, landing = pipe
+    rng = random.Random(3)
+    _write([(i, _doc(rng), "s") for i in range(1, 6)], f"{landing}/b1.csv")
+    pipe.run_available_now()
+    posts = spark.read.parquet(pipe.post_index_dir)
+    assert set(posts.columns) == {"doc_id", "n_sh", "shingle"}
+    assert {r.doc_id for r in posts.select("doc_id").distinct().collect()} == set(range(1, 6))
+    # per-doc posting count equals its recorded distinct-shingle count
+    bad = posts.groupBy("doc_id", "n_sh").count().filter("count != n_sh")
+    assert bad.count() == 0

@@ -382,3 +382,23 @@ def test_incremental_near_dups_equals_full_restricted(spark, docs):
         ).count()
         == 0
     )
+
+
+def test_indexed_incremental_near_dups_equals_text_path(spark, docs):
+    """The posting-index variant (history as doc_postings rows, no text
+    re-read) must produce the identical pair set and jaccard values."""
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    via_text = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.incremental_near_dup_pairs(existing, new, threshold=0.5).collect()
+    }
+    posts = dedup.doc_postings(existing)
+    via_index = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.incremental_near_dup_pairs_indexed(
+            posts, new, threshold=0.5
+        ).collect()
+    }
+    assert via_index == via_text
+    assert via_text  # non-vacuous
