@@ -166,11 +166,17 @@ def connected_components_star(
     for _ in range(max_iter):
         e = _min_neighbor_star(e, large=True)
         e = _min_neighbor_star(e, large=False).localCheckpoint()
-        # Fixed points of the alternating rounds are exactly unions of
-        # stars rooted at each component minimum (Kiveris et al. §3):
-        # every edge is (member, root) and no root appears on the src
-        # side.  Probe that invariant directly — one semi-join + limit(1)
-        # per round — instead of diffing edge sets.
+        # Fixed points of the alternating rounds are exactly DISJOINT
+        # unions of stars rooted at each component minimum (Kiveris et
+        # al. §3).  Probe both star conditions directly instead of
+        # diffing edge sets: (a) no root ever appears on the src side,
+        # and (b) every member points at exactly one root — condition
+        # (a) alone is not sufficient (a vertex bridging two would-be
+        # stars, e.g. edges (7,0),(7,1), satisfies it while the rounds
+        # still have merging to do).  Post-small-star every edge already
+        # has dst < src, so (a)+(b) <=> disjoint min-rooted stars, and
+        # connectivity is invariant across rounds, so those stars are
+        # the input's components.
         nonstar = (
             e.join(
                 e.select(F.col("src").alias("dst")).dropDuplicates(),
@@ -180,7 +186,14 @@ def connected_components_star(
             .limit(1)
             .count()
         )
-        if nonstar == 0:
+        multi_root = (
+            e.groupBy("src")
+            .agg(F.countDistinct("dst").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .limit(1)
+            .count()
+        )
+        if nonstar == 0 and multi_root == 0:
             break
     else:
         raise RuntimeError(

@@ -119,6 +119,12 @@ def test_star_cc_on_fixed_graphs(spark):
     }
     # self-loop-only vertex survives as a singleton (union-find parity)
     assert _cc_star(spark, [(5, 5), (1, 2)]) == {5: 5, 1: 1, 2: 1}
+    # regression (hypothesis-found): vertex 7 bridges two would-be stars
+    # (edges to roots 0 and 1) — the roots-never-src probe alone called
+    # that converged; the multi-root condition must keep merging
+    assert _cc_star(spark, [(0, 9), (1, 8), (7, 9), (7, 8)]) == {
+        0: 0, 9: 0, 7: 0, 8: 0, 1: 0
+    }
 
 
 def test_star_cc_long_chain_few_rounds(spark):
