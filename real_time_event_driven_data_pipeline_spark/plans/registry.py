@@ -77,16 +77,20 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
 
-    # pull the r1 hash-mismatch fixes (oracle typing, fixed this round)
-    # into the sampled prefix right behind the never-sampled families,
-    # so CORRECTNESS_r2 records their green rows explicitly
+    # round 3: everything else is driver-green across r1+r2 (95/99).
+    # Put the 4 never-driver-sampled queries FIRST, followed by the 4
+    # queries whose plans were rewritten this round (single-partition
+    # window removal) so the driver re-hashes the new plans; the rest
+    # keep their r2 order behind them.
     _prioritize(
-        "flag_measures_long",
-        "nation_market_share",
-        "late_lines_by_status",
+        "daily_event_type_map",
+        "both_priority_customers",
+        "top_order_percentiles",
+        "monthly_orders_vs_shipments",
         "acctbal_deciles",
-        "top3_parts_per_brand",
-        after=40,
+        "context_packing",
+        "top_revenue_suppliers",
+        after=0,
     )
 
     _LOADED = True

@@ -1,0 +1,92 @@
+"""operators/windows.py: hierarchical global-window helpers must be
+bit-equal to the single-partition window functions they replace, and
+must never plan a single-partition WindowExec themselves."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from real_time_event_driven_data_pipeline_spark.operators.windows import (
+    ntile_from_row_number,
+    with_global_row_number,
+    with_global_running_sum,
+)
+
+
+def _rows(n, spark, seed=7):
+    # keys deliberately non-contiguous + shuffled so range partitioning
+    # has real work to do; (val, key) is a unique total order
+    import random
+
+    rng = random.Random(seed)
+    data = [(i * 13 % 997, (i * 31) % 53, i % 11 + 1) for i in range(n)]
+    rng.shuffle(data)
+    return spark.createDataFrame(data, "key long, val long, amt long")
+
+
+@pytest.mark.parametrize("n", [0, 1, 5, 997])
+def test_global_row_number_matches_window(spark, n):
+    df = _rows(n, spark)
+    got = {
+        r["key"]: r["rn"]
+        for r in with_global_row_number(
+            df, ["val", "key"], "rn", num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("val", "key")
+    want = {
+        r["key"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n", [0, 1, 5, 997])
+def test_global_running_sum_matches_window(spark, n):
+    df = _rows(n, spark)
+    got = {
+        r["key"]: r["cum"]
+        for r in with_global_running_sum(
+            df, ["val", "key"], "amt", "cum", num_partitions=8
+        ).collect()
+    }
+    w = (
+        Window.orderBy("val", "key")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["key"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("amt").over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,tiles", [(1, 10), (7, 10), (10, 10), (97, 10), (997, 7)])
+def test_ntile_formula_matches_ntile(spark, n, tiles):
+    df = _rows(n, spark)
+    w = Window.orderBy("val", "key")
+    want = {
+        r["key"]: r["d"]
+        for r in df.withColumn("d", F.ntile(tiles).over(w)).collect()
+    }
+    ranked = with_global_row_number(df, ["val", "key"], "rn", num_partitions=8)
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    got = {
+        r["key"]: r["d"]
+        for r in ranked.join(F.broadcast(total))
+        .withColumn("d", ntile_from_row_number(F.col("rn"), F.col("n_total"), tiles))
+        .collect()
+    }
+    assert got == want
+
+
+def test_helper_plans_no_single_partition_window(spark):
+    df = _rows(500, spark)
+    plan = (
+        with_global_row_number(df, ["val", "key"], "rn", num_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan  # the distributed per-partition window
