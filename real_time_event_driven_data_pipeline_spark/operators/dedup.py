@@ -108,6 +108,23 @@ def with_shingles(
     )
 
 
+def _drop_stop_shingles(posts: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Drop posting rows of shingles appearing in > ``max_shingle_df``
+    docs (stop-shingles).  A candidate-recall knob, not a correctness
+    one: verification stays exact over full shingle sets; only pairs
+    whose ENTIRE overlap is stop-shingles can be missed.  ``None`` (the
+    oracle-parity default) keeps every posting."""
+    if max_shingle_df is None:
+        return posts
+    rare = (
+        posts.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    return posts.join(rare, "shingle", "left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -127,14 +144,7 @@ def ngram_jaccard_pairs(
     posts = sh.select(
         F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )
-    if max_shingle_df is not None:
-        rare = (
-            posts.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        posts = posts.join(rare, "shingle", "left_semi")
+    posts = _drop_stop_shingles(posts, max_shingle_df)
 
     # Prefix filtering (PPJoin): for Jaccard >= t two sets must share a
     # shingle within the first |s| - ceil(t*|s|) + 1 positions of a
@@ -191,6 +201,7 @@ def curate_corpus(
     k: int = 3,
     near_dup_threshold: float = 0.5,
     use_lsh: bool = False,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation: exact dedup (keep min id per
     fingerprint), then greedy near-dup removal (drop the higher id of
@@ -200,14 +211,24 @@ def curate_corpus(
     ``use_lsh=True`` swaps the exact PPJoin pair generation for
     MinHash-LSH banding (the 100 TB path; identical output whenever
     banding recall is total, which pytest pins at this threshold).
+    ``max_shingle_df`` (exact path only) is the stop-shingle cap
+    forwarded to ``ngram_jaccard_pairs`` — pipeline call sites should
+    set it; the oracle query leaves it off for parity.
     Returns the surviving rows of ``df``.
     """
     # cached: the pair generator's signature/shingle branches, the drop
     # anti-join, and the returned frame all re-derive survivors, whose
     # lineage includes the regex-heavy quality gate upstream
     survivors = _scoped_cache(dedup_exact(df, id_col, text_col), "curate_survivors")
-    pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
-    pairs = pair_fn(survivors, id_col, text_col, k=k, threshold=near_dup_threshold)
+    if use_lsh:
+        pairs = minhash_lsh_pairs(
+            survivors, id_col, text_col, k=k, threshold=near_dup_threshold
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            survivors, id_col, text_col, k=k, threshold=near_dup_threshold,
+            max_shingle_df=max_shingle_df,
+        )
     drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return survivors.join(drop, id_col, "left_anti")
 
@@ -430,6 +451,7 @@ def incremental_near_dup_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Arrival-time near-dup gate: all Jaccard >= threshold pairs that
     involve at least one NEW document — (new, existing) and (new, new) —
@@ -456,6 +478,7 @@ def incremental_near_dup_pairs(
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
+    posts = _drop_stop_shingles(posts, max_shingle_df)
     gdf = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
     w = Window.partitionBy(id_col).orderBy("gdf", "shingle")
     prefix = (
@@ -532,6 +555,7 @@ def incremental_near_dup_pairs_indexed(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """``incremental_near_dup_pairs`` with the historical side supplied
     as a posting index (``doc_postings`` rows) instead of raw text.
@@ -550,8 +574,10 @@ def incremental_near_dup_pairs_indexed(
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
-    posts_all = existing_posts.select(id_col, "n_sh", "shingle").unionByName(posts_new)
-
+    posts_all = _drop_stop_shingles(
+        existing_posts.select(id_col, "n_sh", "shingle").unionByName(posts_new),
+        max_shingle_df,
+    )
     gdf = posts_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
     w = Window.partitionBy(id_col).orderBy("gdf", "shingle")
     prefix = (

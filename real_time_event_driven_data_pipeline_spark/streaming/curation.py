@@ -18,6 +18,12 @@ Survivors append to the corpus; rejects land in quarantine with a
 key-index pattern as the KPI pipeline's dup probe (pipeline.py) and is
 compactable with ``sinks.maintenance.compact_unpartitioned``.
 
+All four outputs publish through the idempotent per-epoch protocol of
+``streaming/epochs.py`` (staged write -> epoch-named files -> commit
+marker), so a foreachBatch epoch replay — full or after a partial
+publish — never double-appends and never desyncs the sidecars from the
+corpus.
+
 Scale note: the near-dup gate never re-reads corpus text — accepted
 documents' shingle postings append to a posting-index sidecar
 (``doc_postings``; deterministic per doc, so append-only is exact), and
@@ -36,6 +42,7 @@ from pyspark.sql import types as T
 from ..operators.dedup import doc_postings, incremental_near_dup_pairs_indexed
 from ..operators.text import fingerprint, quality_filter
 from ..sources.readers import read_stream_csv
+from .epochs import commit_epoch, epoch_committed, publish_epoch, read_epoch_dir
 
 DOCS_ARRIVAL_SCHEMA = T.StructType(
     [
@@ -57,6 +64,7 @@ class CorpusCurationPipeline:
         schema: T.StructType = DOCS_ARRIVAL_SCHEMA,
         near_dup_threshold: float = 0.5,
         quality_kwargs: dict | None = None,
+        max_shingle_df: int | None = 10_000,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -66,21 +74,31 @@ class CorpusCurationPipeline:
         self.schema = schema
         self.near_dup_threshold = near_dup_threshold
         self.quality_kwargs = quality_kwargs or {}
+        # stop-shingle cap for the near-dup gate's candidate join: at
+        # corpus scale a boilerplate shingle shared by millions of docs
+        # would dominate the posting join; capping it costs only pairs
+        # whose ENTIRE overlap is such shingles (verification stays
+        # exact).  None = off (the oracle queries' parity setting).
+        self.max_shingle_df = max_shingle_df
         self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
         self.post_index_dir = f"{corpus_dir.rstrip('/')}_postidx"
+        self.epoch_marker_dir = f"{corpus_dir.rstrip('/')}_epochs"
         self.stats: list[dict] = []
 
     # -- helpers ---------------------------------------------------------
 
-    def _read_or_none(self, path: str) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(path)
-        except Exception:
-            return None  # first activation
+    def _read_or_none(self, path: str, epoch_id: int) -> DataFrame | None:
+        # explicit existence/listing probe instead of a blanket except:
+        # a transient storage error must propagate (silently treating
+        # it as "first activation" would disable the dup gates for the
+        # batch and permanently accept duplicates — round-2 ADVICE).
+        # The current epoch's files are excluded so a replay of a
+        # partially published epoch sees exactly the pre-epoch history.
+        return read_epoch_dir(self.spark, path, exclude_epoch=epoch_id)
 
     def _quarantine(self, rows: DataFrame, reason: str) -> None:
-        rows.withColumn("reject_reason", F.lit(reason)).write.mode("append").parquet(
-            self.quarantine_dir
+        self._pending_quarantine.append(
+            rows.withColumn("reject_reason", F.lit(reason))
         )
 
     # -- the gate --------------------------------------------------------
@@ -88,6 +106,8 @@ class CorpusCurationPipeline:
     def _gate(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if epoch_committed(self.spark, self.epoch_marker_dir, epoch_id):
+            return  # post-success replay (checkpoint lagged the publish)
         batch = batch_df.persist()
         try:
             self._gate_pinned(batch, epoch_id)
@@ -96,6 +116,10 @@ class CorpusCurationPipeline:
 
     def _gate_pinned(self, batch: DataFrame, epoch_id: int) -> None:
         n_arrived = batch.count()
+        # rejects accumulate lazily and publish once, idempotently, in
+        # step 4 — a mid-gate crash must not leave half an epoch's
+        # quarantine appended (see streaming/epochs.py)
+        self._pending_quarantine: list[DataFrame] = []
 
         # 1. quality gate
         passed = quality_filter(batch, **self.quality_kwargs).persist()
@@ -105,7 +129,7 @@ class CorpusCurationPipeline:
         # 2. exact-dup gate: against history (fingerprint sidecar), then
         # keep-min-id within the batch
         fps = passed.join(fingerprint(passed), "doc_id")  # + fp column
-        seen = self._read_or_none(self.fp_index_dir)
+        seen = self._read_or_none(self.fp_index_dir, epoch_id)
         if seen is not None:
             hist_dup = fps.join(seen.select("fp"), "fp", "left_semi")
             self._quarantine(hist_dup.drop("fp"), "exact_dup")
@@ -117,7 +141,7 @@ class CorpusCurationPipeline:
         n_exact = fresh.count()
 
         # 3. near-dup gate: new batch vs the posting index + within batch
-        posts = self._read_or_none(self.post_index_dir)
+        posts = self._read_or_none(self.post_index_dir, epoch_id)
         if posts is None:
             posts = self.spark.createDataFrame(
                 [], "doc_id long, n_sh int, shingle long"
@@ -125,6 +149,7 @@ class CorpusCurationPipeline:
         pairs = incremental_near_dup_pairs_indexed(
             posts, fresh.select("doc_id", "text"),
             threshold=self.near_dup_threshold,
+            max_shingle_df=self.max_shingle_df,
         )
         new_ids = fresh.select("doc_id").withColumnRenamed("doc_id", "nid")
         # drop the NEW side of every pair: id_b when new, else id_a
@@ -145,12 +170,22 @@ class CorpusCurationPipeline:
         survivors = fresh.join(drop, "doc_id", "left_anti").persist()
         n_accepted = survivors.count()
 
-        # 4. publish: corpus rows + both sidecars (accepted only)
-        survivors.drop("fp").write.mode("append").parquet(self.corpus_dir)
-        survivors.select("fp").write.mode("append").parquet(self.fp_index_dir)
-        doc_postings(survivors.select("doc_id", "text")).write.mode("append").parquet(
-            self.post_index_dir
+        # 4. publish: corpus rows + both sidecars (accepted only) +
+        # quarantine, each an idempotent per-epoch publish; the commit
+        # marker lands LAST, so a crash anywhere in between makes the
+        # retried epoch converge to exactly one copy of every output
+        publish_epoch(survivors.drop("fp"), self.corpus_dir, epoch_id)
+        publish_epoch(survivors.select("fp"), self.fp_index_dir, epoch_id)
+        publish_epoch(
+            doc_postings(survivors.select("doc_id", "text")),
+            self.post_index_dir,
+            epoch_id,
         )
+        rejects = self._pending_quarantine[0]
+        for extra in self._pending_quarantine[1:]:
+            rejects = rejects.unionByName(extra)
+        publish_epoch(rejects, self.quarantine_dir, epoch_id)
+        commit_epoch(self.spark, self.epoch_marker_dir, epoch_id)
 
         self.stats.append(
             {

@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 from ..operators.validation import ValidationReport, validate_tables
 from ..sinks.kv import write_kv_upsert
 from ..sources.readers import read_stream_csv
+from .epochs import commit_epoch, epoch_committed, publish_epoch, read_epoch_dir
 
 
 class EventDrivenPipeline:
@@ -82,12 +83,15 @@ class EventDrivenPipeline:
         # the full accumulated valid data — probe I/O is O(#keys * key
         # width) instead of O(history * row width) per activation
         self.key_index_dir = f"{valid_dir.rstrip('/')}_keyidx" if self.primary_key else None
+        self.epoch_marker_dir = f"{valid_dir.rstrip('/')}_epochs"
 
     # -- validation gate (the exit-code branch, in-engine) --
 
     def _gate(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if epoch_committed(self.spark, self.epoch_marker_dir, epoch_id):
+            return  # post-success replay (checkpoint lagged the publish)
         # pin the micro-batch: the validation battery, dup probe, data
         # write and key-index write are each an action, and an uncached
         # batch_df re-scans the arrival files per action (~3x source
@@ -113,10 +117,15 @@ class EventDrivenPipeline:
         # columns of accepted rows), not the full history (ADVICE r1 —
         # the probe side no longer grows with row width or KPI columns).
         if report.passed and self.primary_key:
-            try:
-                seen_keys = self.spark.read.parquet(self.key_index_dir)
-            except Exception:
-                seen_keys = None  # first activation, nothing accumulated
+            # explicit listing probe, not a blanket except: a transient
+            # read error must propagate rather than silently disabling
+            # the cross-batch dup gate for this activation (round-2
+            # ADVICE).  The current epoch's files are excluded so a
+            # replay of a partially published epoch probes exactly the
+            # pre-epoch history instead of flagging its own keys.
+            seen_keys = read_epoch_dir(
+                self.spark, self.key_index_dir, exclude_epoch=epoch_id
+            )
             if seen_keys is not None:
                 n_dups = (
                     batch_df.join(seen_keys, self.primary_key, "left_semi")
@@ -132,14 +141,23 @@ class EventDrivenPipeline:
                     else "",
                 )
         self.reports.append((epoch_id, report))
+        # idempotent per-epoch publish (streaming/epochs.py): an epoch
+        # replay after a crash between the data write and the key-index
+        # write must not double-append rows or leave the index desynced
+        # (a desynced index would fail the retried batch as a cross-
+        # batch duplicate and lose it to quarantine)
         target = self.valid_dir if report.passed else self.quarantine_dir
-        batch_df.write.mode("append").parquet(target)
+        publish_epoch(batch_df, target, epoch_id)
         if report.passed and self.key_index_dir:
-            batch_df.select(self.primary_key).write.mode("append").parquet(
-                self.key_index_dir
+            publish_epoch(
+                batch_df.select(self.primary_key), self.key_index_dir, epoch_id
             )
         if report.passed:
             self._recompute_kpis()
+        # marker last: KV upserts are idempotent by key, so re-running
+        # the recompute on replay is safe; skipping a committed epoch is
+        # just the fast path
+        commit_epoch(self.spark, self.epoch_marker_dir, epoch_id)
 
     def _recompute_kpis(self) -> None:
         valid = self.spark.read.parquet(self.valid_dir)

@@ -120,6 +120,53 @@ def test_curate_corpus_lsh_equals_exact(spark, docs):
     assert 0 < len(exact_ids) < docs.count()  # something removed, not everything
 
 
+def test_stop_shingle_cap_preserves_recall(spark, docs):
+    """The pipeline call sites pass a stop-shingle cap
+    (CorpusCurationPipeline default, curate_corpus knob); pin that a
+    moderate cap changes NOTHING on this corpus — any pair whose
+    overlap survives the cap is still found and verified exact."""
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=50
+        ).collect()
+    }
+    assert uncapped, "fixture should contain planted near-dups"
+    assert capped == uncapped
+
+    base = {r.doc_id for r in dedup.curate_corpus(docs).select("doc_id").collect()}
+    with_cap = {
+        r.doc_id
+        for r in dedup.curate_corpus(docs, max_shingle_df=50)
+        .select("doc_id")
+        .collect()
+    }
+    assert with_cap == base
+
+
+def test_incremental_indexed_cap_preserves_recall(spark, docs):
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    posts = dedup.doc_postings(old)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_near_dup_pairs_indexed(
+            posts, new, threshold=0.5
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_near_dup_pairs_indexed(
+            posts, new, threshold=0.5, max_shingle_df=50
+        ).collect()
+    }
+    assert capped == uncapped
+
+
 def test_text_stats_ranges(spark, docs):
     stats = text.text_stats(docs).collect()
     assert len(stats) == docs.count()
