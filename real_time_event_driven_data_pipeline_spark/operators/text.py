@@ -217,17 +217,24 @@ def stratified_sample(
     pure function of the stable doc id + stratum), so re-runs, re-shards
     and incremental arrivals sample consistently — a row once kept is
     kept forever, which random ``sampleBy`` cannot promise.  Thresholds
-    are expressed at 1/65536 granularity via the first 4 hex chars.
+    are expressed at 1/65536 granularity via the first 4 hex chars;
+    a rate >= 1.0 keeps the stratum unconditionally (no hash test, so
+    it is exactly keep-all rather than 65535/65536).
     """
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+    def keep(r):
+        if r >= 1.0:
+            return F.lit(True)
+        cut = format(min(65535, int(round(r * 65536))), "04x")
+        return h < cut
+
     expr = None
     for s, r in rates.items():
-        cut = format(min(65535, int(round(r * 65536))), "04x")
-        cond = (F.col(strata_col) == s) & (h < cut)
+        cond = (F.col(strata_col) == s) & keep(r)
         expr = cond if expr is None else (expr | cond)
     if default_rate > 0:
-        cut = format(min(65535, int(round(default_rate * 65536))), "04x")
-        other = ~F.col(strata_col).isin(*rates) & (h < cut)
+        other = ~F.col(strata_col).isin(*rates) & keep(default_rate)
         expr = other if expr is None else (expr | other)
     return df.filter(expr if expr is not None else F.lit(False))
 

@@ -781,7 +781,7 @@ WITH hashed AS (
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM hashed
-WHERE (source = 'src0' AND h < 'ffff')
+WHERE (source = 'src0')
    OR (source = 'src1' AND h < '8000')
    OR (source = 'src2' AND h < '4000')
    OR (source NOT IN ('src0', 'src1', 'src2') AND h < '199a')

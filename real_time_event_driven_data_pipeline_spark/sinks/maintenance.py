@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import math
 from collections.abc import Callable
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,12 +66,18 @@ def partition_file_stats(spark: SparkSession, path: str) -> dict[str, tuple[int,
 
 
 def _partition_values(part_dir: str) -> dict[str, str]:
-    """Parse 'day=2025-03-08/region=EU' into {'day': '2025-03-08', ...}."""
+    """Parse 'day=2025-03-08/region=EU' into {'day': '2025-03-08', ...}.
+
+    Directory names use Hive's URL-style escaping for special characters
+    (``name=a%20b`` for value ``a b``), so both key and value are
+    unquoted — the returned values compare equal to the column values,
+    which is what ``touched_partitions_predicate`` filters on.
+    """
     out = {}
     for seg in part_dir.split("/"):
         if "=" in seg:
             k, v = seg.split("=", 1)
-            out[k] = v
+            out[unquote(k)] = unquote(v)
     return out
 
 
@@ -105,6 +112,11 @@ def compact_partitions(
         # localCheckpoint: materialize before overwriting the files the
         # plan is lazily reading (same contract as merge_upsert)
         compacted = pruned.coalesce(n_out).localCheckpoint()
+        if compacted.isEmpty():
+            # The pruned filter matched no rows (e.g. a partition value
+            # this parser cannot round-trip): overwriting would silently
+            # rewrite nothing — skip it and leave the directory as-is.
+            continue
         overwrite_partitions(compacted, path, partition_cols)
         done[part_dir] = n_out
     return done
@@ -196,6 +208,30 @@ def refresh_rollup(
     merge_upsert_partitioned(spark, updates, rollup_path, key_cols, partition_cols)
 
 
+def recover_compaction(spark: SparkSession, path: str) -> bool:
+    """Restore a table moved aside by a crashed ``compact_unpartitioned``.
+
+    The swap in ``compact_unpartitioned`` has a window between
+    rename(root -> old) and rename(tmp -> root) where ``path`` does not
+    exist; a crash there leaves the data at ``<path>.compact-old``.
+    Call this at process startup, before the first sidecar read: if the
+    root is missing and the ``-old`` directory exists, it is renamed
+    back.  Returns True if a recovery
+    was performed.  A stale ``-tmp`` directory is deleted either way —
+    it only ever holds a redundant coalesced copy.
+    """
+    fs, root, jvm = _hadoop_fs(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tmp, old = hpath(f"{path}.compact-tmp"), hpath(f"{path}.compact-old")
+    recovered = False
+    if not fs.exists(root) and fs.exists(old):
+        if not fs.rename(old, root):
+            raise OSError(f"recover_compaction: cannot restore {path}")
+        recovered = True
+    fs.delete(tmp, True)
+    return recovered
+
+
 def compact_unpartitioned(
     spark: SparkSession,
     path: str,
@@ -207,10 +243,17 @@ def compact_unpartitioned(
     activation).
 
     Writes the coalesced copy to ``<path>.compact-tmp`` first, then
-    swaps directories with two Hadoop-FS renames — readers racing the
-    swap see either the old or the new file set, never a partial mix.
+    swaps directories with two Hadoop-FS renames.  On local disk and
+    HDFS the renames are atomic, but there is still a window between
+    them where ``path`` does not exist, so readers must not race the
+    swap — compact a streaming sidecar only between micro-batches.  On
+    object stores (s3a) "rename" is copy+delete and the window is
+    wide — run compaction only when the table is quiesced.  A crash
+    inside the window leaves the data at ``<path>.compact-old``;
+    ``recover_compaction`` restores it and is invoked here first.
     Returns the output file count, or None if below the threshold.
     """
+    recover_compaction(spark, path)
     stats = partition_file_stats(spark, path)
     n_files = sum(n for n, _ in stats.values())
     n_bytes = sum(b for _, b in stats.values())

@@ -193,6 +193,60 @@ def test_multimodal_feature_extraction(spark):
     assert [(f.frame_idx, f.frame_ts_ms) for f in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
 
 
+def test_decode_image_both_codec_modes(spark, monkeypatch):
+    """decode_image routes through PIL when importable and falls back to
+    the deterministic stub when PIL is absent or the payload does not
+    decode — features are identical across modes for opaque payloads."""
+    payload = bytes(range(16))
+    stub = multimodal.decode_image_stub(payload)
+
+    # Mode 1: no PIL (the container's actual state) -> stub.
+    monkeypatch.setattr(multimodal, "_PILImage", None)
+    assert np.array_equal(multimodal.decode_image(payload), stub)
+
+    # Mode 2: PIL present. Fake codec decodes payloads starting with
+    # b'PIL' into a 2x2 gradient and rejects everything else.
+    class FakeIm:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def convert(self, mode):
+            assert mode == "L"
+            return [[0, 85], [170, 255]]
+
+    class FakePIL:
+        @staticmethod
+        def open(fh):
+            if not fh.read(3) == b"PIL":
+                raise OSError("cannot identify image file")
+            return FakeIm()
+
+    monkeypatch.setattr(multimodal, "_PILImage", FakePIL)
+    decoded = multimodal.decode_image(b"PIL" + payload)
+    assert decoded.shape == (2, 2) and decoded.dtype == np.uint8
+    assert int(decoded.mean()) == 127
+    # opaque payload -> decode error -> same stub result as mode 1
+    assert np.array_equal(multimodal.decode_image(payload), stub)
+
+    # The Spark path takes an explicit decoder (monkeypatching does not
+    # reach the separate python worker process, so a real-codec swap is
+    # expressed as a decoder argument — serialized by value into the
+    # Arrow UDF) and the feature math is unchanged through it.
+    def gradient_decoder(p: bytes) -> np.ndarray:
+        return np.array([[0, 85], [170, 255]], dtype=np.uint8)
+
+    media = spark.createDataFrame(
+        [(1, "image", b"PIL" + payload, "img/png", 2, 2, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_image_features(media, decoder=gradient_decoder).collect()[0]
+    assert (row.thumb_w, row.thumb_h) == (2, 2)
+    assert row.mean_intensity == 127.5
+
+
 def test_pii_scrub_on_dirty_fixture(spark):
     rows = [
         (1, "contact john.doe+x@example.co.uk for details"),

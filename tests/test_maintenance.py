@@ -122,3 +122,54 @@ def test_compact_unpartitioned_sidecar(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows_before
     # below threshold -> no-op
     assert compact_unpartitioned(spark, path) is None
+
+
+def test_compact_partitions_escaped_partition_values(spark, tmp_path):
+    """Hive URL-escapes special chars in partition dirs (name=a%20b);
+    the dir parser must unescape so the pruned read matches rows."""
+    path = str(tmp_path / "esc")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "a b").otherwise("c=d").alias("name"),
+    )
+    for i in range(4):
+        df.filter(F.col("id") % 4 == i).write.mode("append").partitionBy("name").parquet(path)
+
+    before = partition_file_stats(spark, path)
+    # Spark escapes '=' (%3D) in partition dirs; space passes through
+    assert set(before) == {"name=a b", "name=c%3Dd"}
+    rows_before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    done = compact_partitions(spark, path, ["name"], target_file_bytes=1 << 30)
+    assert set(done) == set(before)  # both partitions actually rewritten
+    after = partition_file_stats(spark, path)
+    assert all(n == 1 for n, _ in after.values()), after
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows_before
+
+
+def test_recover_compaction_restores_moved_aside_table(spark, tmp_path):
+    from real_time_event_driven_data_pipeline_spark.sinks.maintenance import (
+        compact_unpartitioned,
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "keyidx")
+    for i in range(4):
+        spark.range(i * 50, (i + 1) * 50).write.mode("append").parquet(path)
+    rows = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    # simulate a crash inside the swap window: root moved aside, tmp left
+    import shutil
+
+    shutil.move(path, f"{path}.compact-old")
+    shutil.copytree(f"{path}.compact-old", f"{path}.compact-tmp")
+
+    assert recover_compaction(spark, path) is True
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows
+    import os
+
+    assert not os.path.exists(f"{path}.compact-tmp")  # stale tmp cleaned
+    # healthy table -> recovery is a no-op and compaction runs clean
+    assert recover_compaction(spark, path) is False
+    assert compact_unpartitioned(spark, path, target_file_bytes=1 << 30) == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows
