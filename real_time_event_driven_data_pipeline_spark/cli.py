@@ -172,6 +172,25 @@ def cmd_maintain(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_zorder(spark: SparkSession, args) -> int:
+    """Rewrite a parquet table Z-order-clustered on the given columns
+    (multi-column min/max file pruning; sinks/layout.py).  Writes to
+    --out; rewriting in place would race readers of the source files."""
+    from .sinks.layout import zorder
+
+    df = spark.read.parquet(args.path)
+    cols = args.cols.split(",")
+    zorder(df, cols, args.n_files).write.mode("overwrite").parquet(args.out)
+    logger.info(
+        "z-ordered %s by (%s) into %d files at %s",
+        args.path,
+        args.cols,
+        args.n_files,
+        args.out,
+    )
+    return 0
+
+
 def cmd_export(spark: SparkSession, args) -> int:
     """Ship a curated corpus as deterministic training shards + manifest
     (the loader hand-off; sinks/maintenance.py::export_training_shards)."""
@@ -209,6 +228,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partition-cols", dest="partition_cols", default="")
     p.add_argument("--target-file-mb", dest="target_file_mb", type=int, default=128)
     p.add_argument("--min-files", dest="min_files", type=int, default=4)
+    p = sub.add_parser("zorder")
+    p.add_argument("--path", required=True)
+    p.add_argument("--cols", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-files", dest="n_files", type=int, default=8)
     p = sub.add_parser("export")
     p.add_argument("--corpus", required=True)
     p.add_argument("--out", required=True)
@@ -228,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
             "transform": cmd_transform,
             "pipeline": cmd_pipeline,
             "maintain": cmd_maintain,
+            "zorder": cmd_zorder,
             "export": cmd_export,
         }[args.command]
         return handler(spark, args)
