@@ -239,6 +239,82 @@ def stratified_sample(
     return df.filter(expr if expr is not None else F.lit(False))
 
 
+def hashed_embedding_weights(
+    df: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") document vectors, sparse form.
+
+    The text -> vector step of the curation pipeline without any model:
+    every token hashes to a bucket in [0, dim) with a +/-1 sign, and the
+    document's vector is the per-bucket signed token counts.  Signed
+    hashing makes bucket collisions cancel in expectation, so cosine on
+    these vectors approximates bag-of-words cosine (Weinberger et al.,
+    "Feature Hashing for Large Scale Multitask Learning").
+
+    Deterministic and engine-portable: bucket = first 4 md5 hex chars
+    mod dim, sign = parity of the 5th — the same md5-hex convention as
+    ``train_split``/``stratified_sample``, mirrored exactly by the
+    DuckDB oracle.  Output: (id, bucket int, weight long), one row per
+    non-zero bucket — one explode + one shuffle on (id, bucket), all
+    built-in expressions.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    h = F.md5(F.col("tok"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % dim).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+    )
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dense ``array<double>`` variant of ``hashed_embedding_weights``,
+    shaped for the similarity operators (ANN top-k, semantic dedup):
+    (id, embedding array<double> of length ``dim``).
+
+    Embedding is embarrassingly parallel, so this is SHUFFLE-FREE: the
+    whole vector is a per-row array expression (token buckets/signs
+    materialized into columns first — the with_shingles rule — then a
+    per-dimension signed count via zip_with + aggregate).  O(dim x
+    n_tokens) work per row, zero exchanges in the plan."""
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+
+    def _bucket(t: Column) -> Column:
+        return (F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % dim).cast("int")
+
+    def _sign(t: Column) -> Column:
+        return F.when(
+            F.conv(F.substring(F.md5(t), 5, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    hashed = toked.select(
+        F.col(id_col),
+        F.transform("_toks", _bucket).alias("_bs"),
+        F.transform("_toks", _sign).alias("_ss"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.zip_with("_bs", "_ss", lambda b, s: F.when(b == i, s).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double"),
+    )
+    return hashed.select(F.col(id_col), vec.alias("embedding"))
+
+
 def doc_chunks(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -807,6 +807,36 @@ def q_stratified_sample_counts(spark, sf_dir):
     )
 
 
+# feature-hashing embeddings (hashing trick): bucket = first 4 md5 hex
+# chars mod dim, sign = parity of the 5th — the project's md5-hex
+# portability convention, so Spark and DuckDB agree bit-for-bit
+HASHED_EMBEDDING_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 32 AS INTEGER) AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5(tok), 5, 1)) AS BIGINT) % 2 = 0
+                THEN 1 ELSE -1 END AS sign
+    FROM toks
+)
+SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+FROM hashed GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+"""
+
+
+@register(
+    "hashed_doc_embeddings",
+    HASHED_EMBEDDING_SQL,
+    "ext: feature-hashing doc vectors (text->embedding, sparse weights)",
+)
+def q_hashed_doc_embeddings(spark, sf_dir):
+    return text.hashed_embedding_weights(_docs(spark, sf_dir), dim=32).orderBy(
+        "doc_id", "bucket"
+    )
+
+
 SEMANTIC_DEDUP_SQL = """
 WITH RECURSIVE e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

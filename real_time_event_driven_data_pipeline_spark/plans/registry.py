@@ -90,6 +90,9 @@ def _ensure_loaded() -> None:
         "acctbal_deciles",
         "context_packing",
         "top_revenue_suppliers",
+        # new in round 3 (never sampled) and round-3 behavior changes
+        "hashed_doc_embeddings",
+        "stratified_sample_counts",
         after=0,
     )
 

@@ -359,6 +359,40 @@ def test_doc_chunks_covers_all_tokens_no_phantom_tail(spark):
     assert got[(1, 0)][1].split()[-16:] == got[(1, 1)][1].split()[:16]
 
 
+def test_hashed_embeddings_sparse_dense_agree_and_shuffle_free(spark, docs):
+    dim = 32
+    sparse = {
+        (r.doc_id, r.bucket): r.weight
+        for r in text.hashed_embedding_weights(docs, dim=dim).collect()
+    }
+    dense = {r.doc_id: r.embedding for r in text.hashed_embeddings(docs, dim=dim).collect()}
+    assert set(d for d, _ in sparse) == set(dense)
+    for (d, b), w in sparse.items():
+        assert dense[d][b] == float(w)
+    for d, vec in dense.items():
+        assert len(vec) == dim
+        # every non-zero entry is backed by a sparse row
+        for b, v in enumerate(vec):
+            if v != 0.0:
+                assert sparse[(d, b)] == v
+    # identical text -> identical vector (exact dups stay exact dups)
+    two = spark.createDataFrame(
+        [(1, "spark scan filter"), (2, "spark scan filter")], "doc_id long, text string"
+    )
+    va, vb = [r.embedding for r in text.hashed_embeddings(two, dim=dim).orderBy("doc_id").collect()]
+    assert va == vb and any(v != 0 for v in va)
+
+    # the dense path is embarrassingly parallel: no exchange in the plan
+    plan = (
+        text.hashed_embeddings(docs, dim=dim)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+
+
 def test_stratified_sample_consistent_and_monotone(spark, docs):
     rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
     a = {r.doc_id for r in text.stratified_sample(docs, rates, default_rate=0.1).collect()}
