@@ -67,6 +67,26 @@ the corpus, no driver materialization — O(1) driver memory at any scale.""",
 `mapInPandas` (zero-shuffle, no explode of shingles), candidates come from a
 band-bucket equi-join, and only candidates pay the exact-Jaccard
 verification — candidate count scales with near-dups, not corpus^2.""",
+    "acctbal_deciles": """Global NTILE without a global window (r3 redesign —
+r2 shipped the whole customer table through one WindowExec task): ranks come
+from the hierarchical global-row-number primitive (`operators/windows.py` —
+range partition, per-partition `row_number`, broadcast triangular offsets),
+the table count broadcasts as one row, and the decile is closed-form NTILE
+arithmetic on (rank, count). Every exchange is rangepartitioning or a 1-row
+broadcast — no `Exchange SinglePartition` feeding a WindowExec.""",
+    "context_packing": """Greedy sequential packing is a prefix sum; the r3
+plan computes it hierarchically: per-partition running token sums inside
+range partitions, then per-partition totals (tiny: one row per partition)
+broadcast back as offsets. Same greedy semantics, no single-task stage.""",
+    "top_order_percentiles": """`percent_rank`/`cume_dist` as two-pass rank
+(r3 redesign): distributed global row_number + a 1-row broadcast total, then
+`(rn-1)/(N-1)` and `rn/N` as plain doubles — bit-identical to the window
+functions on distinct-ordered input, without moving all orders through one
+task.""",
+    "hashed_doc_embeddings": """Feature-hashing text->vector: tokenize,
+per-token md5 bucket/sign (all built-in exprs), ONE hash exchange on
+(doc_id, bucket) for the signed counts. The dense variant used by ANN is
+shuffle-free entirely (per-row array expression).""",
 }
 
 
