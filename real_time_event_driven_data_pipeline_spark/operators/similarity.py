@@ -353,3 +353,53 @@ def semantic_dedup_clusters(
         emb, id_col=id_col, vec_col=vec_col, threshold=threshold, n_blocks=n_blocks
     )
     return near_dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization + reconstruction
+    audit — the storage step of an embedding pipeline (int8 vectors are
+    4x smaller and what ANN indexes ingest at scale).
+
+    scale = max(|x|) / 127 per vector; q_i = floor(x_i / scale) in
+    [-128, 127]; reconstruction x'_i = q_i * scale.  floor (not
+    round) keeps the math bit-identical across engines — IEEE divide,
+    floor and multiply are exactly specified, while round-half ties
+    differ between Java and C.  All work is per-row array expressions:
+    embarrassingly parallel, shuffle-free, no Python.
+
+    Output: (id, n_dims, scale, q_sum, mse) where q_sum is the integer
+    checksum of the quantized codes and mse the mean squared
+    reconstruction error (both computed by an in-order fold over the
+    array, so the float summation order is fixed).  Zero vectors get
+    scale 0 and all-zero codes (guarded division).
+    """
+    v = as_double(vec_col)
+    df2 = df.select(F.col(id_col), v.alias("_v"))
+    amax = F.array_max(F.transform("_v", lambda x: F.abs(x)))
+    df3 = df2.select(
+        F.col(id_col), "_v", (amax / F.lit(127.0)).alias("scale")
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform("_v", lambda x: F.floor(x / F.col("scale")).cast("long")),
+    ).otherwise(F.transform("_v", lambda x: F.lit(0).cast("long")))
+    df4 = df3.select(F.col(id_col), "_v", "scale", q.alias("_q"))
+    def _se(x, c):
+        d = x - c.cast("double") * F.col("scale")
+        return d * d  # explicit multiply: pow() rounding is not pinned cross-engine
+
+    sq_err = F.zip_with("_v", "_q", _se)
+    mse = (
+        F.aggregate(sq_err, F.lit(0.0), lambda acc, e: acc + e) / F.size("_v")
+    ).alias("mse")
+    return df4.select(
+        F.col(id_col),
+        F.size("_v").cast("long").alias("n_dims"),
+        F.col("scale"),
+        F.aggregate("_q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        mse,
+    )

@@ -18,7 +18,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -474,3 +474,108 @@ def winnowing_fingerprints(
     return grammed.select(
         F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
     )
+
+
+# --- deterministic global shuffle (training-order assignment) ---
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random training order: every doc gets a
+    ``(shard, pos)`` such that reading shards in order and rows by
+    ``pos`` within each shard yields a fixed hash-permutation of the
+    corpus — the "global shuffle" step before training, without any
+    RNG state (re-runs, re-shards and resumed jobs agree).
+
+    shard = first 4 md5-hex chars of a salted id mod ``n_shards``
+    (the ``train_split`` convention); pos = rank of the full md5 key
+    within the shard.  The within-shard ``row_number`` window is
+    PARTITIONED by shard, so the sort is distributed: at 100 TB pick
+    ``n_shards`` ~ corpus_bytes / desired_shard_bytes (tens of
+    thousands) and each window task sorts one shard, not the corpus.
+    The reference has no analogue (its jobs aggregate, never re-order);
+    this backs the training-data-layout extension family.
+    """
+    key = F.md5(F.concat(F.lit("shuf:"), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % n_shards).cast(
+        "int"
+    )
+    keyed = df.select(F.col(id_col), key.alias("_k"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return keyed.select(
+        F.col(id_col),
+        F.col("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# --- vocabulary fitting + token-id encoding (tokenizer-lite) ---
+
+
+def fit_vocab(
+    df: DataFrame,
+    vocab_size: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``vocab_size`` whitespace tokens by corpus frequency as
+    ``(tok, token_id)`` with ids 1..vocab_size (0 is reserved for OOV).
+    Ties break lexicographically so the vocabulary is deterministic.
+    One explode + one (tok) aggregate + a top-k — the vocab relation is
+    tiny (vocab_size rows) and broadcast downstream."""
+    counts = (
+        df.select(F.explode(tokens_expr(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # top-k via sort+limit on the aggregated relation (|distinct toks|,
+    # not |corpus|); deterministic ordering (n desc, tok asc)
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(vocab_size)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    # the global window runs over <= vocab_size rows (bounded input --
+    # exempt from the single-partition-window rule, like the day-grain
+    # revenue windows)
+    return top.select("tok", F.row_number().over(w).cast("long").alias("token_id"))
+
+
+def encode_token_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode each document to its token-id sequence using a fitted
+    vocabulary (OOV -> 0).  The encoded corpus is what a training job
+    actually reads, so the output keeps one row per doc:
+    ``(doc_id, n_tokens, n_oov, ids)`` with ``ids`` a space-joined
+    string of token ids in document order (string form keeps the
+    row hashable by any downstream engine).
+
+    Plan shape: explode with position -> broadcast-join the tiny vocab
+    (map-side, no corpus shuffle) -> one (doc) aggregate re-assembling
+    order via array_sort on (pos, id) structs.  Python-free.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).alias("tid"),
+    )
+    assembled = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+            " ",
+        ).alias("ids"),
+    )
+    return assembled.select(id_col, "n_tokens", "n_oov", "ids")

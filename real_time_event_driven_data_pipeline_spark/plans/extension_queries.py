@@ -972,3 +972,160 @@ def q_incremental_near_dups(spark, sf_dir):
     return dedup.incremental_near_dup_pairs(existing, new, threshold=0.5).orderBy(
         "id_a", "id_b"
     )
+
+
+# --- train/eval decontamination (benchmark-leakage gate) ---
+# Train docs sharing any 3-token shingle with the held-out 'test'
+# split (the deterministic md5 split of train_split).  The Spark side
+# uses xxhash64-hashed shingles broadcast-joined against the corpus
+# postings; the oracle re-derives the same counts from string shingles
+# (identical barring 2^-64 hash collisions).
+
+DECONTAM_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s
+    FROM toks
+), sp AS (
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+), train_posts AS (
+    SELECT sh.doc_id, len(s) AS n_shingles, unnest(s) AS shingle
+    FROM sh JOIN sp USING (doc_id) WHERE split = 'train'
+), eval_sh AS (
+    SELECT DISTINCT unnest(s) AS shingle
+    FROM sh JOIN sp USING (doc_id) WHERE split = 'test'
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT)   AS n_hit,
+       COUNT(*) / n_shingles      AS hit_ratio
+FROM train_posts
+WHERE shingle IN (SELECT shingle FROM eval_sh)
+GROUP BY doc_id, n_shingles
+ORDER BY doc_id
+"""
+
+
+@register(
+    "eval_contamination",
+    DECONTAM_SQL,
+    "ext: train/eval n-gram decontamination (benchmark-leakage gate)",
+)
+def q_eval_contamination(spark, sf_dir):
+    from ..operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    split = text.train_split(docs)
+    train = docs.join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
+    ev = docs.join(split.filter(F.col("split") == "test"), "doc_id", "left_semi")
+    return decontam.contamination_stats(train, ev, k=3, hashed=True).orderBy("doc_id")
+
+
+# --- deterministic global shuffle (training-order assignment) ---
+
+SHUFFLE_SHARDS_SQL = """
+WITH keyed AS (
+    SELECT doc_id,
+           md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+           CAST(CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS BIGINT) % 8 AS INTEGER) AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM keyed ORDER BY shard, pos
+"""
+
+
+@register(
+    "shuffled_corpus_order",
+    SHUFFLE_SHARDS_SQL,
+    "ext: deterministic hash-permutation training order (global shuffle)",
+)
+def q_shuffled_corpus_order(spark, sf_dir):
+    return text.shuffle_shards(_docs(spark, sf_dir), n_shards=8).orderBy("shard", "pos")
+
+
+# --- int8 embedding quantization + reconstruction audit ---
+
+QUANTIZE_SQL = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM e
+), q AS (
+    SELECT vec_id, v, scale,
+           CASE WHEN scale > 0
+                THEN list_transform(v, x -> CAST(floor(x / scale) AS BIGINT))
+                ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qs
+    FROM s
+)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS n_dims,
+       scale,
+       CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+       list_aggregate(
+           list_transform(generate_series(1, len(v)),
+               i -> (v[i] - qs[i] * scale) * (v[i] - qs[i] * scale)),
+           'sum') / len(v) AS mse
+FROM q ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_quantization",
+    QUANTIZE_SQL,
+    "ext: per-vector int8 scalar quantization + reconstruction error",
+)
+def q_embedding_quantization(spark, sf_dir):
+    return similarity.quantize_embeddings(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+# --- vocabulary fit + token-id encoding (tokenizer-lite) ---
+
+TOKEN_IDS_SQL = """
+WITH alltoks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+), counts AS (
+    SELECT tok, COUNT(*) AS n FROM alltoks WHERE tok <> '' GROUP BY tok
+), topv AS (
+    SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 256
+), vocab AS (
+    SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) AS token_id
+    FROM topv
+), toksl AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), posts AS (
+    SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toksl
+), enc AS (
+    SELECT p.doc_id, p.pos, COALESCE(v.token_id, 0) AS tid
+    FROM posts p LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_token_ids",
+    TOKEN_IDS_SQL,
+    "ext: corpus vocabulary fit + per-doc token-id encoding",
+)
+def q_doc_token_ids(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    vocab = text.fit_vocab(docs, vocab_size=256)
+    return text.encode_token_ids(docs, vocab).orderBy("doc_id")

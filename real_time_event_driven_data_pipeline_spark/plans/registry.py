@@ -93,6 +93,10 @@ def _ensure_loaded() -> None:
         # new in round 3 (never sampled) and round-3 behavior changes
         "hashed_doc_embeddings",
         "stratified_sample_counts",
+        "eval_contamination",
+        "shuffled_corpus_order",
+        "embedding_quantization",
+        "doc_token_ids",
         after=0,
     )
 

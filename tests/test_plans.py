@@ -42,6 +42,9 @@ BOUNDED_WINDOW_OK = {
     "daily_revenue_running",
     "daily_revenue_dod",
     "daily_revenue_7d_ma",
+    # fit_vocab ranks the top-k relation AFTER a global limit(vocab_size):
+    # the window input is <= 256 rows by construction, not a table scan.
+    "doc_token_ids",
 }
 
 
