@@ -52,6 +52,34 @@ def eval_shingle_set(
     )
 
 
+def contaminated_ids(
+    train_docs: DataFrame,
+    eval_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_hits: int = 1,
+    hashed: bool = True,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Ids of training docs sharing >= ``min_hits`` distinct k-gram
+    shingles with a PRECOMPUTED eval shingle set (``eval_shingle_set``
+    output, possibly persisted across many batches — the streaming-gate
+    entry point, where the eval suite is static but batches keep
+    arriving)."""
+    posts = with_shingles(train_docs, id_col, text_col, k=k, hashed=hashed).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    ev = broadcast(eval_shingles) if broadcast_eval else eval_shingles
+    return (
+        posts.join(ev, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") >= min_hits)
+        .select(id_col)
+    )
+
+
 def contamination_stats(
     train_docs: DataFrame,
     eval_docs: DataFrame,

@@ -1129,3 +1129,21 @@ def q_doc_token_ids(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     vocab = text.fit_vocab(docs, vocab_size=256)
     return text.encode_token_ids(docs, vocab).orderBy("doc_id")
+
+
+# Quantized two-stage ANN: int8 integer-dot prefilter over the narrow
+# code relation, exact cosine re-score of candidates only.  The
+# prefilter is approximate -> rows-only; recall vs the exact top-k is
+# asserted in pytest (tests/test_curation_ops.py).
+@register(
+    "ann_quantized_topk",
+    None,
+    "ext: int8-quantized two-stage ANN (bandwidth-bound scale path)",
+)
+def q_ann_quantized_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.quantized_topk(emb, queries, k=10, oversample=4)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")

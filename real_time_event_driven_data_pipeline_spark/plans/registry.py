@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
         "shuffled_corpus_order",
         "embedding_quantization",
         "doc_token_ids",
+        "ann_quantized_topk",
         after=0,
     )
 

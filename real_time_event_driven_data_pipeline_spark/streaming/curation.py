@@ -5,6 +5,9 @@ branch -> serve; SURVEY §3.3) to training-data curation.  Each
 activation drains newly landed document files and gates them:
 
     1. quality filter   (C4/Gopher thresholds; operators/text.py)
+    1.5 decontamination (optional: k-gram overlap vs a static eval
+                         suite, its shingle set computed once and
+                         persisted; operators/decontam.py)
     2. exact-dup gate   (md5 fingerprint vs a narrow fingerprint
                          sidecar of everything accepted so far, plus
                          keep-min-id within the batch)
@@ -39,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.decontam import contaminated_ids, eval_shingle_set
 from ..operators.dedup import doc_postings, incremental_near_dup_pairs_indexed
 from ..operators.text import fingerprint, quality_filter
 from ..sources.readers import read_stream_csv
@@ -65,6 +69,9 @@ class CorpusCurationPipeline:
         near_dup_threshold: float = 0.5,
         quality_kwargs: dict | None = None,
         max_shingle_df: int | None = 10_000,
+        eval_docs: DataFrame | None = None,
+        decontam_k: int = 3,
+        decontam_min_hits: int = 1,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -80,6 +87,17 @@ class CorpusCurationPipeline:
         # whose ENTIRE overlap is such shingles (verification stays
         # exact).  None = off (the oracle queries' parity setting).
         self.max_shingle_df = max_shingle_df
+        # optional decontamination gate: the eval suite is static while
+        # batches keep arriving, so its shingle set is computed ONCE and
+        # persisted for the life of the pipeline (it is the broadcast
+        # side of every batch's semi-join — see operators/decontam.py)
+        self.decontam_k = decontam_k
+        self.decontam_min_hits = decontam_min_hits
+        self._eval_sh = (
+            eval_shingle_set(eval_docs, k=decontam_k, hashed=True).persist()
+            if eval_docs is not None
+            else None
+        )
         self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
         self.post_index_dir = f"{corpus_dir.rstrip('/')}_postidx"
         self.epoch_marker_dir = f"{corpus_dir.rstrip('/')}_epochs"
@@ -126,9 +144,26 @@ class CorpusCurationPipeline:
         n_quality = passed.count()
         self._quarantine(batch.join(passed, "doc_id", "left_anti"), "quality")
 
+        # 1.5 decontamination gate (optional): docs sharing eval-set
+        # k-grams are quarantined BEFORE any dedup work is spent on them
+        if self._eval_sh is not None:
+            bad = contaminated_ids(
+                passed,
+                self._eval_sh,
+                k=self.decontam_k,
+                min_hits=self.decontam_min_hits,
+            )
+            self._quarantine(
+                passed.join(bad, "doc_id", "left_semi"), "contaminated"
+            )
+            clean = passed.join(bad, "doc_id", "left_anti").persist()
+        else:
+            clean = passed
+        n_decontam = clean.count() if self._eval_sh is not None else n_quality
+
         # 2. exact-dup gate: against history (fingerprint sidecar), then
         # keep-min-id within the batch
-        fps = passed.join(fingerprint(passed), "doc_id")  # + fp column
+        fps = clean.join(fingerprint(clean), "doc_id")  # + fp column
         seen = self._read_or_none(self.fp_index_dir, epoch_id)
         if seen is not None:
             hist_dup = fps.join(seen.select("fp"), "fp", "left_semi")
@@ -192,10 +227,13 @@ class CorpusCurationPipeline:
                 "epoch": epoch_id,
                 "arrived": n_arrived,
                 "quality_pass": n_quality,
+                "after_decontam": n_decontam,
                 "after_exact": n_exact,
                 "accepted": n_accepted,
             }
         )
+        if clean is not passed:
+            clean.unpersist()
         passed.unpersist()
         fresh.unpersist()
         survivors.unpersist()

@@ -167,3 +167,36 @@ def test_quantize_codes_fit_int8(spark):
     # quantization of unit-ish vectors keeps mse tiny relative to scale
     worst = out.agg(F.max(F.col("mse") / (F.col("scale") * F.col("scale") + F.lit(1e-18)))).collect()[0][0]
     assert worst <= 1.0
+
+
+# --- two-stage quantized ANN ---
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"].cache()
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    quant = similarity.quantized_topk(emb, queries, k=10, oversample=4)
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    qu = {(r.query_id, r.vec_id) for r in quant.collect()}
+    assert len(qu) == len(ex)
+    recall = len(ex & qu) / len(ex)
+    # int8 floor-quantization at 4x oversampling: near-lossless prefilter
+    assert recall >= 0.95, recall
+    # exact re-score: every returned similarity matches the exact path
+    ex_sim = {(r.query_id, r.vec_id): r.cos_sim for r in exact.collect()}
+    for r in quant.collect():
+        if (r.query_id, r.vec_id) in ex_sim:
+            assert r.cos_sim == ex_sim[(r.query_id, r.vec_id)]
+
+
+def test_quantized_topk_deterministic(spark):
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.quantized_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()
+    b = similarity.quantized_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()
+    assert a == b

@@ -110,3 +110,41 @@ def test_posting_sidecar_tracks_accepted(spark, pipe):
     # per-doc posting count equals its recorded distinct-shingle count
     bad = posts.groupBy("doc_id", "n_sh").count().filter("count != n_sh")
     assert bad.count() == 0
+
+
+def test_decontamination_gate_quarantines_eval_overlap(spark, tmp_path):
+    rng = random.Random(11)
+    eval_text = _doc(rng)
+    eval_docs = spark.createDataFrame(
+        [(1000, eval_text)], "doc_id long, text string"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pipe = CorpusCurationPipeline(
+        spark,
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        eval_docs=eval_docs,
+        decontam_min_hits=1,
+    )
+    # doc 2 embeds a verbatim eval span (>= 3 tokens); docs 1,3 clean
+    leak = " ".join(eval_text.split()[5:9])
+    rows = [
+        (1, _doc(rng), "s"),
+        (2, _doc(rng) + " " + leak, "s"),
+        (3, _doc(rng), "s"),
+    ]
+    _write(rows, f"{landing}/b1.csv")
+    pipe.run_available_now()
+    s = pipe.stats[-1]
+    assert s["quality_pass"] == 3 and s["after_decontam"] == 2
+    assert s["accepted"] == 2
+    corpus = {r.doc_id for r in spark.read.parquet(pipe.corpus_dir).collect()}
+    assert corpus == {1, 3}
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    assert reasons == {2: "contaminated"}

@@ -87,6 +87,22 @@ task.""",
 per-token md5 bucket/sign (all built-in exprs), ONE hash exchange on
 (doc_id, bucket) for the signed counts. The dense variant used by ANN is
 shuffle-free entirely (per-row array expression).""",
+    "eval_contamination": """Train/eval decontamination: the eval split's
+distinct shingle set (small side) BROADCASTs into a LeftSemi against the
+training postings — the corpus is filtered map-side with zero corpus
+shuffle; the only data exchange is the per-doc hit aggregate.""",
+    "embedding_quantization": """int8 scalar quantization: entirely per-row
+array expressions (scale, codes, in-order error fold) — a single scan with
+no exchange before the presentation sort. The shape that matters at 100 TB:
+quantizing N vectors is exactly one pass over N rows.""",
+    "doc_token_ids": """Vocabulary encode: the 256-row vocab relation
+broadcasts into the exploded token stream (no corpus shuffle to join),
+and each doc reassembles in-order via array_sort of (pos, id) structs in
+ONE per-doc aggregate. The only full-width exchange is that aggregate.""",
+    "shuffled_corpus_order": """Deterministic global shuffle: md5-keyed
+shard assignment then a row_number PARTITIONED by shard — each window task
+sorts one shard, never the corpus. At 100 TB n_shards scales with the
+corpus so per-task work is constant.""",
 }
 
 
