@@ -202,6 +202,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.5,
     use_lsh: bool = False,
     max_shingle_df: int | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation: exact dedup (keep min id per
     fingerprint), then greedy near-dup removal (drop the higher id of
@@ -222,7 +223,8 @@ def curate_corpus(
     survivors = _scoped_cache(dedup_exact(df, id_col, text_col), "curate_survivors")
     if use_lsh:
         pairs = minhash_lsh_pairs(
-            survivors, id_col, text_col, k=k, threshold=near_dup_threshold
+            survivors, id_col, text_col, k=k, threshold=near_dup_threshold,
+            min_parallelism=min_parallelism,
         )
     else:
         pairs = ngram_jaccard_pairs(
@@ -247,6 +249,7 @@ def minhash_band_buckets(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     seed: int = 7,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """(doc_id, array<bigint> of per-band bucket ids) — the LSH posting
     input, computed shuffle-free.
@@ -257,13 +260,23 @@ def minhash_band_buckets(
     ``minimum.reduceat`` per Arrow batch; band buckets mix the band's
     rows in the same pass.  No explode, no signature shuffle — the only
     shuffle in the whole LSH pipeline is the candidate equi-join.
+
+    ``min_parallelism``: the Arrow fold parallelizes over INPUT SPLITS,
+    which a 100 TB corpus has by the hundred-thousand (so leave this
+    None there: signatures stay shuffle-free).  A small single-file
+    corpus has exactly one split, serializing the Python stage behind
+    one core; setting this hash-repartitions the docs first — one
+    linear pass of the text through the exchange, bought back ~corewise
+    by the now-parallel fold.  Registry/bench call sites set it to the
+    session's shuffle partitions.
     """
     n_bands = num_hashes // rows_per_band
     rng = np.random.default_rng(seed)
     A = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     B = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
 
-    sh = with_shingles(df, id_col, text_col, k, hashed=True)
+    src = df.repartition(min_parallelism, id_col) if min_parallelism else df
+    sh = with_shingles(src, id_col, text_col, k, hashed=True)
 
     def _fold(batches):
         for pdf in batches:
@@ -304,6 +317,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 64,
     rows_per_band: int = 2,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH banding for candidates, exact Jaccard verify.
 
@@ -315,7 +329,10 @@ def minhash_lsh_pairs(
     # cache: both sides of the candidate self-join consume the signature
     # relation — without the cache the Python signature stage runs twice
     sig = _scoped_cache(
-        minhash_band_buckets(df, id_col, text_col, k, num_hashes, rows_per_band),
+        minhash_band_buckets(
+            df, id_col, text_col, k, num_hashes, rows_per_band,
+            min_parallelism=min_parallelism,
+        ),
         "minhash_sig",
     )
     bands = sig.select(F.col(id_col), F.posexplode("buckets").alias("band", "bucket"))

@@ -175,9 +175,12 @@ def q_ngram_jaccard_near_dups(spark, sf_dir):
 # the candidate-recall is ~1-1e-4, so the oracle is the exact query.
 @register("minhash_lsh_near_dups", NGRAM_JACCARD_SQL, "ext: MinHash-LSH near-dup")
 def q_minhash_lsh_near_dups(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    # single-file testdata = one input split; fan the signature fold out
+    # to the session's shuffle width (no-op semantically — see operator)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, min_parallelism=par
+    ).orderBy("id_a", "id_b")
 
 
 # SimHash: signature semantics are not reasonably SQL-expressible ->
@@ -523,7 +526,10 @@ def q_near_dup_clusters(spark, sf_dir):
     # Edges via the MinHash-LSH scale path (banding recall at this
     # threshold is total — pinned in tests/test_extensions.py — so the
     # exact-Jaccard recursive-CTE oracle still matches).
-    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, min_parallelism=par
+    )
     return components.near_dup_clusters(pairs).orderBy("doc_id")
 
 

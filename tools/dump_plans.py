@@ -103,6 +103,10 @@ ONE per-doc aggregate. The only full-width exchange is that aggregate.""",
 shard assignment then a row_number PARTITIONED by shard — each window task
 sorts one shard, never the corpus. At 100 TB n_shards scales with the
 corpus so per-task work is constant.""",
+    "ann_quantized_topk": """Two-stage quantized ANN: stage 1 scores the
+NARROW int8-code relation (1/4 the scan bytes — the quantity that bounds
+a 100 TB embedding sweep) with an integer-dot fold; stage 2 joins only
+the oversample*k candidates back to full precision for exact cosine.""",
 }
 
 

@@ -150,14 +150,30 @@ def generate(
             )
         )
 
-    out_dir.mkdir(parents=True, exist_ok=True)
+    # one parquet file per base-corpus-sized chunk, under a
+    # documents.parquet DIRECTORY (spark.read.parquet reads it the same
+    # way): at real scale file count grows with the data, and scan/
+    # shingle parallelism with it — a single 10x file would serialize
+    # the pre-shuffle stages behind one input split and misreport the
+    # candidate join as superlinear
+    tbl = out_dir / "documents.parquet"
+    if tbl.exists():
+        import shutil
+
+        shutil.rmtree(tbl)
+    tbl.mkdir(parents=True)
+    chunk = stats["n_docs"]
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
         "source VARCHAR, n_chars BIGINT)"
     )
-    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
-    con.execute(f"COPY d TO '{out_dir}/documents.parquet' (FORMAT PARQUET)")
+    for ci in range(0, n_docs, chunk):
+        con.execute("DELETE FROM d")
+        con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows[ci : ci + chunk])
+        con.execute(
+            f"COPY d TO '{tbl}/part-{ci // chunk:05d}.parquet' (FORMAT PARQUET)"
+        )
     return n_docs
 
 
