@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
         "embedding_quantization",
         "doc_token_ids",
         "ann_quantized_topk",
+        "weekly_users_from_daily_sketches",
         after=0,
     )
 

@@ -377,3 +377,33 @@ def q_daily_event_type_map(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# Re-aggregatable distinct counting: persist one tiny Datasketches HLL
+# per day, answer ANY date-range distinct query later by merging
+# sketches — at 100 TB the raw events are scanned once ever, and every
+# rollup reads KBs of sketch state instead.  (approx_count_distinct
+# cannot do this: its partial state is not exposed.)  Approximate ->
+# rows-only; the merge-vs-direct identity and the error bound are
+# pinned in tests/test_sketches.py.
+@register(
+    "weekly_users_from_daily_sketches",
+    None,
+    "sketch: re-aggregatable HLL (daily sketches merged to weekly)",
+)
+def q_weekly_users_from_daily_sketches(spark, sf_dir):
+    events = _events(spark, sf_dir)
+    daily = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(
+            F.year("event_date").alias("year"),
+            F.weekofyear("event_date").alias("week"),
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("year", "week")
+    )

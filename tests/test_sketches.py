@@ -45,3 +45,28 @@ def test_quantile_sketch_brackets_exact(spark):
         spread = abs(p95 - p50) or 1.0
         assert abs(got[et][0] - p50) / spread < 0.05
         assert abs(got[et][1] - p95) / spread < 0.05
+
+
+def test_weekly_sketch_merge_matches_direct_and_exact(spark):
+    events = load_testdata(spark, SF, "events")["events"]
+    wk = [F.year(F.to_date("ts")).alias("year"), F.weekofyear(F.to_date("ts")).alias("week")]
+    exact = {
+        (r.year, r.week): r.n
+        for r in events.groupBy(*wk).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    merged = {
+        (r.year, r.week): r.approx_users
+        for r in queries_map()["weekly_users_from_daily_sketches"](spark, SF).collect()
+    }
+    # sketching the week directly must equal merging the daily sketches
+    # (the re-aggregation property HLL sketches exist for)
+    direct = {
+        (r.year, r.week): r.est
+        for r in events.groupBy(*wk)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for k, n in exact.items():
+        assert merged[k] == direct[k], f"{k}: merge {merged[k]} != direct {direct[k]}"
+        assert abs(merged[k] - n) / n <= 0.10
