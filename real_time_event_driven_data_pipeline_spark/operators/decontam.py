@@ -88,6 +88,7 @@ def contamination_stats(
     k: int = 3,
     hashed: bool = True,
     broadcast_eval: bool = True,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Per-training-doc overlap with the eval shingle set.
 
@@ -97,6 +98,11 @@ def contamination_stats(
     eval set and ``hit_ratio = n_hit / n_shingles`` (raw double
     division of exact integers — deterministic cross-engine).
     """
+    # shingling parallelizes over input splits; a single-file test table
+    # has one, so allow fanning the train side out first (semantic no-op
+    # — see dedup.minhash_band_buckets for the full rationale)
+    if min_parallelism:
+        train_docs = train_docs.repartition(min_parallelism, id_col)
     train_sh = with_shingles(train_docs, id_col, text_col, k=k, hashed=hashed)
     # keep n_shingles BEFORE exploding so docs are not re-shingled later
     train_posts = train_sh.select(

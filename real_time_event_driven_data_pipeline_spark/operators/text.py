@@ -490,8 +490,9 @@ def shuffle_shards(
     corpus — the "global shuffle" step before training, without any
     RNG state (re-runs, re-shards and resumed jobs agree).
 
-    shard = first 4 md5-hex chars of a salted id mod ``n_shards``
-    (the ``train_split`` convention); pos = rank of the full md5 key
+    shard = first 8 md5-hex chars of a salted id mod ``n_shards``
+    (the ``train_split`` hex convention, widened to 32 bits so shard
+    counts up to ~4e9 stay uniform); pos = rank of the full md5 key
     within the shard.  The within-shard ``row_number`` window is
     PARTITIONED by shard, so the sort is distributed: at 100 TB pick
     ``n_shards`` ~ corpus_bytes / desired_shard_bytes (tens of
@@ -500,7 +501,7 @@ def shuffle_shards(
     this backs the training-data-layout extension family.
     """
     key = F.md5(F.concat(F.lit("shuf:"), F.col(id_col).cast("string")))
-    shard = (F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % n_shards).cast(
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards).cast(
         "int"
     )
     keyed = df.select(F.col(id_col), key.alias("_k"), shard.alias("shard"))

@@ -1033,7 +1033,10 @@ def q_eval_contamination(spark, sf_dir):
     split = text.train_split(docs)
     train = docs.join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
     ev = docs.join(split.filter(F.col("split") == "test"), "doc_id", "left_semi")
-    return decontam.contamination_stats(train, ev, k=3, hashed=True).orderBy("doc_id")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return decontam.contamination_stats(
+        train, ev, k=3, hashed=True, min_parallelism=par
+    ).orderBy("doc_id")
 
 
 # --- deterministic global shuffle (training-order assignment) ---
@@ -1042,7 +1045,7 @@ SHUFFLE_SHARDS_SQL = """
 WITH keyed AS (
     SELECT doc_id,
            md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
-           CAST(CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
+           CAST(CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))
                      AS BIGINT) % 8 AS INTEGER) AS shard
     FROM documents
 )
