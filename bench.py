@@ -67,6 +67,13 @@ def main() -> None:
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     passes: list[dict[str, float]] = []
     for p in range(n_passes):
+        if p:
+            # between-pass maintenance a long-lived session would do:
+            # drop cached relations left by the previous pass and give
+            # the JVM one full collection, so pass-2 numbers measure the
+            # queries rather than accumulated old-gen garbage
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         pass_times: dict[str, float] = {}
         for name, fn in queries_map().items():
             t0 = time.perf_counter()

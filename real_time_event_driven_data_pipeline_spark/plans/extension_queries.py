@@ -187,9 +187,13 @@ def q_minhash_lsh_near_dups(spark, sf_dir):
 # rows-only for the driver; pinned against brute-force in pytest.
 @register("simhash_near_pairs", None, "ext: SimHash near-dup banding")
 def q_simhash_near_pairs(spark, sf_dir):
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    # the per-doc signature expressions (higher-order functions run
+    # interpreted, not codegen'd) parallelize over input splits; fan a
+    # single-file table out first — semantic no-op, see
+    # dedup.minhash_band_buckets
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _docs(spark, sf_dir).repartition(par, "doc_id")
+    return dedup.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 # --- end-to-end corpus curation (quality gate -> exact dedup ->
@@ -238,12 +242,18 @@ ORDER BY doc_id
 
 @register("curated_corpus", CURATE_SQL, "ext: quality gate + exact dedup + near-dup removal pipeline")
 def q_curated_corpus(spark, sf_dir):
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # fan the single-file table out before the interpreted-HOF stages
+    # (quality regex battery, fingerprints, shingles) — semantic no-op,
+    # see dedup.minhash_band_buckets
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
     qualified = text.quality_filter(docs)
     # LSH pair generation (the scale path); output identical to the
     # exact path at this threshold — pinned in tests/test_extensions.py
     return (
-        dedup.curate_corpus(qualified, use_lsh=True).select("doc_id").orderBy("doc_id")
+        dedup.curate_corpus(qualified, use_lsh=True, min_parallelism=par)
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 
