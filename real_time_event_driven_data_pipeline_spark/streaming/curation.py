@@ -126,11 +126,16 @@ class CorpusCurationPipeline:
             return
         if epoch_committed(self.spark, self.epoch_marker_dir, epoch_id):
             return  # post-success replay (checkpoint lagged the publish)
-        batch = batch_df.persist()
-        try:
-            self._gate_pinned(batch, epoch_id)
-        finally:
-            batch.unpersist()
+        # localCheckpoint (not persist): the gate layers each reference
+        # their parents several times, and Spark's plan-string generation
+        # re-prints a subtree PER REFERENCE — with 4+ layered gates the
+        # SQL-listener explain work grows exponentially in gate depth
+        # (measured: a streaming thread spending minutes inside
+        # TreeNode.generateTreeString).  Checkpointing collapses each
+        # layer to a leaf: plans stay O(layer), and the micro-batch is
+        # materialized once instead of recomputed per consumer.
+        batch = batch_df.localCheckpoint(eager=True)
+        self._gate_pinned(batch, epoch_id)
 
     def _gate_pinned(self, batch: DataFrame, epoch_id: int) -> None:
         n_arrived = batch.count()
@@ -140,7 +145,7 @@ class CorpusCurationPipeline:
         self._pending_quarantine: list[DataFrame] = []
 
         # 1. quality gate
-        passed = quality_filter(batch, **self.quality_kwargs).persist()
+        passed = quality_filter(batch, **self.quality_kwargs).localCheckpoint()
         n_quality = passed.count()
         self._quarantine(batch.join(passed, "doc_id", "left_anti"), "quality")
 
@@ -156,7 +161,7 @@ class CorpusCurationPipeline:
             self._quarantine(
                 passed.join(bad, "doc_id", "left_semi"), "contaminated"
             )
-            clean = passed.join(bad, "doc_id", "left_anti").persist()
+            clean = passed.join(bad, "doc_id", "left_anti").localCheckpoint()
         else:
             clean = passed
         n_decontam = clean.count() if self._eval_sh is not None else n_quality
@@ -172,7 +177,7 @@ class CorpusCurationPipeline:
         keep_min = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         batch_dup = fps.join(keep_min, ["fp", "doc_id"], "left_anti")
         self._quarantine(batch_dup.drop("fp"), "exact_dup")
-        fresh = fps.join(keep_min, ["fp", "doc_id"], "left_semi").persist()
+        fresh = fps.join(keep_min, ["fp", "doc_id"], "left_semi").localCheckpoint()
         n_exact = fresh.count()
 
         # 3. near-dup gate: new batch vs the posting index + within batch
@@ -202,7 +207,7 @@ class CorpusCurationPipeline:
         self._quarantine(
             fresh.drop("fp").join(drop, "doc_id", "left_semi"), "near_dup"
         )
-        survivors = fresh.join(drop, "doc_id", "left_anti").persist()
+        survivors = fresh.join(drop, "doc_id", "left_anti").localCheckpoint()
         n_accepted = survivors.count()
 
         # 4. publish: corpus rows + both sidecars (accepted only) +
@@ -232,11 +237,7 @@ class CorpusCurationPipeline:
                 "accepted": n_accepted,
             }
         )
-        if clean is not passed:
-            clean.unpersist()
-        passed.unpersist()
-        fresh.unpersist()
-        survivors.unpersist()
+        # checkpointed blocks are freed when the frames are GC'd
 
     def run_available_now(self, listener=None) -> None:
         """One activation: drain currently landed files, then stop."""
