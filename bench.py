@@ -18,10 +18,14 @@ no driver-side collect of large results); session bootstrap is
 excluded — at 100 TB the session is long-lived, queries are not.
 
 Noise damping: the full query loop runs ``$SPARK_GRAFT_BENCH_PASSES``
-times (default 2) and each query reports its fastest pass — co-tenant
-CPU variance on this box is ±2x, and per-query min across two passes
-is reproducible within ~15% while a single pass is not.  Per-pass
-timings are preserved in BENCH_DETAIL.json under ``passes``.
+times (default 3); pass 1 is a discarded warm-up (it absorbs Python
+worker forks, code-cache JIT, and page-cache misses — observed pass-1
+vs pass-2 deltas up to 70x on this co-tenant box) and each query
+reports its fastest pass among passes 2..N.  The round-3 recorded
+total misstated the engine by 2x with min-of-2-including-cold;
+min-of-warm-passes is reproducible within ~15%.  Per-pass timings
+(including the discarded warm-up) are preserved in BENCH_DETAIL.json
+under ``passes``.
 """
 
 from __future__ import annotations
@@ -64,7 +68,7 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []
     for p in range(n_passes):
         if p:
@@ -86,7 +90,10 @@ def main() -> None:
             )
         passes.append(pass_times)
 
-    timings = {name: min(pt[name] for pt in passes) for name in passes[0]}
+    # discard the warm-up pass when there is more than one: min over
+    # warm passes only, so cold-start noise cannot enter the headline
+    warm = passes[1:] if n_passes > 1 else passes
+    timings = {name: min(pt[name] for pt in warm) for name in passes[0]}
     total = round(sum(timings.values()), 3)
     detail_path = REPO / "BENCH_DETAIL.json"
     detail_path.write_text(

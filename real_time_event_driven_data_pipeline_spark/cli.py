@@ -144,7 +144,15 @@ def cmd_maintain(spark: SparkSession, args) -> int:
         compact_partitions,
         compact_unpartitioned,
         partition_file_stats,
+        recover_compaction,
     )
+
+    # crash-window recovery first, unconditionally: a maintain run that
+    # died inside compact_unpartitioned's directory swap leaves the
+    # table at <path>.compact-old — restore it before touching anything,
+    # so recovery needs no operator knowledge (r3 verdict item 7)
+    if recover_compaction(spark, args.path):
+        logger.warning("recovered %s from interrupted compaction", args.path)
 
     target = args.target_file_mb * 1024 * 1024
     if not args.partition_cols:

@@ -81,3 +81,70 @@ def asof_join(
             ],
         )
     return out
+
+
+_ASOF_AGG_FNS = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def asof_aggregate(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    aggs: dict[str, tuple[str, str]] | None = None,
+    include_equal: bool = True,
+) -> DataFrame:
+    """Grouped as-of variant: for each left row, aggregate over ALL
+    right rows with ``right.on <= left.on`` in the same ``by`` group —
+    not just the latest one (``asof_join``), and with no fixed lower
+    bound (the range join).  E.g. "clicks by this user up to this
+    purchase".
+
+    ``aggs`` maps output column -> (right value column, fn) with fn in
+    {count, sum, min, max, avg}.  ``count`` counts matching right ROWS
+    (0 when none); the others return null when no row matches (SQL
+    aggregate-over-empty semantics, so a LEFT JOIN + GROUP BY oracle
+    agrees).  ``include_equal=False`` makes the bound strict (<).
+
+    Same plan shape as ``asof_join``: union the tagged sides, ONE
+    shuffle on ``by``, and a single sorted cumulative-window scan —
+    never the |L|x|R| inequality-join blow-up.  avg is computed as
+    cumulative sum / cumulative count at the end (no second pass).
+    """
+    by = by or []
+    aggs = aggs or {}
+
+    l_tagged = left.select(*left.columns, F.lit(1).alias("__side"))
+    need = sorted({c for c, _ in aggs.values()})
+    r_tagged = right.select(
+        *by, F.col(on), F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__rv_{c}") for c in need],
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # right rows (side=0) sort before left rows at equal ts -> <=
+    # semantics; after left rows (side first, desc via flipping order)
+    # for strict < the right row at the same ts must NOT be seen yet,
+    # so left rows sort first instead.
+    side_order = F.col("__side") if include_equal else -F.col("__side")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    tmp = unioned
+    for name, (col, fn) in aggs.items():
+        rv = F.col(f"__rv_{col}")
+        if fn == "count":
+            expr = F.count(F.when(F.col("__side") == 0, F.lit(1))).over(w)
+        elif fn in _ASOF_AGG_FNS:
+            expr = _ASOF_AGG_FNS[fn](F.when(F.col("__side") == 0, rv)).over(w)
+        elif fn == "avg":
+            s = F.sum(F.when(F.col("__side") == 0, rv)).over(w)
+            c = F.count(F.when(F.col("__side") == 0, rv)).over(w)
+            expr = s / F.nullif(c.cast("double"), F.lit(0.0))
+        else:
+            raise ValueError(f"unknown asof aggregate fn {fn!r} for {name!r}")
+        tmp = tmp.withColumn(name, expr)
+    return tmp.filter(F.col("__side") == 1).select(*left.columns, *list(aggs))

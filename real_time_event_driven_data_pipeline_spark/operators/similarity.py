@@ -185,6 +185,30 @@ def _lsh_signature_udf(planes: np.ndarray):
     return sig
 
 
+def _lsh_signature_udf_lazy(seed: int, n_tables: int, n_planes: int):
+    """Like ``_lsh_signature_udf`` but the hyperplanes are generated ON
+    THE EXECUTOR from (seed, observed dim) at first batch — so building
+    the plan triggers no driver action to discover the vector length.
+    Every executor derives the identical planes (seeded PRNG, and all
+    vectors in a column share one dim), so signatures stay consistent
+    across partitions and across the corpus/query sides.
+    """
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    table_tag = (np.arange(n_tables, dtype=np.int64) << n_planes)
+
+    @F.pandas_udf("array<bigint>")
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (batch, dim) float64
+        dim = mat.shape[1]
+        planes = np.random.default_rng(seed).standard_normal((n_tables, n_planes, dim))
+        flat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
+        bits = (mat @ flat >= 0).reshape(len(v), n_tables, n_planes)
+        buckets = (bits * weights).sum(axis=2) + table_tag  # (batch, T)
+        return pd.Series(list(buckets))
+
+    return sig
+
+
 def _nearest_centroids_udf(centroids: np.ndarray, n_probe: int):
     """Arrow-vectorized assignment: ids of the n_probe nearest centroids
     (by cosine) per vector, as array<int>."""
@@ -289,7 +313,7 @@ def ivf_ann(
 def lsh_bucket_ann(
     corpus: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     n_planes: int = 5,
     n_tables: int = 16,
     k: int = 10,
@@ -305,10 +329,18 @@ def lsh_bucket_ann(
     query: each query probes its n_tables posting lists only, and the
     candidate set (not the corpus) pays the exact-cosine cost.  Tune
     n_planes up as corpus density grows (bucket occupancy ~ N/2^p).
+
+    ``dim=None`` (default) defers hyperplane generation to the
+    executors (seeded, hence identical everywhere) so that building
+    this plan performs NO driver action; pass an explicit dim only to
+    pin plane reuse against a separately-built signature table.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-    sig = _lsh_signature_udf(planes)
+    if dim is None:
+        sig = _lsh_signature_udf_lazy(seed, n_tables, n_planes)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+        sig = _lsh_signature_udf(planes)
 
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
     q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
@@ -475,11 +507,15 @@ def quantized_topk(
         .filter(F.col("r") <= oversample * k)
         .select(query_id_col, id_col)
     )
-    # stage 2: exact re-score of candidates only (full-precision join)
+    # stage 2: exact re-score of candidates only.  The candidate list is
+    # bounded by construction (n_queries * oversample * k rows), so it —
+    # not the full-precision corpus — is the broadcast build side; left
+    # to stats the optimizer would happily broadcast the corpus at small
+    # SF, the exactly-backwards shape at 100 TB.
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
     q = queries.select(F.col(query_id_col), as_double(vec_col).alias("qv"))
     scored = (
-        cand.join(c, id_col)
+        c.join(F.broadcast(cand), id_col)
         .join(F.broadcast(q), query_id_col)
         .select(query_id_col, id_col, cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
     )

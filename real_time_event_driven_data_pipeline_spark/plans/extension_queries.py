@@ -315,8 +315,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim = len(emb.select("embedding").head()[0])
-    out = similarity.lsh_bucket_ann(emb, queries, dim=dim, k=10)
+    # dim=None: hyperplanes are derived executor-side from the seed and
+    # the runtime vector length — plan construction triggers no Spark
+    # job (pinned by tests/test_extensions.py's collect-poison fixture)
+    out = similarity.lsh_bucket_ann(emb, queries, k=10)
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
 
 
@@ -384,6 +386,96 @@ def q_purchase_click_attribution(spark, sf_dir):
     )
     return asof.asof_join(
         purchases, clicks, on="ts", by=["user_id"], values=["click_value"]
+    ).orderBy("event_id")
+
+
+# --- SCD2 dimension history (operators/scd2.py): collapse the order
+# log into versioned customer-priority intervals.  The oracle mirrors
+# the change-compression + interval-stitch windows exactly. ---
+
+SCD2_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+),
+changes AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM seq WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey, o_orderpriority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL AS is_current
+FROM changes
+ORDER BY o_custkey, valid_from, o_orderkey
+"""
+
+
+@register(
+    "customer_priority_history", SCD2_SQL, "custom op: SCD2 dimension history build"
+)
+def q_customer_priority_history(spark, sf_dir):
+    from ..operators import scd2
+
+    orders = load_testdata(spark, sf_dir, "orders")["orders"]
+    return scd2.scd2_build(
+        orders,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    ).orderBy("o_custkey", "valid_from", "o_orderpriority")
+
+
+# --- grouped as-of aggregate: ALL prior clicks per purchase, not just
+# the latest (operators/asof.py::asof_aggregate; r3 verdict item 8) ---
+
+ASOF_AGG_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       count(c.ts) AS n_clicks_before,
+       round(sum(c.value), 4) AS click_value_before,
+       max(c.value) AS max_click_before
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY p.event_id
+"""
+
+
+@register(
+    "clicks_before_purchase", ASOF_AGG_SQL, "custom op: grouped as-of aggregate"
+)
+def q_clicks_before_purchase(spark, sf_dir):
+    """The oracle's LEFT JOIN ON ts <= ts is |P|x|C| per user; the
+    engine's plan is the union + ONE cumulative window scan."""
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof.asof_aggregate(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        aggs={
+            "n_clicks_before": ("value", "count"),
+            "click_value_before": ("value", "sum"),
+            "max_click_before": ("value", "max"),
+        },
+    )
+    return out.withColumn(
+        "click_value_before", F.round("click_value_before", 4)
     ).orderBy("event_id")
 
 

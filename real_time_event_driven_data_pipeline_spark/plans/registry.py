@@ -77,28 +77,25 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
 
-    # round 3: everything else is driver-green across r1+r2 (95/99).
-    # Put the 4 never-driver-sampled queries FIRST, followed by the 4
-    # queries whose plans were rewritten this round (single-partition
-    # window removal) so the driver re-hashes the new plans; the rest
-    # keep their r2 order behind them.
+    # round 4: every oracle-backed query is driver-green at its latest
+    # sample (union r1-r3: 98/98).  Put this round's NEW queries and
+    # the ones whose plans/behavior changed this round FIRST so the
+    # driver (re-)hashes them, then the r3-rewritten curated_corpus
+    # (verdict item 5); the rest keep their order behind them.
     _prioritize(
-        "daily_event_type_map",
-        "both_priority_customers",
-        "top_order_percentiles",
-        "monthly_orders_vs_shipments",
-        "acctbal_deciles",
-        "context_packing",
-        "top_revenue_suppliers",
-        # new in round 3 (never sampled) and round-3 behavior changes
-        "hashed_doc_embeddings",
-        "stratified_sample_counts",
-        "eval_contamination",
-        "shuffled_corpus_order",
-        "embedding_quantization",
-        "doc_token_ids",
-        "ann_quantized_topk",
+        # new in round 4
+        "clicks_before_purchase",  # grouped as-of aggregate
+        "customer_priority_history",  # SCD2 history build
+        # changed in round 4: week bucketing (date_trunc), lazy LSH
+        # planes, stage-2 candidate broadcast (latter two rows-only)
         "weekly_users_from_daily_sketches",
+        "ann_lsh_topk",
+        "ann_quantized_topk",
+        # r3-rewritten, promoted for a fresh post-rewrite oracle hash
+        "curated_corpus",
+        "minhash_lsh_near_dups",
+        "simhash_near_pairs",
+        "media_features",
         after=0,
     )
 

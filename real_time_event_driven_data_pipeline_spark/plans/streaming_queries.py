@@ -396,14 +396,15 @@ def q_weekly_users_from_daily_sketches(spark, sf_dir):
     daily = events.groupBy(F.to_date("ts").alias("event_date")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    # week key = the week's Monday via date_trunc, NOT calendar-year +
+    # ISO-week-number: pairing year() with weekofyear() mis-buckets
+    # year-boundary dates (2024-12-30 has ISO week 1 and would land in
+    # (2024, 1) next to early January).  One date key is unambiguous.
     return (
-        daily.groupBy(
-            F.year("event_date").alias("year"),
-            F.weekofyear("event_date").alias("week"),
-        )
+        daily.groupBy(F.date_trunc("week", "event_date").cast("date").alias("week_start"))
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
             F.count(F.lit(1)).alias("n_days"),
         )
-        .orderBy("year", "week")
+        .orderBy("week_start")
     )

@@ -72,6 +72,7 @@ class CorpusCurationPipeline:
         eval_docs: DataFrame | None = None,
         decontam_k: int = 3,
         decontam_min_hits: int = 1,
+        reliable_checkpoints: bool = False,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -98,10 +99,35 @@ class CorpusCurationPipeline:
             if eval_docs is not None
             else None
         )
+        # durability of the intra-gate pins (see _pin): localCheckpoint
+        # stores blocks unreplicated on executors, so an executor loss
+        # (or dynamic-allocation decommission) mid-gate fails the
+        # micro-batch — which then RETRIES from the idempotent epoch
+        # protocol, so nothing is lost, only re-spent.  For long-lived
+        # production jobs where a mid-batch executor loss is routine,
+        # pass reliable_checkpoints=True and set
+        # ``spark.sparkContext.setCheckpointDir(...)``: pins then write
+        # to the (replicated) checkpoint dir and survive executor loss
+        # at the cost of one fs round-trip per pin.
+        self.reliable_checkpoints = reliable_checkpoints
         self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
         self.post_index_dir = f"{corpus_dir.rstrip('/')}_postidx"
         self.epoch_marker_dir = f"{corpus_dir.rstrip('/')}_epochs"
         self.stats: list[dict] = []
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Materialize an intermediate once and truncate its lineage
+        (the gate layers reference their parents repeatedly; see _gate).
+        Reliable mode trades a checkpoint-dir write for executor-loss
+        durability; local mode trades durability for speed."""
+        if self.reliable_checkpoints:
+            if self.spark.sparkContext.getCheckpointDir() is None:
+                raise ValueError(
+                    "reliable_checkpoints=True requires "
+                    "spark.sparkContext.setCheckpointDir(...)"
+                )
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     # -- helpers ---------------------------------------------------------
 
@@ -134,7 +160,7 @@ class CorpusCurationPipeline:
         # TreeNode.generateTreeString).  Checkpointing collapses each
         # layer to a leaf: plans stay O(layer), and the micro-batch is
         # materialized once instead of recomputed per consumer.
-        batch = batch_df.localCheckpoint(eager=True)
+        batch = self._pin(batch_df)
         self._gate_pinned(batch, epoch_id)
 
     def _gate_pinned(self, batch: DataFrame, epoch_id: int) -> None:
@@ -145,7 +171,7 @@ class CorpusCurationPipeline:
         self._pending_quarantine: list[DataFrame] = []
 
         # 1. quality gate
-        passed = quality_filter(batch, **self.quality_kwargs).localCheckpoint()
+        passed = self._pin(quality_filter(batch, **self.quality_kwargs))
         n_quality = passed.count()
         self._quarantine(batch.join(passed, "doc_id", "left_anti"), "quality")
 
@@ -161,7 +187,7 @@ class CorpusCurationPipeline:
             self._quarantine(
                 passed.join(bad, "doc_id", "left_semi"), "contaminated"
             )
-            clean = passed.join(bad, "doc_id", "left_anti").localCheckpoint()
+            clean = self._pin(passed.join(bad, "doc_id", "left_anti"))
         else:
             clean = passed
         n_decontam = clean.count() if self._eval_sh is not None else n_quality
@@ -177,7 +203,7 @@ class CorpusCurationPipeline:
         keep_min = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         batch_dup = fps.join(keep_min, ["fp", "doc_id"], "left_anti")
         self._quarantine(batch_dup.drop("fp"), "exact_dup")
-        fresh = fps.join(keep_min, ["fp", "doc_id"], "left_semi").localCheckpoint()
+        fresh = self._pin(fps.join(keep_min, ["fp", "doc_id"], "left_semi"))
         n_exact = fresh.count()
 
         # 3. near-dup gate: new batch vs the posting index + within batch
@@ -207,7 +233,7 @@ class CorpusCurationPipeline:
         self._quarantine(
             fresh.drop("fp").join(drop, "doc_id", "left_semi"), "near_dup"
         )
-        survivors = fresh.join(drop, "doc_id", "left_anti").localCheckpoint()
+        survivors = self._pin(fresh.join(drop, "doc_id", "left_anti"))
         n_accepted = survivors.count()
 
         # 4. publish: corpus rows + both sidecars (accepted only) +

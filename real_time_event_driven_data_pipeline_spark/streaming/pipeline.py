@@ -22,8 +22,9 @@ Two KPI modes:
   1-day window aggregation with a watermark bounding state.  Semantic
   delta vs the reference (documented, SURVEY §2.9): rows later than
   the watermark are dropped instead of triggering recompute, and exact
-  ``countDistinct`` is replaced by ``approx_count_distinct`` (exact
-  distinct is unsupported in streaming aggregation).
+  ``countDistinct`` is replaced by ``approx_count_distinct``, or by a
+  mergeable Datasketches HLL sketch with ``distinct_mode="sketch"``
+  (exact distinct is unsupported in streaming aggregation).
 """
 
 from __future__ import annotations
@@ -200,22 +201,49 @@ def streaming_windowed_kpis(
     user_col: str = "user_id",
     window: str = "1 day",
     watermark: str = "1 day",
+    distinct_mode: str = "approx",
 ) -> DataFrame:
     """Spark-native incremental KPI aggregation for a streaming frame.
 
-    Watermark bounds state; ``approx_count_distinct`` substitutes for
-    the streaming-unsupported exact countDistinct (documented
-    tolerance; the batch twin uses exact countDistinct).
+    Watermark bounds state.  Exact countDistinct is unsupported in
+    streaming aggregation (SURVEY §4.3); ``distinct_mode`` picks the
+    substitute:
+
+    - ``"approx"`` (default): ``approx_count_distinct`` — an estimate
+      only, nothing downstream can re-aggregate.
+    - ``"sketch"``: Datasketches HLL via ``hll_sketch_agg`` — emits the
+      same ``approx_unique_users`` estimate PLUS the mergeable sketch
+      bytes (``user_sketch``), so served windows can later be rolled up
+      (day → week/month) with ``hll_union_agg`` without ever re-reading
+      the raw stream.  Error vs the batch exact twin is bounded in
+      tests/test_streaming.py.
     """
+    if distinct_mode == "sketch":
+        sk = F.hll_sketch_agg(user_col).alias("user_sketch")
+        distinct_cols = [
+            F.hll_sketch_estimate("user_sketch").alias("approx_unique_users"),
+            "user_sketch",
+        ]
+    elif distinct_mode == "approx":
+        sk = F.approx_count_distinct(user_col).alias("approx_unique_users")
+        distinct_cols = ["approx_unique_users"]
+    else:
+        raise ValueError(f"distinct_mode must be 'approx' or 'sketch', got {distinct_mode!r}")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 4).alias("sum_value"),
-            F.approx_count_distinct(user_col).alias("approx_unique_users"),
+            sk,
         )
-        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value", "approx_unique_users")
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+            *distinct_cols,
+        )
     )
 
 

@@ -135,3 +135,83 @@ def test_matches_pandas_merge_asof(spark, left_rows, right_rows):
         for r in asof_join(left, right, on="ts", by=["user"]).collect()
     }
     assert got == want_map
+
+
+# --- grouped as-of aggregate (asof_aggregate) ------------------------
+
+
+@pytest.fixture(scope="module")
+def agg_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2025-03-01T10:00:00")),
+            (2, "u1", _ts("2025-03-01T11:00:00")),
+            (3, "u2", _ts("2025-03-01T10:30:00")),
+            (4, "u3", _ts("2025-03-01T09:00:00")),  # no right rows
+        ],
+        "id bigint, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2025-03-01T09:55:00"), 10.0),
+            ("u1", _ts("2025-03-01T10:00:00"), 20.0),  # tie with left id=1
+            ("u1", _ts("2025-03-01T10:59:00"), 40.0),
+            ("u2", _ts("2025-03-01T10:31:00"), 99.0),  # after left id=3
+            ("u2", _ts("2025-03-01T10:00:00"), None),  # null value row
+        ],
+        "user string, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_aggregate_inclusive(spark, agg_frames):
+    from real_time_event_driven_data_pipeline_spark.operators.asof import asof_aggregate
+
+    left, right = agg_frames
+    got = {
+        r.id: (r.n, r.s, r.mx, r.av)
+        for r in asof_aggregate(
+            left,
+            right,
+            on="ts",
+            by=["user"],
+            aggs={
+                "n": ("v", "count"),
+                "s": ("v", "sum"),
+                "mx": ("v", "max"),
+                "av": ("v", "avg"),
+            },
+        ).collect()
+    }
+    assert got[1] == (2, 30.0, 20.0, 15.0)  # tie included, count counts ROWS
+    assert got[2] == (3, 70.0, 40.0, 70.0 / 3)
+    # u2: only the null-value row is <= 10:30 -> count 1 row, aggs null
+    assert got[3] == (1, None, None, None)
+    assert got[4] == (0, None, None, None)  # no right rows at all
+
+
+def test_asof_aggregate_strict_bound(spark, agg_frames):
+    from real_time_event_driven_data_pipeline_spark.operators.asof import asof_aggregate
+
+    left, right = agg_frames
+    got = {
+        r.id: (r.n, r.s)
+        for r in asof_aggregate(
+            left,
+            right,
+            on="ts",
+            by=["user"],
+            aggs={"n": ("v", "count"), "s": ("v", "sum")},
+            include_equal=False,
+        ).collect()
+    }
+    assert got[1] == (1, 10.0)  # the 10:00 tie now excluded
+    assert got[2] == (3, 70.0)
+
+
+def test_asof_aggregate_unknown_fn(spark, agg_frames):
+    from real_time_event_driven_data_pipeline_spark.operators.asof import asof_aggregate
+
+    left, right = agg_frames
+    with pytest.raises(ValueError, match="unknown asof aggregate"):
+        asof_aggregate(left, right, by=["user"], aggs={"x": ("v", "median")}).collect()

@@ -1,6 +1,7 @@
 """CLI jobs: exit-code contract (S8), CSV folder-as-table ingestion
 (S1/S2), and the transform job's executor-side KV sink (S6)."""
 
+import os
 import sqlite3
 
 import pytest
@@ -132,6 +133,43 @@ def test_maintain_unpartitioned_sidecar(spark, tmp_path):
     assert rc == 0
     assert sum(n for n, _ in partition_file_stats(spark, path).values()) == 1
     assert spark.read.parquet(path).count() == 50
+
+
+def test_maintain_recovers_crashed_compaction_first(spark, tmp_path):
+    """A maintain run that died inside compact_unpartitioned's swap
+    leaves the table at <path>.compact-old.  The NEXT `maintain` — even
+    one invoked on the partitioned code path — must restore it before
+    doing anything else (r3 verdict item 7: recovery reachable without
+    operator knowledge)."""
+    import shutil
+
+    from real_time_event_driven_data_pipeline_spark.sinks.maintenance import (
+        partition_file_stats,
+    )
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "table")
+    df = spark.range(100).select(
+        "id", F.concat(F.lit("d"), (F.col("id") % 2).cast("string")).alias("day")
+    )
+    for i in range(5):
+        df.filter(F.col("id") % 5 == i).write.mode("append").partitionBy("day").parquet(path)
+    # simulate the crash window: root moved aside, stale tmp left behind.
+    # The partitioned maintain branch itself never creates this state
+    # (dynamic-partition overwrite has no swap), but an earlier
+    # unpartitioned run on the same path can — and before the fix the
+    # partitioned branch would just fail on the missing root.
+    shutil.move(path, f"{path}.compact-old")
+    shutil.copytree(f"{path}.compact-old", f"{path}.compact-tmp")
+
+    rc = cli.main(["maintain", "--path", path, "--partition-cols", "day"])
+    assert rc == 0
+    assert not os.path.exists(f"{path}.compact-old")
+    assert not os.path.exists(f"{path}.compact-tmp")
+    after = partition_file_stats(spark, path)
+    assert all(n == 1 for n, _ in after.values())
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(range(100))
 
 
 def test_export_shards_from_corpus(spark, tmp_path):

@@ -99,6 +99,50 @@ def test_curation_pipeline_gates_across_activations(spark, pipe):
     assert fpidx.count() == len(corpus2)
 
 
+def test_reliable_checkpoint_mode_same_gating(spark, tmp_path):
+    """reliable_checkpoints=True routes every intra-gate pin through a
+    replicated checkpoint dir (survives executor loss; ADVICE r3) and
+    must gate identically to the default localCheckpoint mode."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pipe = CorpusCurationPipeline(
+        spark,
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        reliable_checkpoints=True,
+    )
+    rng = random.Random(7)
+    base = {i: _doc(rng) for i in range(1, 5)}
+    rows = [(i, t, "src") for i, t in base.items()] + [(9, base[1], "src")]
+    _write(rows, f"{landing}/batch1.csv")
+
+    if spark.sparkContext.getCheckpointDir() is None:
+        # without a checkpoint dir the misconfiguration fails fast
+        # (wrapped in the streaming query failure)
+        with pytest.raises(Exception, match="setCheckpointDir"):
+            pipe.run_available_now()
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+    pipe2 = CorpusCurationPipeline(
+        spark,
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus2"),
+        quarantine_dir=str(tmp_path / "quarantine2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        reliable_checkpoints=True,
+    )
+    pipe2.run_available_now()
+    corpus = {r.doc_id for r in spark.read.parquet(pipe2.corpus_dir).collect()}
+    assert corpus == set(base)
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe2.quarantine_dir).collect()
+    }
+    assert reasons == {9: "exact_dup"}
+
+
 def test_posting_sidecar_tracks_accepted(spark, pipe):
     pipe, landing = pipe
     rng = random.Random(3)

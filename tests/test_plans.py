@@ -17,6 +17,12 @@ CROSS_OK = {
     "validate_fk_orphans",
     "validate_duplicate_keys",
     "ann_cosine_topk",
+    # stage-1 int8 prefilter is the same intentional shape as
+    # ann_cosine_topk: a sweep over the NARROW quantized corpus against
+    # the broadcast bounded (8-row) query relation; stage 2 re-scores
+    # candidates only.  test_bounded_bnlj_build_sides pins that the
+    # broadcast side really is the bounded query relation.
+    "ann_quantized_topk",
     # scalar-subquery threshold: a single-row aggregate broadcast into
     # the filter IS a (free) broadcast nested-loop join by construction
     "idle_rich_customers",
@@ -48,24 +54,24 @@ BOUNDED_WINDOW_OK = {
 }
 
 
-def _single_partition_windows(plan: str) -> list[str]:
-    """Window nodes whose subtree contains an Exchange SinglePartition
-    (i.e. the whole input is shuffled to ONE task before the window).
-    Tree structure is recovered from the plan string's indentation."""
+def _depth(line: str) -> int:
+    """Plan-tree depth recovered from the plan string's indentation."""
     import re
 
+    return len(re.match(r"^[\s+:*\-]*", line).group(0))
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Window nodes whose subtree contains an Exchange SinglePartition
+    (i.e. the whole input is shuffled to ONE task before the window)."""
     lines = plan.splitlines()
-
-    def depth(line: str) -> int:
-        return len(re.match(r"^[\s+:*\-]*", line).group(0))
-
     hits = []
     for i, line in enumerate(lines):
         if "Window" not in line or "WindowGroupLimit" in line:
             continue
-        d = depth(line)
+        d = _depth(line)
         for sub in lines[i + 1 :]:
-            if depth(sub) <= d:
+            if _depth(sub) <= d:
                 break
             if "Exchange SinglePartition" in sub:
                 hits.append(line.strip())
@@ -83,6 +89,31 @@ def test_no_single_partition_window_over_unbounded_input(spark):
             continue
         offenders = _single_partition_windows(_plan(fn(spark, SF_DIR)))
         assert not offenders, f"{name}: single-partition window: {offenders}"
+
+
+def test_bounded_bnlj_build_sides(spark):
+    """The allowlisted ANN brute-force sweeps may plan a BNLJ *only*
+    because the broadcast side is the bounded 8-row query relation
+    (filter vec_id < 8).  Pin that: every BroadcastExchange feeding the
+    BNLJ must sit over the query-side filter, so a regression that
+    flips the build side (broadcasting the corpus!) fails here."""
+    for name in ("ann_cosine_topk", "ann_quantized_topk"):
+        plan = _plan(ent.queries()[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan, f"{name}: expected the intentional BNLJ"
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "BroadcastExchange" not in line:
+                continue
+            d = _depth(line)
+            subtree = []
+            for sub in lines[i + 1 :]:
+                if _depth(sub) <= d:
+                    break
+                subtree.append(sub)
+            assert any("vec_id" in s and "< 8" in s for s in subtree), (
+                f"{name}: BroadcastExchange is not over the bounded "
+                f"query relation:\n" + "\n".join(subtree)
+            )
 
 
 def test_no_accidental_cartesian_products(spark):

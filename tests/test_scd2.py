@@ -1,0 +1,111 @@
+"""SCD2 dimension history: initial build (change compression +
+interval stitching) and incremental merge (closed rows untouched,
+forward-only updates, O(touched-keys) rebuild)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_event_driven_data_pipeline_spark.operators.scd2 import (
+    scd2_build,
+    scd2_merge,
+)
+
+
+def _d(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    # key 1: A -> A (compressed) -> B; key 2: constant X; key 3: C
+    rows = [
+        (1, _d("2025-01-01"), "A", 10),
+        (1, _d("2025-01-05"), "A", 11),  # no-op update -> compressed
+        (1, _d("2025-02-01"), "B", 12),
+        (2, _d("2025-01-03"), "X", 13),
+        (2, _d("2025-03-03"), "X", 14),  # no-op
+        (3, _d("2025-01-02"), "C", 15),
+    ]
+    return spark.createDataFrame(rows, "k long, ts timestamp, attr string, src long")
+
+
+def _by_key(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.k, []).append(
+            (r.attr, r.valid_from, r.valid_to, r.is_current)
+        )
+    return {k: sorted(v, key=lambda t: (t[1], t[0])) for k, v in out.items()}
+
+
+def test_scd2_build_compresses_and_stitches(spark, log):
+    hist = scd2_build(log, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
+    got = _by_key(hist)
+    assert got[1] == [
+        ("A", _d("2025-01-01"), _d("2025-02-01"), False),
+        ("B", _d("2025-02-01"), None, True),
+    ]
+    assert got[2] == [("X", _d("2025-01-03"), None, True)]
+    assert got[3] == [("C", _d("2025-01-02"), None, True)]
+
+
+def test_scd2_merge_incremental_equals_rebuild(spark, log):
+    """Applying a second batch via scd2_merge == building from the
+    concatenated log in one shot (the defining correctness property)."""
+    hist = scd2_build(log, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
+    batch = spark.createDataFrame(
+        [
+            (1, _d("2025-03-01"), "C", 20),  # real change for key 1
+            (2, _d("2025-04-01"), "X", 21),  # no-op -> nothing changes
+            (4, _d("2025-03-15"), "N", 22),  # brand-new key
+        ],
+        "k long, ts timestamp, attr string, src long",
+    )
+    merged = scd2_merge(hist, batch, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
+    rebuilt = scd2_build(
+        log.unionByName(batch), ["k"], ["attr"], "ts", tiebreak_cols=["src"]
+    )
+    assert _by_key(merged) == _by_key(rebuilt)
+    got = _by_key(merged)
+    assert got[1][-1] == ("C", _d("2025-03-01"), None, True)
+    assert got[2] == [("X", _d("2025-01-03"), None, True)]  # untouched
+    assert got[4] == [("N", _d("2025-03-15"), None, True)]
+
+
+def test_scd2_merge_drops_late_updates(spark, log):
+    hist = scd2_build(log, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
+    late = spark.createDataFrame(
+        [(1, _d("2025-01-15"), "Z", 30)],  # before key 1's current valid_from
+        "k long, ts timestamp, attr string, src long",
+    )
+    merged = scd2_merge(hist, late, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
+    assert _by_key(merged) == _by_key(hist)
+
+
+def test_scd2_merge_equal_ts_correction(spark, log):
+    hist = scd2_build(log, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
+    fix = spark.createDataFrame(
+        [(3, _d("2025-01-02"), "C2", 31)],  # same ts as key 3's current
+        "k long, ts timestamp, attr string, src long",
+    )
+    merged = scd2_merge(hist, fix, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
+    got = _by_key(merged)
+    # superseded: old state survives as a zero-length closed version
+    assert got[3] == [
+        ("C", _d("2025-01-02"), _d("2025-01-02"), False),
+        ("C2", _d("2025-01-02"), None, True),
+    ]
+
+
+def test_scd2_merge_only_touches_batch_keys(spark, log):
+    """Plan shape: untouched current rows pass through an anti-join on
+    the BROADCAST batch keys — no full-history shuffle."""
+    hist = scd2_build(log, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
+    batch = spark.createDataFrame(
+        [(1, _d("2025-03-01"), "C", 20)], "k long, ts timestamp, attr string, src long"
+    )
+    merged = scd2_merge(hist, batch, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -49,20 +49,23 @@ def test_quantile_sketch_brackets_exact(spark):
 
 def test_weekly_sketch_merge_matches_direct_and_exact(spark):
     events = load_testdata(spark, SF, "events")["events"]
-    wk = [F.year(F.to_date("ts")).alias("year"), F.weekofyear(F.to_date("ts")).alias("week")]
+    # week key = the week's Monday (date_trunc), matching the query's
+    # year-boundary-safe bucketing (ADVICE r3: year()+weekofyear()
+    # mis-buckets ISO weeks that straddle January 1)
+    wk = F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start")
     exact = {
-        (r.year, r.week): r.n
-        for r in events.groupBy(*wk).agg(F.countDistinct("user_id").alias("n")).collect()
+        r.week_start: r.n
+        for r in events.groupBy(wk).agg(F.countDistinct("user_id").alias("n")).collect()
     }
     merged = {
-        (r.year, r.week): r.approx_users
+        r.week_start: r.approx_users
         for r in queries_map()["weekly_users_from_daily_sketches"](spark, SF).collect()
     }
     # sketching the week directly must equal merging the daily sketches
     # (the re-aggregation property HLL sketches exist for)
     direct = {
-        (r.year, r.week): r.est
-        for r in events.groupBy(*wk)
+        r.week_start: r.est
+        for r in events.groupBy(wk)
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
         .collect()
     }
@@ -70,3 +73,14 @@ def test_weekly_sketch_merge_matches_direct_and_exact(spark):
     for k, n in exact.items():
         assert merged[k] == direct[k], f"{k}: merge {merged[k]} != direct {direct[k]}"
         assert abs(merged[k] - n) / n <= 0.10
+
+
+def test_week_bucketing_safe_at_year_boundary(spark):
+    """2024-12-30 (ISO week 1 of 2025) must NOT share a bucket with
+    2024-01-02 (ISO week 1 of 2024) — the exact mis-bucketing the old
+    year()+weekofyear() key produced."""
+    df = spark.createDataFrame(
+        [("2024-12-30",), ("2024-01-02",)], "d string"
+    ).select(F.date_trunc("week", F.to_date("d")).cast("date").alias("week_start"))
+    weeks = {str(r.week_start) for r in df.collect()}
+    assert weeks == {"2024-12-30", "2024-01-01"}

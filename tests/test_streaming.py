@@ -155,6 +155,70 @@ def test_streaming_windowed_kpis_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_streaming_windowed_kpis_sketch_mode(spark, tmp_path):
+    """distinct_mode='sketch' streams mergeable HLL state: the per-window
+    estimate is within 10% of the batch exact countDistinct, and the
+    emitted sketches re-aggregate (day -> whole-period per key) without
+    touching the raw stream — the documented countDistinct-gap answer
+    (SURVEY §4.3, r3 verdict item 6)."""
+    from real_time_event_driven_data_pipeline_spark.sources.readers import load_testdata
+
+    events = load_testdata(spark, "/root/testdata/sf0.001", "events")["events"]
+    src = str(tmp_path / "events_parquet")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_windowed_kpis(stream, window="1 day", watermark="1 day", distinct_mode="sketch")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_kpis_sketch")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    served = spark.sql("SELECT * FROM win_kpis_sketch")
+    exact = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    got = {
+        (r["window_start"], r["event_type"]): r["approx_unique_users"]
+        for r in served.collect()
+    }
+    assert set(got) == set(exact) and got
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n <= 0.10, f"{k}: sketch {got[k]} vs exact {n}"
+
+    # re-aggregation from SERVED state only: merge the per-day sketches
+    # per event_type and compare to the exact whole-period distinct
+    rolled = {
+        r["event_type"]: r["est"]
+        for r in served.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias("est"))
+        .collect()
+    }
+    period_exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in period_exact.items():
+        assert abs(rolled[et] - n) / n <= 0.10, f"{et}: rollup {rolled[et]} vs exact {n}"
+
+    # invalid mode fails fast, not silently
+    with pytest.raises(ValueError):
+        streaming_windowed_kpis(stream, distinct_mode="exact")
+
+
 def test_incremental_kpi_upsert_matches_batch(spark, tmp_path):
     """update-mode windowed KPIs + foreachBatch upsert == batch agg,
     including across a second activation that only touches new windows."""

@@ -254,14 +254,26 @@ def main() -> None:
 
     bar = 1.25 * multiplier  # linear + 25% co-tenant noise headroom
     gated = list(sparse.values()) + [saturated["exact_duplicate_groups"]]
+    # criterion is versioned (ADVICE r3): v1 = the round-2 gate (EVERY
+    # probed query incl. saturated minhash must be <= bar, all on the
+    # saturated corpus); v2 = the round-3 gate (sparse regime + exact
+    # dedup gated, saturated minhash informational).  Both verdicts are
+    # recorded so round-over-round comparisons stay honest.
+    pass_v1_all_rows = all(
+        r["time_ratio"] <= bar
+        for fam in (sparse, saturated)
+        for r in fam.values()
+    )
     record = {
         "ts": time.time(),
         "kind": "scale_probe",
+        "criterion_version": 2,
         "multiplier": multiplier,
         "n_docs": {"sparse": n_sparse, "saturated": n_sat},
         "sparse": sparse,
         "saturated": saturated,
         "pass": all(r["time_ratio"] <= bar for r in gated),
+        "pass_v1_all_rows": pass_v1_all_rows,
         "note": (
             "GATED (must scale <= linear + 25%): the five sparse-regime "
             "queries — vocabulary grows with the corpus (Heaps' law), so "
