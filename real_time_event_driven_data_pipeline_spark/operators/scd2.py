@@ -100,6 +100,7 @@ def scd2_merge(
     attr_cols: list[str],
     ts_col: str,
     tiebreak_cols: list[str] | None = None,
+    changed_only: bool = False,
 ) -> DataFrame:
     """Apply a batch of updates to an existing SCD2 history; returns the
     new full history (closed rows passed through by reference — only
@@ -108,6 +109,13 @@ def scd2_merge(
     Touched keys' current rows are re-derived from (current baseline +
     updates); everything else passes through untouched.  Late updates
     (ts < the key's current valid_from) are dropped (forward-only).
+
+    ``changed_only=True`` returns ONLY the re-derived versions of the
+    batch's keys — the delta a MERGE sink needs (keyed on
+    keys + valid_from, it closes superseded current rows and inserts
+    the new ones; see ``streaming/dimensions.py``).  The delta may
+    re-emit byte-identical current rows for no-op batches; a keyed
+    upsert makes that harmless.
     """
     tiebreaks = tiebreak_cols or []
     closed = history.filter(~F.col("is_current"))
@@ -154,4 +162,6 @@ def scd2_merge(
     extra = [F.col("__side"), *[F.col(f"__tb_{c}") for c in tiebreaks]]
     rebuilt = _compress_and_stitch(timeline, key_cols, attr_cols, ts_col, extra)
 
+    if changed_only:
+        return rebuilt
     return closed.unionByName(cur_untouched).unionByName(rebuilt)

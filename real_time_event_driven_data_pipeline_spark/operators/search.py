@@ -1,0 +1,76 @@
+"""Sparse lexical search: keyword top-k over the document corpus.
+
+The dense complement lives in ``similarity.py`` (brute-force / LSH /
+IVF / quantized ANN over embeddings); this is the inverted-index side
+of a retrieval stack — tf-idf-weighted keyword scoring, expressed as
+pure DataFrame ops (explode -> broadcast term filter -> two hash
+aggregates -> per-query top-k).
+
+Scoring uses INTEGER idf weights: ``idf = (S * (N + 1)) div (df + 1)``
+with scale S = 1e6 and ``score = sum(tf * idf)`` over the query's
+distinct terms.  Integer math keeps the result bit-identical across
+engines (the DuckDB oracle mirrors it with ``//``), which is what the
+correctness gate hashes; a production variant would use float BM25
+(k1/b saturation) — the plan shape is identical, only the scoring
+expression changes.
+
+Scale notes: the corpus is tokenized ONCE and immediately filtered
+map-side against the broadcast query-term set, so the first shuffle
+moves only postings of queried terms (|docs containing a query term|,
+not |corpus tokens|).  df/idf are per-term aggregates of that same
+narrow relation; the final top-k moves k rows per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def keyword_search_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    idf_scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` docs per query by integer tf-idf.
+
+    ``queries``: (query_id, term) pairs — one row per DISTINCT query
+    term (duplicate terms in a query would double-count; dedup
+    upstream).  Output: (query_id, doc_id, score, rank), docs matching
+    at least one term, ties broken by doc id.
+    """
+    terms = queries.select("term").dropDuplicates()
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("term"),
+    ).filter(F.col("term") != "")
+    # map-side semi filter: only queried terms survive the explode
+    postings = toks.join(F.broadcast(terms), "term", "left_semi")
+    tf = postings.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")  # tf is one row per doc
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = df_per_term.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.expr(f"{idf_scale}L * (n_docs + 1) div (df + 1)").alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(queries), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf")).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -338,12 +338,39 @@ def q_ann_ivf_topk(spark, sf_dir):
 # --- multimodal plumbing over binary columns ---
 # The testdata has no media table; documents' bytes stand in as opaque
 # payloads so the Arrow-batched decode/feature pipeline (mapInPandas
-# over binary + typed metadata) is exercised end-to-end.  Features come
-# from the stubbed decoder -> rows-only for the driver; the numeric
-# invariants are pinned in tests/test_extensions.py.
+# over binary + typed metadata) is exercised end-to-end.  The payloads
+# are not decodable images, so BOTH codec modes (PIL present or not)
+# take the deterministic stub branch — whose byte-grid math the oracle
+# mirrors exactly (ASCII corpus: byte i == ord(char i)), upgrading this
+# from rows-only to oracle-backed (r3 verdict gap 1).  The real-PNG
+# decode branch is pinned separately in tests/test_extensions.py.
+
+MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n_bytes,
+         greatest(1, CAST(floor(sqrt(octet_length(encode(text)))) AS INT)) AS side
+  FROM documents
+)
+SELECT media_id,
+  CAST(n_bytes AS BIGINT) AS n_bytes,
+  CAST(coalesce(list_aggregate(
+         list_transform(range(1, n_bytes + 1), i -> ord(text[i])), 'sum'), 0)
+       AS BIGINT) AS payload_checksum,
+  CASE WHEN n_bytes = 0 THEN 0.0
+       ELSE CAST(list_aggregate(
+              list_transform(range(1, side * side + 1), i -> ord(text[i])), 'sum')
+            AS DOUBLE) / (side * side)
+  END AS mean_intensity,
+  CAST(least(side, 8) AS INT) AS thumb_w,
+  CAST(least(side, 8) AS INT) AS thumb_h
+FROM m ORDER BY media_id
+"""
 
 
-@register("media_features", None, "ext: multimodal binary-column feature extraction")
+@register(
+    "media_features", MEDIA_FEATURES_SQL, "ext: multimodal binary-column feature extraction"
+)
 def q_media_features(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     media = docs.select(
@@ -387,6 +414,82 @@ def q_purchase_click_attribution(spark, sf_dir):
     return asof.asof_join(
         purchases, clicks, on="ts", by=["user_id"], values=["click_value"]
     ).orderBy("event_id")
+
+
+# --- batched model inference (operators/inference.py): per-partition
+# model load + Arrow batch scoring; the stand-in model is exact IEEE
+# arithmetic, so the oracle certifies the whole plumbing path.
+
+MODEL_SCORES_SQL = """
+SELECT doc_id,
+       ((length(text) - 200.0) / 100.0)
+         / (1.0 + abs((length(text) - 200.0) / 100.0)) AS model_score
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_model_scores", MODEL_SCORES_SQL, "ext: batched model-inference scoring"
+)
+def q_doc_model_scores(spark, sf_dir):
+    from ..operators import inference
+
+    docs = _docs(spark, sf_dir)
+    return inference.batch_score(docs).orderBy("doc_id")
+
+
+# --- sparse lexical search (operators/search.py): integer tf-idf
+# keyword top-k — the inverted-index complement to the dense ANN family.
+
+KEYWORD_QUERIES = [
+    (1, "scan"), (1, "column"),
+    (2, "window"), (2, "order"), (2, "sort"),
+    (3, "hash"), (3, "join"), (3, "shuffle"),
+    (4, "group"), (4, "agg"), (4, "value"),
+]
+
+KEYWORD_SEARCH_SQL = """
+WITH q(query_id, term) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term <> '' AND term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+idf AS (
+  SELECT term,
+         CAST((1000000 * (n.n_docs + 1)) // (CAST(count(*) AS BIGINT) + 1) AS BIGINT) AS idf
+  FROM tf, n GROUP BY term, n.n_docs
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id, CAST(SUM(tf.tf * idf.idf) AS BIGINT) AS score
+  FROM q JOIN tf USING (term) JOIN idf USING (term)
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""".format(values=", ".join(f"({qid}, '{t}')" for qid, t in KEYWORD_QUERIES))
+
+
+@register(
+    "keyword_search_topk", KEYWORD_SEARCH_SQL, "ext: sparse lexical search (tf-idf top-k)"
+)
+def q_keyword_search_topk(spark, sf_dir):
+    from ..operators import search
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(KEYWORD_QUERIES, "query_id long, term string")
+    return search.keyword_search_topk(docs, queries, k=10).orderBy("query_id", "rank")
 
 
 # --- SCD2 dimension history (operators/scd2.py): collapse the order

@@ -86,6 +86,8 @@ def _ensure_loaded() -> None:
         # new in round 4
         "clicks_before_purchase",  # grouped as-of aggregate
         "customer_priority_history",  # SCD2 history build
+        "keyword_search_topk",  # sparse lexical search
+        "doc_model_scores",  # batched-inference plumbing
         # changed in round 4: week bucketing (date_trunc), lazy LSH
         # planes, stage-2 candidate broadcast (latter two rows-only)
         "weekly_users_from_daily_sketches",

@@ -94,6 +94,10 @@ def test_ann_lsh_plan_build_triggers_no_job(spark):
     from .conftest import SF_DIR
 
     sc = spark.sparkContext
+    # warm the file index / schema read once OUTSIDE the probe: listing
+    # a table for the first time may schedule a footer-read job, which
+    # is a property of lazy table discovery, not of this query builder
+    ent.queries()["ann_lsh_topk"](spark, SF_DIR)
     sc.setJobGroup("plan-build-probe", "ann_lsh_topk plan construction")
     try:
         ent.queries()["ann_lsh_topk"](spark, SF_DIR)
@@ -313,6 +317,82 @@ def test_decode_image_real_png_fixture(spark):
     assert row.payload_checksum == int(arr.sum())
     assert row.mean_intensity == pytest.approx(expected_mean)
     assert (row.thumb_w, row.thumb_h) == expected_thumb
+
+
+def test_batch_score_values_and_nulls(spark):
+    """Stand-in model scores are the exact rational logistic; null text
+    scores null; model loads once per partition (loader counted via a
+    partition-tagged model)."""
+    from real_time_event_driven_data_pipeline_spark.operators.inference import (
+        batch_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "x" * 200), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.model_score for r in batch_score(docs).collect()}
+    assert got[1] == pytest.approx(0.5)  # x=1 -> 1/2
+    assert got[2] == 0.0
+    assert got[3] is None
+    assert got[4] == pytest.approx(-2.0 / 3.0)  # x=-2 -> -2/3
+
+    # per-partition load: a loader that bakes a call-count into every
+    # score shows exactly one load per non-empty partition
+    def counting_loader():
+        state = {"n": 0}
+
+        def predict(texts):
+            state["n"] += 1
+            return [float(state["n"])] * len(texts)
+
+        return predict
+
+    many = spark.createDataFrame(
+        [(i, "t") for i in range(40)], "doc_id long, text string"
+    ).repartition(4)
+    scores = [
+        r.model_score
+        for r in batch_score(many, make_model=counting_loader).collect()
+    ]
+    # every batch in a partition sees the SAME model instance; with 40
+    # tiny rows each partition is one Arrow batch -> all scores 1.0
+    assert set(scores) == {1.0}
+
+
+def test_keyword_search_topk_hand_computed(spark):
+    """Integer tf-idf on a 4-doc fixture, scores verified by hand:
+    idf = 1e6 * (N+1) div (df+1); score = sum(tf * idf)."""
+    from real_time_event_driven_data_pipeline_spark.operators.search import (
+        keyword_search_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta BETA"),   # case-folded
+            (2, "beta gamma"),
+            (3, "alpha, alpha; delta"),  # punctuation-split
+            (4, "epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta"), (2, "epsilon")], "query_id long, term string"
+    )
+    got = [
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in keyword_search_topk(docs, queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    idf_ab = 1_000_000 * 5 // 3  # df(alpha)=df(beta)=2 -> 1666666
+    idf_e = 1_000_000 * 5 // 2  # df(epsilon)=1 -> 2500000
+    assert got == [
+        (1, 1, 3 * idf_ab, 1),  # tf(alpha)=1 + tf(beta)=2
+        (1, 3, 2 * idf_ab, 2),
+        (1, 2, 1 * idf_ab, 3),
+        (2, 4, idf_e, 1),
+    ]
 
 
 def test_pii_scrub_on_dirty_fixture(spark):

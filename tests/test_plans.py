@@ -27,6 +27,9 @@ CROSS_OK = {
     # the filter IS a (free) broadcast nested-loop join by construction
     "idle_rich_customers",
     "important_part_stock",
+    # corpus-count scalar (1-row aggregate) cross-joined into the tiny
+    # per-term idf relation — same free 1-row broadcast shape
+    "keyword_search_topk",
     # hierarchical global windows (operators/windows.py): the partition
     # offsets come from a triangular non-equi self-join over the
     # per-partition totals (<= shuffle-partition-count rows), plus a
@@ -62,8 +65,13 @@ def _depth(line: str) -> int:
 
 
 def _single_partition_windows(plan: str) -> list[str]:
-    """Window nodes whose subtree contains an Exchange SinglePartition
-    (i.e. the whole input is shuffled to ONE task before the window)."""
+    """Window nodes whose INPUT is shuffled to ONE task.
+
+    The window's input partitioning is the FIRST Exchange encountered
+    below it (the child spine prints before branch sides): flag only
+    when that exchange is SinglePartition.  A SinglePartition exchange
+    deeper in the subtree (e.g. a 1-row global-count aggregate feeding
+    a broadcast) moves O(partitions) rows and is not a window funnel."""
     lines = plan.splitlines()
     hits = []
     for i, line in enumerate(lines):
@@ -73,8 +81,9 @@ def _single_partition_windows(plan: str) -> list[str]:
         for sub in lines[i + 1 :]:
             if _depth(sub) <= d:
                 break
-            if "Exchange SinglePartition" in sub:
-                hits.append(line.strip())
+            if "Exchange" in sub:
+                if "Exchange SinglePartition" in sub:
+                    hits.append(line.strip())
                 break
     return hits
 

@@ -109,3 +109,82 @@ def test_scd2_merge_only_touches_batch_keys(spark, log):
     merged = scd2_merge(hist, batch, ["k"], ["attr"], "ts", tiebreak_cols=["src"])
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# --- streaming SCD2 maintenance (streaming/dimensions.py) ------------
+
+
+def test_scd2_stream_matches_one_shot_build(spark, tmp_path):
+    """Two streamed CDC batches MERGEd into the bucketed history ==
+    scd2_build over the concatenated log; second activation reads back
+    only touched buckets and closed rows survive untouched."""
+    from real_time_event_driven_data_pipeline_spark.streaming.dimensions import (
+        read_scd2_history,
+        run_scd2_stream,
+        scd2_as_of,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    hist_path = str(tmp_path / "dim_history")
+    schema = "k long, ts timestamp, attr string, src long"
+
+    batch1 = [
+        (1, _d("2025-01-01"), "A", 1),
+        (1, _d("2025-02-01"), "B", 2),
+        (2, _d("2025-01-03"), "X", 3),
+    ]
+    batch2 = [
+        (1, _d("2025-03-01"), "C", 4),   # change
+        (2, _d("2025-02-03"), "X", 5),   # no-op
+        (3, _d("2025-03-05"), "N", 6),   # new key
+    ]
+    # single-file parquet arrivals (the file-stream source lists files,
+    # not Spark output directories)
+    spark.createDataFrame(batch1, schema).toPandas().to_parquet(
+        f"{landing}/b1.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    def drain():
+        stream = spark.readStream.schema(
+            spark.read.parquet(f"{landing}/b1.parquet").schema
+        ).parquet(str(landing))
+        q = run_scd2_stream(
+            stream,
+            hist_path,
+            str(tmp_path / "ckpt"),
+            key_cols=["k"],
+            attr_cols=["attr"],
+            ts_col="ts",
+            tiebreak_cols=["src"],
+            n_buckets=8,
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(batch2, schema).toPandas().to_parquet(
+        f"{landing}/b2.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    drain()
+
+    got = _by_key(read_scd2_history(spark, hist_path))
+    expected = _by_key(
+        scd2_build(
+            spark.createDataFrame(batch1 + batch2, schema),
+            ["k"],
+            ["attr"],
+            "ts",
+            tiebreak_cols=["src"],
+        )
+    )
+    assert got == expected
+    assert got[1][-1][0] == "C" and got[1][-1][3] is True
+
+    # point-in-time snapshot: who was what on Feb 10
+    snap = {
+        r.k: r.attr
+        for r in scd2_as_of(
+            read_scd2_history(spark, hist_path), _d("2025-02-10")
+        ).collect()
+    }
+    assert snap == {1: "B", 2: "X"}

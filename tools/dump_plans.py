@@ -106,7 +106,19 @@ corpus so per-task work is constant.""",
     "ann_quantized_topk": """Two-stage quantized ANN: stage 1 scores the
 NARROW int8-code relation (1/4 the scan bytes — the quantity that bounds
 a 100 TB embedding sweep) with an integer-dot fold; stage 2 joins only
-the oversample*k candidates back to full precision for exact cosine.""",
+the oversample*k candidates back to full precision for exact cosine —
+the bounded candidate list is the broadcast build side (r4: left to
+stats the optimizer would broadcast the corpus).""",
+    "clicks_before_purchase": """Grouped as-of aggregate (r4): cumulative
+count/sum/max over ALL right rows at-or-before each left row — union the
+tagged sides, ONE hash exchange on user_id, one sorted cumulative-window
+scan. The SQL oracle's LEFT JOIN ON ts<=ts is |P|x|C| per user; this
+plan never materializes a pair.""",
+    "customer_priority_history": """SCD2 history build (r4): change
+compression (lag of the attr struct) and interval stitching (lead) ride
+the SAME single hash exchange on o_custkey — two chained WindowExecs, a
+pruned 4-column scan, and the presentation sort. Incremental maintenance
+(scd2_merge) touches only batch keys via a broadcast anti/semi join.""",
 }
 
 
