@@ -217,6 +217,29 @@ def cmd_export(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_dims(spark: SparkSession, args) -> int:
+    """Drain a CDC landing dir into the SCD2 dimension history
+    (streaming/dimensions.py): one availableNow activation, per-batch
+    bucket-pruned MERGE."""
+    from .streaming.dimensions import run_scd2_stream
+
+    schema = spark.read.parquet(args.landing_dir).schema
+    stream = spark.readStream.schema(schema).parquet(args.landing_dir)
+    q = run_scd2_stream(
+        stream,
+        args.history,
+        args.checkpoint,
+        key_cols=args.keys.split(","),
+        attr_cols=args.attrs.split(","),
+        ts_col=args.ts_col,
+        tiebreak_cols=args.tiebreak.split(",") if args.tiebreak else None,
+        n_buckets=args.n_buckets,
+    )
+    q.awaitTermination()
+    logger.info("dimension history updated at %s", args.history)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="rtedp-spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -241,6 +264,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cols", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--n-files", dest="n_files", type=int, default=8)
+    p = sub.add_parser("dims")
+    p.add_argument("--landing-dir", dest="landing_dir", required=True)
+    p.add_argument("--history", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--keys", required=True)
+    p.add_argument("--attrs", required=True)
+    p.add_argument("--ts-col", dest="ts_col", default="ts")
+    p.add_argument("--tiebreak", default="")
+    p.add_argument("--n-buckets", dest="n_buckets", type=int, default=64)
     p = sub.add_parser("export")
     p.add_argument("--corpus", required=True)
     p.add_argument("--out", required=True)
@@ -261,6 +293,7 @@ def main(argv: list[str] | None = None) -> int:
             "pipeline": cmd_pipeline,
             "maintain": cmd_maintain,
             "zorder": cmd_zorder,
+            "dims": cmd_dims,
             "export": cmd_export,
         }[args.command]
         return handler(spark, args)

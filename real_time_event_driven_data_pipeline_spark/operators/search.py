@@ -34,6 +34,7 @@ def keyword_search_topk(
     queries: DataFrame,
     k: int = 10,
     idf_scale: int = 1_000_000,
+    max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -43,6 +44,13 @@ def keyword_search_topk(
     term (duplicate terms in a query would double-count; dedup
     upstream).  Output: (query_id, doc_id, score, rank), docs matching
     at least one term, ties broken by doc id.
+
+    ``max_df`` is the stop-term cap for 100 TB corpora: a query term
+    matching more than ``max_df`` documents is dropped from scoring —
+    its postings would dominate the shuffle while contributing the
+    LEAST discriminating signal (idf is lowest exactly when df is
+    highest, the standard IR stop-term argument).  ``None`` (default)
+    scores every term — the oracle-parity setting.
     """
     terms = queries.select("term").dropDuplicates()
     toks = docs.select(
@@ -57,6 +65,8 @@ def keyword_search_topk(
     df_per_term = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")  # tf is one row per doc
     )
+    if max_df is not None:
+        df_per_term = df_per_term.filter(F.col("df") <= max_df)
     n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
     idf = df_per_term.crossJoin(F.broadcast(n_docs)).select(
         "term",

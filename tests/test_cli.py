@@ -188,3 +188,41 @@ def test_export_shards_from_corpus(spark, tmp_path):
         manifest = json.load(f)
     assert manifest["n_rows"] == 250 and manifest["n_shards"] == 3
     assert spark.read.parquet(out).count() == 250
+
+
+def test_dims_cli_builds_scd2_history(spark, tmp_path):
+    """`dims` drains a CDC landing dir into the bucketed SCD2 history."""
+    import datetime as dt
+
+    landing = tmp_path / "cdc"
+    landing.mkdir()
+    rows = [
+        (1, dt.datetime(2025, 1, 1), "A", 1),
+        (1, dt.datetime(2025, 2, 1), "B", 2),
+        (2, dt.datetime(2025, 1, 5), "X", 3),
+    ]
+    spark.createDataFrame(
+        rows, "k long, ts timestamp, attr string, src long"
+    ).toPandas().to_parquet(
+        f"{landing}/b1.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    hist = str(tmp_path / "hist")
+    rc = cli.main(
+        [
+            "dims",
+            "--landing-dir", str(landing),
+            "--history", hist,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--keys", "k",
+            "--attrs", "attr",
+            "--tiebreak", "src",
+        ]
+    )
+    assert rc == 0
+    got = {
+        (r.k, r.attr): (r.valid_to, r.is_current)
+        for r in spark.read.parquet(hist).collect()
+    }
+    assert got[(1, "A")] == (dt.datetime(2025, 2, 1), False)
+    assert got[(1, "B")] == (None, True)
+    assert got[(2, "X")] == (None, True)

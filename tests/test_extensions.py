@@ -394,6 +394,14 @@ def test_keyword_search_topk_hand_computed(spark):
         (2, 4, idf_e, 1),
     ]
 
+    # stop-term cap: max_df=1 drops alpha and beta (df=2) from scoring
+    # entirely; epsilon (df=1) survives
+    capped = [
+        (r.query_id, r.doc_id)
+        for r in keyword_search_topk(docs, queries, k=10, max_df=1).collect()
+    ]
+    assert capped == [(2, 4)]
+
 
 def test_pii_scrub_on_dirty_fixture(spark):
     rows = [
