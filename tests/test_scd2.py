@@ -188,3 +188,55 @@ def test_scd2_stream_matches_one_shot_build(spark, tmp_path):
         ).collect()
     }
     assert snap == {1: "B", 2: "X"}
+
+
+# --- property: merge(build(log1), log2) == build(log1 + log2) --------
+# for FORWARD-ONLY batches (every batch-2 ts at-or-after the key's
+# current valid_from), the defining SCD2 maintenance invariant.
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_updates = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=20),  # day offset
+        st.sampled_from(["A", "B", "C"]),  # attr
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows1=_updates, rows2=_updates)
+def test_scd2_merge_equals_rebuild_property(spark, rows1, rows2):
+    base = dt.datetime(2025, 1, 1)
+
+    def frame(rows, src0):
+        # src tiebreak = arrival order, unique across both batches
+        data = [
+            (k, base + dt.timedelta(days=d), a, src0 + i)
+            for i, (k, d, a) in enumerate(rows)
+        ]
+        return spark.createDataFrame(data, "k long, ts timestamp, attr string, src long")
+
+    f1 = frame(rows1, 0)
+    # forward-only: shift batch 2 past every batch-1 timestamp so no
+    # update is dropped by the late gate (that path has its own test)
+    max1 = max(d for _, d, _ in rows1)
+    rows2_fwd = [(k, d + max1, a) for k, d, a in rows2]
+    f2 = frame(rows2_fwd, 1000)
+
+    merged = scd2_merge(
+        scd2_build(f1, ["k"], ["attr"], "ts", tiebreak_cols=["src"]),
+        f2, ["k"], ["attr"], "ts", tiebreak_cols=["src"],
+    )
+    rebuilt = scd2_build(
+        f1.unionByName(f2), ["k"], ["attr"], "ts", tiebreak_cols=["src"]
+    )
+    assert _by_key(merged) == _by_key(rebuilt)
