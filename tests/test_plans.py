@@ -275,6 +275,18 @@ def test_doc_chunks_scan_local_no_hash_shuffle(spark):
     assert "InPandas" not in plan and "PythonUDF" not in plan
 
 
+def test_keyword_search_broadcast_shapes(spark):
+    """Lexical search: the query-term set and the tiny idf relation
+    must BROADCAST into the token stream (map-side semi filter, then
+    broadcast joins) — no sort-merge join, no corpus-side shuffle
+    beyond the tf/score aggregates; scan pruned to (doc_id, text)."""
+    plan = _plan(ent.queries()["keyword_search_topk"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read and "source" not in read
+
+
 def test_stratified_sample_is_filter_plus_one_shuffle(spark):
     """The mixing gate is a pushed-down-style scan filter (md5 threshold,
     no join against a rates table) feeding partial+final count."""

@@ -119,6 +119,17 @@ compression (lag of the attr struct) and interval stitching (lead) ride
 the SAME single hash exchange on o_custkey — two chained WindowExecs, a
 pruned 4-column scan, and the presentation sort. Incremental maintenance
 (scd2_merge) touches only batch keys via a broadcast anti/semi join.""",
+    "keyword_search_topk": """Sparse lexical search (r4): the corpus is
+tokenized once and immediately semi-filtered map-side against the
+BROADCAST query-term set, so the first shuffle moves only postings of
+queried terms; df/idf are aggregates of that narrow relation (the 1-row
+corpus count broadcasts), and the per-query top-k moves k rows per
+query. Integer idf keeps scoring bit-identical to the DuckDB oracle.""",
+    "doc_model_scores": """Batched inference plumbing (r4): a single
+mapInPandas stage — the model loads once per PARTITION and scores Arrow
+batches; no shuffle at all before the presentation sort. The stand-in
+model is exact IEEE arithmetic, so the oracle certifies the full
+Python-worker path, not just row counts.""",
 }
 
 
