@@ -84,3 +84,39 @@ def keyword_search_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    doc_scores: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stage 2 of a two-stage retrieval stack: re-order each query's
+    stage-1 candidates by a model score (cross-encoder / quality
+    classifier pattern — cheap recall-oriented retrieval over the whole
+    corpus, expensive precision-oriented scoring over candidates only).
+
+    ``candidates``: (query_id, doc_id, score, rank) from
+    ``keyword_search_topk`` (or an ANN variant); ``doc_scores``:
+    (doc_id, model_score) — computed over the CANDIDATE docs only, a
+    |queries| x k_retrieve bounded relation, so the join broadcasts and
+    the expensive model never sees the corpus.  Ties: model_score desc,
+    stage-1 score desc, then doc id.  Output: (query_id, doc_id,
+    lex_score, model_score, rerank).
+    """
+    rr = candidates.join(F.broadcast(doc_scores), id_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("model_score"), F.desc("score"), F.col(id_col)
+    )
+    return (
+        rr.withColumn("rerank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rerank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.col("score").alias("lex_score"),
+            "model_score",
+            "rerank",
+        )
+    )

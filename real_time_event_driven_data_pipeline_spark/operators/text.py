@@ -580,3 +580,177 @@ def encode_token_ids(
         ).alias("ids"),
     )
     return assembled.select(id_col, "n_tokens", "n_oov", "ids")
+
+
+# --- corpus-frequency boilerplate-span removal (C4-style line dedup) ---
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    span_tokens: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate removal, the C4 "citation/line dedup"
+    rule (Raffel et al., JMLR'20: drop any three-sentence span occurring
+    more than once in the corpus) adapted to token windows: cut each
+    document into consecutive non-overlapping spans of ``span_tokens``
+    whitespace tokens, drop every span whose exact text occurs in
+    ``min_docs`` or more DISTINCT documents, and re-assemble the
+    survivors (plus the short tail window, which is never corpus-wide
+    boilerplate by construction) in document order.
+
+    Scale shape (three linear shuffles, nothing corpus-quadratic):
+    spans explode off the scan; the occurrence count is a partial+final
+    hash aggregate on the 8-byte xxhash64 of the span (not the string);
+    removal is a left-anti join of the postings against the
+    boilerplate-key relation (shuffle-hash on the same key — at 100 TB
+    the boilerplate set is heavy-hitter-sized but unbounded, so it is
+    NOT broadcast); re-assembly is one (doc) aggregate ordering spans
+    by position.  Output: (doc_id, n_tokens, n_spans, n_removed,
+    clean_text).
+    """
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    n = F.size("_toks")
+    n_spans = F.floor(n / span_tokens).cast("long")
+    spans_arr = F.when(
+        n >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(1), (n / span_tokens).cast("int")),
+            lambda i: F.array_join(
+                F.slice("_toks", (i - 1) * span_tokens + 1, span_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # the tail window (< span_tokens tokens past the last full span)
+    tail = F.array_join(
+        F.slice("_toks", (n_spans * span_tokens + 1).cast("int"), span_tokens), " "
+    )
+    base = toked.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_spans.alias("n_spans"),
+        spans_arr.alias("_spans"),
+        tail.alias("_tail"),
+    )
+    posts = base.select(
+        F.col(id_col), F.posexplode("_spans").alias("pos", "span")
+    ).withColumn("span_h", F.xxhash64("span"))
+    boiler = (
+        posts.groupBy("span_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span_h")
+    )
+    kept = (
+        posts.join(boiler, "span_h", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("_kept_text"),
+        )
+    )
+    joined = base.join(kept, id_col, "left")
+    clean = (
+        F.when(F.col("_kept_text").isNull(), F.col("_tail"))
+        .when(F.col("_tail") == "", F.col("_kept_text"))
+        .otherwise(F.concat(F.col("_kept_text"), F.lit(" "), F.col("_tail")))
+    )
+    return joined.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_spans",
+        (F.col("n_spans") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        clean.alias("clean_text"),
+    )
+
+
+# --- reference-corpus bigram familiarity (CCNet-style LM quality gate) ---
+
+
+def bigram_model(df: DataFrame, top_k: int = 200, text_col: str = "text") -> DataFrame:
+    """Top-``top_k`` token bigrams of the corpus by frequency — the
+    pruned language model a CCNet-style perplexity gate scores against
+    (Wenzek et al., LREC'20 filter wikipedia-trained KenLM; here the
+    model is n-gram presence, so scoring stays in exact integer/IEEE
+    arithmetic instead of engine-dependent transcendental logs).
+
+    One explode + (bigram) hash aggregate; the top-k is a distributed
+    TakeOrdered over the AGGREGATED relation (|distinct bigrams|, never
+    |corpus|), ties broken lexicographically so the model is
+    deterministic.  The result is ``top_k`` rows — broadcast it.
+    """
+    toked = df.select(tokens_expr(text_col).alias("_toks"))
+    n = F.size("_toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toked.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(top_k)
+
+
+def bigram_familiarity(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document familiarity against a pruned bigram model: the
+    fraction of the document's token bigrams (with multiplicity) found
+    in the model.  Low familiarity ≈ high perplexity — gibberish,
+    boilerplate markup, or off-distribution text — without the
+    cross-engine log() determinism trap (the ratio is one IEEE division
+    of exact longs).
+
+    Plan: explode bigrams off the scan, broadcast the ``top_k``-row
+    model as a LEFT join (map-side, no corpus shuffle), then one (doc)
+    aggregate.  Docs with < 2 tokens have no bigrams and are omitted.
+    Output: (doc_id, n_bigrams, n_in_model, familiarity).
+    """
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    n = F.size("_toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = toked.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    hit = ex.join(
+        F.broadcast(model.select("bigram", F.lit(1).alias("_hit"))), "bigram", "left"
+    )
+    return (
+        hit.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_in_model"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "n_in_model",
+            (F.col("n_in_model") / F.col("n_bigrams")).alias("familiarity"),
+        )
+    )

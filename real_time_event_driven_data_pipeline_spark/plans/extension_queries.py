@@ -1361,3 +1361,171 @@ def q_ann_quantized_topk(spark, sf_dir):
     )
     out = similarity.quantized_topk(emb, queries, k=10, oversample=4)
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+# --- corpus boilerplate-span removal (C4 line-dedup analogue) ---
+# Spark groups postings by xxhash64(span); the oracle groups by the
+# span string itself — identical barring 2^-64 hash collisions (the
+# eval_contamination convention).
+
+BOILERPLATE_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents
+), base AS (
+    SELECT doc_id, t, len(t) AS n_tokens,
+           CAST(floor(len(t) / 10.0) AS BIGINT) AS n_spans
+    FROM toks
+), posts AS (
+    SELECT doc_id,
+           unnest(generate_series(1, n_spans)) AS pos,
+           unnest(list_transform(generate_series(1, n_spans),
+                    i -> array_to_string(t[(i-1)*10+1 : i*10], ' '))) AS span
+    FROM base
+), boiler AS (
+    SELECT span FROM posts GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+), kept AS (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(span, ' ' ORDER BY pos) AS kept_text
+    FROM posts WHERE span NOT IN (SELECT span FROM boiler)
+    GROUP BY doc_id
+), tailp AS (
+    -- an empty slice (doc length a multiple of 10) is NULL in DuckDB;
+    -- '' matches Spark's array_join over an empty slice
+    SELECT doc_id,
+           COALESCE(array_to_string(t[n_spans*10+1 : len(t)], ' '), '') AS tail_text
+    FROM base
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       b.n_spans,
+       CAST(b.n_spans - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       CASE WHEN k.kept_text IS NULL THEN tp.tail_text
+            WHEN tp.tail_text = '' THEN k.kept_text
+            ELSE k.kept_text || ' ' || tp.tail_text END AS clean_text
+FROM base b LEFT JOIN kept k USING (doc_id) JOIN tailp tp USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "boilerplate_free_docs",
+    BOILERPLATE_SQL,
+    "ext: C4-style corpus boilerplate-span removal (line dedup)",
+)
+def q_boilerplate_free_docs(spark, sf_dir):
+    return text.remove_boilerplate_spans(
+        _docs(spark, sf_dir), span_tokens=10, min_docs=2
+    ).orderBy("doc_id")
+
+
+# --- bigram-model familiarity (CCNet-style LM quality gate) ---
+
+BIGRAM_FAMILIARITY_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents
+), bg AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t)-1),
+                         i -> t[i] || ' ' || t[i+1])
+                ELSE [] END AS b
+    FROM toks
+), ex AS (
+    SELECT doc_id, unnest(b) AS bigram FROM bg
+), model AS (
+    SELECT bigram FROM (
+        SELECT bigram, COUNT(*) AS c FROM ex GROUP BY bigram
+        ORDER BY c DESC, bigram ASC LIMIT 200
+    )
+)
+SELECT ex.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN m.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_model,
+       CAST(SUM(CASE WHEN m.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS familiarity
+FROM ex LEFT JOIN model m USING (bigram)
+GROUP BY ex.doc_id ORDER BY ex.doc_id
+"""
+
+
+@register(
+    "doc_bigram_familiarity",
+    BIGRAM_FAMILIARITY_SQL,
+    "ext: pruned-bigram-model familiarity score (CCNet-style LM gate)",
+)
+def q_doc_bigram_familiarity(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    model = text.bigram_model(docs, top_k=200)
+    return text.bigram_familiarity(docs, model).orderBy("doc_id")
+
+
+# --- two-stage retrieval: lexical retrieve -> model rerank ---
+# Stage 1 is the keyword_search_topk plan at k=20; stage 2 model-scores
+# ONLY the candidate docs (bounded |queries| x 20 relation — the
+# mapInPandas model never sees the corpus) and re-ranks.  The stand-in
+# model is the doc_model_scores rational logistic, so the oracle
+# certifies the full two-stage path bit-for-bit.
+
+SEARCH_RERANK_SQL = """
+WITH q(query_id, term) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term <> '' AND term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+idf AS (
+  SELECT term,
+         CAST((1000000 * (n.n_docs + 1)) // (CAST(count(*) AS BIGINT) + 1) AS BIGINT) AS idf
+  FROM tf, n GROUP BY term, n.n_docs
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id, CAST(SUM(tf.tf * idf.idf) AS BIGINT) AS score
+  FROM q JOIN tf USING (term) JOIN idf USING (term)
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+),
+resc AS (
+  SELECT r.query_id, r.doc_id, r.score AS lex_score,
+         ((length(d.text) - 200.0) / 100.0)
+           / (1.0 + abs((length(d.text) - 200.0) / 100.0)) AS model_score
+  FROM ranked r JOIN documents d USING (doc_id)
+  WHERE r.rank <= 20
+),
+rr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY model_score DESC, lex_score DESC, doc_id) AS rerank
+  FROM resc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, lex_score, model_score,
+       CAST(rerank AS INT) AS rerank
+FROM rr WHERE rerank <= 10 ORDER BY query_id, rerank
+""".format(values=", ".join(f"({qid}, '{t}')" for qid, t in KEYWORD_QUERIES))
+
+
+@register(
+    "search_rerank_topk",
+    SEARCH_RERANK_SQL,
+    "ext: two-stage retrieval (lexical top-k -> model rerank)",
+)
+def q_search_rerank_topk(spark, sf_dir):
+    from ..operators import inference, search
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(KEYWORD_QUERIES, "query_id long, term string")
+    cands = search.keyword_search_topk(docs, queries, k=20)
+    cand_ids = cands.select("doc_id").dropDuplicates()
+    # model-score only the candidates: broadcast-semi the bounded id
+    # set into the corpus scan, then the per-partition-loaded model
+    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    scored = inference.batch_score(cand_docs)
+    return search.rerank_topk(cands, scored, k=10).orderBy("query_id", "rerank")

@@ -84,6 +84,8 @@ def _ensure_loaded() -> None:
     # (verdict item 5); the rest keep their order behind them.
     _prioritize(
         # new in round 4
+        "boilerplate_free_docs",  # C4-style span dedup
+        "doc_bigram_familiarity",  # bigram-LM quality gate
         "clicks_before_purchase",  # grouped as-of aggregate
         "customer_priority_history",  # SCD2 history build
         "keyword_search_topk",  # sparse lexical search

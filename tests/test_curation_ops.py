@@ -200,3 +200,106 @@ def test_quantized_topk_deterministic(spark):
     a = similarity.quantized_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()
     b = similarity.quantized_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()
     assert a == b
+
+
+# --- C4-style boilerplate-span removal (round 4) ---
+
+
+def test_boilerplate_span_removed_across_docs(spark):
+    span = "a b c d e f g h i j"  # one exact 10-token span
+    docs = _mkdocs(
+        spark,
+        [
+            (1, span + " unique one tail"),
+            (2, span + " other content entirely"),
+            (3, "totally different ten tokens here that never repeat at all"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.remove_boilerplate_spans(docs, span_tokens=10).collect()
+    }
+    # docs 1 and 2 share the leading span -> removed from both
+    assert out[1]["n_removed"] == 1 and out[1]["clean_text"] == "unique one tail"
+    assert out[2]["n_removed"] == 1 and out[2]["clean_text"] == "other content entirely"
+    # doc 3's single full span is unique -> kept verbatim
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "totally different ten tokens here that never repeat at all"
+
+
+def test_boilerplate_tail_window_always_survives(spark):
+    tail = "common short tail"  # < span_tokens, shared by both docs
+    docs = _mkdocs(spark, [(1, tail), (2, tail)])
+    out = text.remove_boilerplate_spans(docs, span_tokens=10).collect()
+    assert all(r["clean_text"] == tail and r["n_spans"] == 0 for r in out)
+
+
+def test_boilerplate_within_doc_repeat_not_removed(spark):
+    # the rule is >= min_docs DISTINCT docs, not occurrences: a span
+    # repeated inside ONE doc survives
+    span = "a b c d e f g h i j"
+    docs = _mkdocs(spark, [(1, span + " " + span), (2, "something else here")])
+    row = (
+        text.remove_boilerplate_spans(docs, span_tokens=10)
+        .filter(F.col("doc_id") == 1)
+        .collect()[0]
+    )
+    assert row["n_removed"] == 0 and row["clean_text"] == span + " " + span
+
+
+def test_boilerplate_token_conservation(spark, docs):
+    """clean tokens + removed spans * span_tokens == total tokens."""
+    out = text.remove_boilerplate_spans(docs, span_tokens=10)
+    n_clean = F.when(F.col("clean_text") == "", 0).otherwise(
+        F.size(F.split(F.trim("clean_text"), "\\s+"))
+    )
+    bad = out.filter(n_clean + F.col("n_removed") * 10 != F.col("n_tokens"))
+    assert bad.count() == 0
+
+
+# --- bigram-model familiarity (round 4) ---
+
+
+def test_bigram_model_top_k_deterministic(spark):
+    docs = _mkdocs(spark, [(1, "x y x y x z"), (2, "x y q r")])
+    # bigrams: "x y"x3, "y x"x2, "x z", "y q", "q r"
+    model = text.bigram_model(docs, top_k=2).collect()
+    assert [(r["bigram"], r["n"]) for r in model] == [("x y", 3), ("y x", 2)]
+
+
+def test_bigram_familiarity_counts(spark):
+    docs = _mkdocs(spark, [(1, "x y x y x z"), (2, "x y q r")])
+    model = text.bigram_model(docs, top_k=2)  # {"x y", "y x"}
+    out = {
+        r["doc_id"]: r for r in text.bigram_familiarity(docs, model).collect()
+    }
+    # doc 1: 5 bigrams, hits: x y, y x, x y, y x, (x z miss) -> 4
+    assert out[1]["n_bigrams"] == 5 and out[1]["n_in_model"] == 4
+    assert out[1]["familiarity"] == 4 / 5
+    # doc 2: x y hit, y q miss, q r miss
+    assert out[2]["n_bigrams"] == 3 and out[2]["n_in_model"] == 1
+
+
+def test_bigram_familiarity_omits_sub_bigram_docs(spark):
+    docs = _mkdocs(spark, [(1, "solo"), (2, "two tokens")])
+    model = text.bigram_model(docs, top_k=10)
+    out = text.bigram_familiarity(docs, model)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+# --- two-stage retrieval rerank (round 4) ---
+
+
+def test_rerank_orders_by_model_score(spark):
+    from real_time_event_driven_data_pipeline_spark.operators import search
+
+    cands = spark.createDataFrame(
+        [(1, 10, 100, 1), (1, 11, 90, 2), (1, 12, 80, 3)],
+        "query_id long, doc_id long, score long, rank int",
+    )
+    scores = spark.createDataFrame(
+        [(10, 0.1), (11, 0.9), (12, 0.5)], "doc_id long, model_score double"
+    )
+    out = search.rerank_topk(cands, scores, k=2).collect()
+    assert [(r["doc_id"], r["rerank"]) for r in out] == [(11, 1), (12, 2)]
+    assert out[0]["lex_score"] == 90

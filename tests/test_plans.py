@@ -30,6 +30,9 @@ CROSS_OK = {
     # corpus-count scalar (1-row aggregate) cross-joined into the tiny
     # per-term idf relation — same free 1-row broadcast shape
     "keyword_search_topk",
+    # stage 1 of the two-stage retrieval IS keyword_search_topk, so its
+    # plan inherits the same 1-row n_docs broadcast cross
+    "search_rerank_topk",
     # hierarchical global windows (operators/windows.py): the partition
     # offsets come from a triangular non-equi self-join over the
     # per-partition totals (<= shuffle-partition-count rows), plus a
@@ -280,6 +283,10 @@ def test_keyword_search_broadcast_shapes(spark):
     must BROADCAST into the token stream (map-side semi filter, then
     broadcast joins) — no sort-merge join, no corpus-side shuffle
     beyond the tf/score aggregates; scan pruned to (doc_id, text)."""
+    # earlier test modules cache the memoized documents frame; a cached
+    # relation replaces the pruned FileScan with the cache-build scan
+    # (all columns), so pin the pruning against a cold catalog
+    spark.catalog.clearCache()
     plan = _plan(ent.queries()["keyword_search_topk"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
