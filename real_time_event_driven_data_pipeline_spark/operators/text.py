@@ -754,3 +754,92 @@ def bigram_familiarity(
             (F.col("n_in_model") / F.col("n_bigrams")).alias("familiarity"),
         )
     )
+
+
+# --- DSIR-style hashed-ngram importance scoring (domain selection) ---
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_col: str,
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS'23): score every document by how much its hashed n-gram
+    feature distribution looks like a TARGET domain relative to the raw
+    corpus, so a pretraining mix can up-sample target-like documents
+    without a learned classifier.
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    (the DSIR hashed n-gram generative model).  The per-bucket weight
+    is the add-one-smoothed target/raw frequency ratio in integer
+    arithmetic — ``w_b = scale * (t_b + 1) div (r_b + 1)`` — standing
+    in for DSIR's log-likelihood ratio: exact cross-engine (no
+    transcendental logs), same ordering for any fixed scale.  The
+    bucket hash is the first 8 md5-hex chars mod ``n_buckets`` (the
+    ``shuffle_shards`` cross-engine convention).
+
+    Per-doc importance = mean bucket weight over the doc's features
+    (with multiplicity) — one IEEE division of exact longs.
+
+    Plan shape: one feature explode feeding (a) a ``n_buckets``-row
+    aggregate (broadcast back) and (b) a (doc, bucket) count; weight
+    join is map-side; one final (doc) aggregate.  Nothing scales worse
+    than the token count.  ``target_col`` is a boolean column of ``df``.
+
+    Output: (doc_id, n_feats, importance_sum, avg_importance).
+    """
+    toked = df.select(
+        F.col(id_col), F.col(target_col).alias("_tgt"), tokens_expr(text_col).alias("_toks")
+    )
+    n = F.size("_toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toked.select(
+        F.col(id_col),
+        "_tgt",
+        F.explode(F.concat(F.col("_toks"), bigrams)).alias("feat"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    bucketed = feats.select(F.col(id_col), "_tgt", bucket.alias("bucket"))
+    weights = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("r"),
+        )
+        .select(
+            "bucket",
+            F.expr(f"{scale}L * (t + 1) div (r + 1)").alias("w"),
+        )
+    )
+    per_doc_bucket = bucketed.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_doc_bucket.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("w")).cast("long").alias("importance_sum"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            "importance_sum",
+            (F.col("importance_sum") / F.col("n_feats")).alias("avg_importance"),
+        )
+    )

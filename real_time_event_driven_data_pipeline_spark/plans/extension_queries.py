@@ -1529,3 +1529,52 @@ def q_search_rerank_topk(spark, sf_dir):
     cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     scored = inference.batch_score(cand_docs)
     return search.rerank_topk(cands, scored, k=10).orderBy("query_id", "rerank")
+
+
+# --- DSIR hashed-ngram importance scoring (domain selection) ---
+# Target domain = source 'src0'; the bucket hash is the md5-hex
+# convention shared with shuffled_corpus_order, and the integer weight
+# mirrors keyword search's integer idf (// == div, positive operands).
+
+DSIR_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') t
+    FROM documents
+), feats AS (
+    SELECT doc_id, source = 'src0' AS tgt,
+           unnest(list_concat(t,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(generate_series(1, len(t)-1),
+                           i -> t[i] || ' ' || t[i+1])
+                  ELSE [] END)) AS feat
+    FROM toks
+), bk AS (
+    SELECT doc_id, tgt,
+           CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 64 AS bucket
+    FROM feats
+), w AS (
+    SELECT bucket,
+           CAST((1000000 * (CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) + 1))
+                // (CAST(COUNT(*) AS BIGINT) + 1) AS BIGINT) AS w
+    FROM bk GROUP BY bucket
+), dc AS (
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM bk GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_feats,
+       CAST(SUM(c * w.w) AS BIGINT) AS importance_sum,
+       CAST(SUM(c * w.w) AS BIGINT) / CAST(SUM(c) AS BIGINT) AS avg_importance
+FROM dc JOIN w USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "dsir_importance_scores",
+    DSIR_SQL,
+    "ext: DSIR hashed-ngram importance scoring (domain up-sampling weights)",
+)
+def q_dsir_importance_scores(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn("_is_target", F.col("source") == "src0")
+    return text.dsir_importance(docs, "_is_target", n_buckets=64).orderBy("doc_id")

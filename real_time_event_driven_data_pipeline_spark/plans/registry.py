@@ -86,6 +86,8 @@ def _ensure_loaded() -> None:
         # new in round 4
         "boilerplate_free_docs",  # C4-style span dedup
         "doc_bigram_familiarity",  # bigram-LM quality gate
+        "search_rerank_topk",  # two-stage retrieval
+        "dsir_importance_scores",  # DSIR domain selection
         "clicks_before_purchase",  # grouped as-of aggregate
         "customer_priority_history",  # SCD2 history build
         "keyword_search_topk",  # sparse lexical search

@@ -303,3 +303,45 @@ def test_rerank_orders_by_model_score(spark):
     out = search.rerank_topk(cands, scores, k=2).collect()
     assert [(r["doc_id"], r["rerank"]) for r in out] == [(11, 1), (12, 2)]
     assert out[0]["lex_score"] == 90
+
+
+# --- DSIR importance scoring (round 4) ---
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    # target docs are pure "aa bb"; off-domain docs pure "zz yy".  A
+    # doc made of target n-grams must score above one of off-domain
+    # n-grams under the smoothed target/raw bucket-weight model.
+    rows = [(i, "aa bb aa bb aa", True) for i in range(4)] + [
+        (10 + i, "zz yy zz yy zz", False) for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    out = {r["doc_id"]: r for r in text.dsir_importance(docs, "is_tgt").collect()}
+    assert out[0]["avg_importance"] > out[10]["avg_importance"]
+    # identical docs get identical scores
+    assert out[0]["importance_sum"] == out[1]["importance_sum"]
+
+
+def test_dsir_feature_count_is_tokens_plus_bigrams(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", True), (2, "solo", False)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    out = {r["doc_id"]: r for r in text.dsir_importance(docs, "is_tgt").collect()}
+    assert out[1]["n_feats"] == 3 + 2  # 3 unigrams + 2 bigrams
+    assert out[2]["n_feats"] == 1
+
+
+def test_dsir_separates_sources_on_testdata(spark, docs):
+    """On the driver corpus the target source's docs must rank higher
+    on average than the rest (the whole point of the sampler)."""
+    tagged = docs.withColumn("is_tgt", F.col("source") == "src0")
+    out = text.dsir_importance(tagged, "is_tgt")
+    joined = out.join(docs.select("doc_id", "source"), "doc_id")
+    means = {
+        r["tgt"]: r["m"]
+        for r in joined.groupBy((F.col("source") == "src0").alias("tgt"))
+        .agg(F.avg("avg_importance").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
