@@ -130,6 +130,24 @@ mapInPandas stage — the model loads once per PARTITION and scores Arrow
 batches; no shuffle at all before the presentation sort. The stand-in
 model is exact IEEE arithmetic, so the oracle certifies the full
 Python-worker path, not just row counts.""",
+    "boilerplate_free_docs": """C4-style corpus boilerplate removal (r4):
+spans explode off a 2-column pruned scan; occurrence counting is a
+partial+final distinct-count aggregate on the 8-byte span hash (never
+the string); removal is an anti-join on that same key (AQE broadcasts
+the boilerplate set at this SF — at 100 TB it stays a shuffle-hash
+join, which is the design); reassembly is one (doc) aggregate ordering
+spans by position. Three linear shuffles, nothing corpus-quadratic.""",
+    "dsir_importance_scores": """DSIR domain selection (r4): one feature
+explode feeds both the 64-row bucket-weight aggregate (broadcast back,
+map-side join) and the (doc, bucket) count; the final per-doc aggregate
+is the only corpus-scale shuffle. Integer smoothed weights — the
+log-likelihood ratio ordering without cross-engine transcendentals.""",
+    "search_rerank_topk": """Two-stage retrieval (r4): stage 1 is the
+keyword-search plan (broadcast term semi-filter, postings-only
+shuffles); stage 2 semi-filters the corpus scan by the BROADCAST
+bounded candidate-id set, model-scores candidates only in one
+mapInPandas stage, and re-ranks k rows per query. The expensive model
+never sees the corpus.""",
 }
 
 
