@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import asof, dedup, multimodal, rangejoin, similarity, skew, text
+from ..operators import asof, clustering, dedup, multimodal, rangejoin, similarity, skew, text
 from ..sources.readers import load_testdata
 from .registry import register
 
@@ -1578,3 +1578,84 @@ GROUP BY doc_id ORDER BY doc_id
 def q_dsir_importance_scores(spark, sf_dir):
     docs = _docs(spark, sf_dir).withColumn("_is_target", F.col("source") == "src0")
     return text.dsir_importance(docs, "_is_target", n_buckets=64).orderBy("doc_id")
+
+
+# --- distributed exact k-means (SemDeDup-style clustering stage) ---
+# Lloyd's iterations with integer-quantized arithmetic so the fitted
+# model is engine- and partitioning-independent (operators/clustering.py
+# documents the scale shape: broadcast-literal assignment, map-side
+# partial 2·dim-measure aggregate, ≤k-row collects).  The oracle unrolls
+# the same fixed iterations as chained CTEs.
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    parts = [
+        f"""
+WITH flatv AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+           CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qx
+    FROM embeddings
+), init_ids AS (
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+), cent0 AS (
+    SELECT i.cluster, f.dim, f.qx AS cq
+    FROM init_ids i JOIN flatv f USING (vec_id)
+)"""
+    ]
+    for t in range(1, iters + 2):
+        prev = f"cent{t - 1}"
+        parts.append(
+            f""", dist{t} AS (
+    SELECT f.vec_id, c.cluster,
+           SUM((f.qx - c.cq) * (f.qx - c.cq)) AS d
+    FROM flatv f JOIN {prev} c USING (dim)
+    GROUP BY f.vec_id, c.cluster
+), asg{t} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist{t})
+    WHERE rn = 1
+)"""
+        )
+        if t <= iters:  # update step (the last assign only counts sizes)
+            parts.append(
+                f""", newc{t} AS (
+    SELECT a.cluster, f.dim,
+           CAST(FLOOR(CAST(SUM(f.qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+    FROM asg{t} a JOIN flatv f USING (vec_id)
+    GROUP BY a.cluster, f.dim
+), cent{t} AS (
+    SELECT p.cluster, p.dim, COALESCE(r.cq, p.cq) AS cq
+    FROM cent{t - 1} p
+    LEFT JOIN newc{t} r ON r.cluster = p.cluster AND r.dim = p.dim
+)"""
+            )
+    parts.append(
+        f"""
+SELECT c.cluster AS cluster, c.dim AS dim, c.cq AS centroid_q,
+       COALESCE(s.n, 0) AS n_vectors
+FROM cent{iters} c
+LEFT JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+           FROM asg{iters + 1} GROUP BY cluster) s
+  ON s.cluster = c.cluster
+ORDER BY c.cluster, c.dim"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "kmeans_centroids",
+    _kmeans_oracle_sql(_KM_K, _KM_ITERS),
+    "ext: distributed exact-integer k-means (clustering stage for semantic dedup)",
+)
+def q_kmeans_centroids(spark, sf_dir):
+    return clustering.kmeans_centroid_table(
+        _emb(spark, sf_dir), k=_KM_K, iters=_KM_ITERS
+    )
