@@ -843,3 +843,50 @@ def dsir_importance(
             (F.col("importance_sum") / F.col("n_feats")).alias("avg_importance"),
         )
     )
+
+
+def dsir_select_by_budget(
+    df: DataFrame,
+    target_col: str,
+    token_budget: int,
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The *resampling* half of DSIR: greedily take documents in
+    importance order (most target-like first) until the selected set
+    reaches ``token_budget`` whitespace tokens — how a pretraining
+    mixture is actually cut once `dsir_importance` has scored a corpus.
+
+    A document is kept while the running token total BEFORE it is under
+    budget, so the result always contains the doc that crosses the line
+    (standard greedy prefix; never an empty mix for budget > 0).
+
+    Scale shape: the importance scores join token counts on the doc key
+    (one co-partitioned shuffle), and the budget cut is a GLOBAL ordered
+    prefix sum — computed hierarchically (`operators/windows.py`), never
+    an Exchange SinglePartition: range-partition on (-importance, id),
+    per-partition running sums, broadcast partition offsets.  Total
+    order is (avg_importance DESC, doc_id) — ties cannot reorder the
+    cut because the tiebreak key is unique.
+
+    Output: (doc_id, n_tokens, cum_tokens, avg_importance), one row per
+    selected document; ``cum_tokens`` is the inclusive running total.
+    """
+    from . import windows
+
+    imp = dsir_importance(df, target_col, n_buckets, scale, id_col, text_col)
+    toks = df.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    scored = imp.join(toks, id_col).withColumn(
+        "_neg_imp", -F.col("avg_importance")
+    )
+    ranked = windows.with_global_running_sum(
+        scored, ["_neg_imp", id_col], "n_tokens", "cum_tokens"
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < token_budget)
+        .select(id_col, "n_tokens", "cum_tokens", "avg_importance")
+    )

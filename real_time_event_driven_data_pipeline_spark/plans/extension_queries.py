@@ -1580,6 +1580,46 @@ def q_dsir_importance_scores(spark, sf_dir):
     return text.dsir_importance(docs, "_is_target", n_buckets=64).orderBy("doc_id")
 
 
+# --- DSIR budget resampling (mixture construction from the scores) ---
+# Greedy importance-ordered prefix under a token budget; the global
+# ordered cumsum is hierarchical on the Spark side (plan-gated: no
+# single-partition window) and a plain window in the oracle.
+
+_DSIR_BUDGET = 25_000
+
+DSIR_RESAMPLE_SQL = f"""
+WITH imp AS ({DSIR_SQL}),
+tok AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+), ranked AS (
+    SELECT i.doc_id, t.n_tokens, i.avg_importance,
+           CAST(SUM(t.n_tokens) OVER (
+                ORDER BY i.avg_importance DESC, i.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+    FROM imp i JOIN tok t USING (doc_id)
+)
+SELECT doc_id, n_tokens, cum_tokens, avg_importance
+FROM ranked
+WHERE cum_tokens - n_tokens < {_DSIR_BUDGET}
+ORDER BY cum_tokens, doc_id
+"""
+
+
+@register(
+    "dsir_resampled_mixture",
+    DSIR_RESAMPLE_SQL,
+    "ext: DSIR budget resampling (importance-ordered token-budget prefix)",
+)
+def q_dsir_resampled_mixture(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn("_is_target", F.col("source") == "src0")
+    return text.dsir_select_by_budget(
+        docs, "_is_target", token_budget=_DSIR_BUDGET, n_buckets=64
+    ).orderBy("cum_tokens", "doc_id")
+
+
 # --- distributed exact k-means (SemDeDup-style clustering stage) ---
 # Lloyd's iterations with integer-quantized arithmetic so the fitted
 # model is engine- and partitioning-independent (operators/clustering.py

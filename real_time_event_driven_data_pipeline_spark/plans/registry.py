@@ -84,6 +84,8 @@ def _ensure_loaded() -> None:
     # (verdict item 5); the rest keep their order behind them.
     _prioritize(
         # new in round 4
+        "kmeans_centroids",  # distributed exact k-means
+        "dsir_resampled_mixture",  # DSIR token-budget selection
         "boilerplate_free_docs",  # C4-style span dedup
         "doc_bigram_familiarity",  # bigram-LM quality gate
         "search_rerank_topk",  # two-stage retrieval

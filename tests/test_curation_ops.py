@@ -345,3 +345,33 @@ def test_dsir_separates_sources_on_testdata(spark, docs):
         .collect()
     }
     assert means[True] > means[False]
+
+
+# --- DSIR budget resampling (round 4) ---
+
+
+def test_dsir_budget_greedy_prefix(spark):
+    """Selection is the importance-ordered prefix: the doc crossing the
+    budget line is kept, everything after it is cut."""
+    rows = [(i, "aa bb aa bb aa", True) for i in range(2)] + [
+        (10 + i, "zz yy zz yy zz", False) for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    # every doc is 5 tokens; budget 12 -> docs at cum 5, 10, 15 kept (15
+    # crosses the line), cum 20+ cut.  Target docs sort first.
+    out = text.dsir_select_by_budget(docs, "is_tgt", token_budget=12).collect()
+    assert len(out) == 3
+    kept = {r["doc_id"] for r in out}
+    assert {0, 1} <= kept  # both target docs beat the off-domain ones
+    assert max(r["cum_tokens"] for r in out) == 15
+    assert all(r["cum_tokens"] - r["n_tokens"] < 12 for r in out)
+
+
+def test_dsir_budget_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", True), (2, "c d", False)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    assert text.dsir_select_by_budget(docs, "is_tgt", token_budget=0).count() == 0
+    # budget beyond the corpus keeps everything
+    assert text.dsir_select_by_budget(docs, "is_tgt", token_budget=10**9).count() == 2
