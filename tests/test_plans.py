@@ -40,6 +40,8 @@ CROSS_OK = {
     "acctbal_deciles",
     "top_order_percentiles",
     "context_packing",
+    # DSIR budget cut uses the same hierarchical-window offset join
+    "dsir_resampled_mixture",
 }
 
 

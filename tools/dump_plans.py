@@ -5,6 +5,7 @@ Usage: python tools/dump_plans.py [sf_dir] > PLANS.md
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -142,6 +143,18 @@ explode feeds both the 64-row bucket-weight aggregate (broadcast back,
 map-side join) and the (doc, bucket) count; the final per-doc aggregate
 is the only corpus-scale shuffle. Integer smoothed weights — the
 log-likelihood ratio ordering without cross-engine transcendentals.""",
+    "kmeans_centroids": """Distributed exact k-means (r4): the corpus is
+NEVER shuffled for assignment — centroids fold into the projection as
+one literal array-of-arrays; the update aggregate carries 2·dim
+columnar measures, so map-side partials cut the per-iteration exchange
+to ≤k rows per partition; driver collects are ≤k rows.  Integer
+quantization makes the fit independent of partitioning and engine —
+the oracle certifies all three Lloyd's iterations.""",
+    "dsir_resampled_mixture": """DSIR mixture cut (r4): importance scores
+join token counts on the doc key, then the token-budget cut is a
+GLOBAL ordered prefix sum computed hierarchically (range partition on
+(-importance, id) → per-partition running sums → broadcast offsets) —
+no Exchange SinglePartition anywhere in the plan.""",
     "search_rerank_topk": """Two-stage retrieval (r4): stage 1 is the
 keyword-search plan (broadcast term semi-filter, postings-only
 shuffles); stage 2 semi-filters the corpus scan by the BROADCAST
@@ -173,6 +186,9 @@ so regressions fail CI.
         df = qm[name](spark, sf_dir)
         df.collect()  # AQE finalizes + codegen-annotates only on execution
         plan = df._jdf.queryExecution().explainString(mode)
+        # fold giant literal blobs (e.g. k-means centroid arrays) so the
+        # plan stays readable — the structure, not the constants, matters
+        plan = re.sub(r"\[\[[-0-9,\[\]]{200,}\]\]", "[[<literal centroid matrix>]]", plan)
         print(f"## {name}\n\n{commentary}\n\n```\n{plan.strip()}\n```\n")
 
 
