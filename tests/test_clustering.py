@@ -90,3 +90,36 @@ def test_assignment_plan_is_shuffle_free(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side assignment
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- property: the fit is a pure function of the SET of vectors ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_vecs = st.lists(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 500.0),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=3,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_vecs)
+def test_kmeans_partitioning_independence_property(spark, vecs):
+    """Random corpora: identical fit under 1-partition and 5-partition
+    layouts (integer arithmetic leaves no accumulation-order residue)."""
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = min(3, len(rows))
+    a = clustering.kmeans_centroid_table(df.coalesce(1), k=k, iters=2).collect()
+    b = clustering.kmeans_centroid_table(df.repartition(5), k=k, iters=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
