@@ -79,6 +79,7 @@ def kmeans_fit_assign(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    min_parallelism: int | None = None,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Run ``iters`` exact Lloyd's iterations; return (assignments, centroids).
 
@@ -86,7 +87,17 @@ def kmeans_fit_assign(
     the FINAL centroids (safe to compose; triggers no extra jobs beyond
     the ``iters`` bounded collects already run).
     centroids: k × dim quantized ints.
+
+    ``min_parallelism``: a 200k-vector corpus is a single <128 MB
+    parquet split, which serializes the (CPU-bound) assignment behind
+    one core; setting this repartitions the vectors once, and every
+    iteration's map-side assignment then runs corpus-wide parallel —
+    the same few-split escape hatch as ``minhash_lsh_pairs``.
+    Registry/bench call sites set it to the session's shuffle
+    partitions; the fit itself is partitioning-independent either way.
     """
+    if min_parallelism and emb.rdd.getNumPartitions() < min_parallelism:
+        emb = emb.repartition(min_parallelism, id_col)
     # Quantized vectors are materialized into a column so the HOF
     # lambdas below reference the column, not the transform() expression
     # (which Catalyst would otherwise re-evaluate once per cluster —
@@ -134,13 +145,16 @@ def kmeans_centroid_table(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """(cluster, dim, centroid_q, n_vectors): the fitted model as a table.
 
     ``centroid_q`` is the FINAL-iteration centroid (quantized ints);
     ``n_vectors`` counts the final assignment under those centroids.
     """
-    assigned, centroids = kmeans_fit_assign(emb, k, iters, id_col, vec_col)
+    assigned, centroids = kmeans_fit_assign(
+        emb, k, iters, id_col, vec_col, min_parallelism
+    )
     spark = emb.sparkSession
     dim = len(centroids[0])
     cent_rows = [

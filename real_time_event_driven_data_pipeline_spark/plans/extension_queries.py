@@ -1696,6 +1696,7 @@ ORDER BY c.cluster, c.dim"""
     "ext: distributed exact-integer k-means (clustering stage for semantic dedup)",
 )
 def q_kmeans_centroids(spark, sf_dir):
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return clustering.kmeans_centroid_table(
-        _emb(spark, sf_dir), k=_KM_K, iters=_KM_ITERS
+        _emb(spark, sf_dir), k=_KM_K, iters=_KM_ITERS, min_parallelism=par
     )
