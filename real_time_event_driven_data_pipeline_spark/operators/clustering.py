@@ -174,3 +174,57 @@ def kmeans_centroid_table(
         )
         .orderBy("cluster", "dim")
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Coverage sampling: fit k-means, then take the ``per_cluster``
+    highest-hash-priority vectors from EVERY cluster — the
+    cluster-balanced selection step (SemDeDup / DDS-style diversity
+    sampling) that keeps rare regions of embedding space represented
+    instead of letting the head clusters dominate a uniform sample.
+
+    Priority is the md5-hex-prefix integer of the id (the repo's
+    cross-engine hash convention), so the sample is deterministic and
+    oracle-checkable; ties cannot happen (id is the tiebreak).
+
+    Scale shape: a single window partitioned by (cluster) would move
+    every cluster's full membership into ONE task, so the top-m runs in
+    two phases: a per-input-partition prune to m rows per (cluster,
+    partition) — distributed WindowExec over the pid-hash exchange —
+    then the final rank over the pruned relation, whose size is bounded
+    by m x partitions x k rows INDEPENDENT of corpus size (the same
+    bounded-input-window argument as the day-grain rollups).
+
+    Output: (id_col, cluster, rk) with rk in 1..per_cluster.
+    """
+    from pyspark.sql import Window
+
+    assigned, _ = kmeans_fit_assign(emb, k, iters, id_col, vec_col, min_parallelism)
+    pri = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("pri")
+    )
+    local = assigned.select(id_col, "cluster", pri).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid", "cluster").orderBy("pri", id_col)
+    pruned = (
+        local.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= per_cluster)
+        .drop("_pid", "_lrk")
+    )
+    w_final = Window.partitionBy("cluster").orderBy("pri", id_col)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= per_cluster)
+        .select(id_col, "cluster", "rk")
+    )

@@ -1631,7 +1631,10 @@ _KM_K = 8
 _KM_ITERS = 3
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
+def _kmeans_cte_chain(k: int, iters: int) -> str:
+    """WITH-chain prefix shared by the centroid and sampling oracles:
+    quantize -> init -> iters x (assign, update) -> final assign
+    (``asg{iters+1}`` is the assignment under the final centroids)."""
     parts = [
         f"""
 WITH flatv AS (
@@ -1664,7 +1667,7 @@ WITH flatv AS (
     WHERE rn = 1
 )"""
         )
-        if t <= iters:  # update step (the last assign only counts sizes)
+        if t <= iters:  # update step (the last assign is the final one)
             parts.append(
                 f""", newc{t} AS (
     SELECT a.cluster, f.dim,
@@ -1677,8 +1680,13 @@ WITH flatv AS (
     LEFT JOIN newc{t} r ON r.cluster = p.cluster AND r.dim = p.dim
 )"""
             )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    return (
+        _kmeans_cte_chain(k, iters)
+        + f"""
 SELECT c.cluster AS cluster, c.dim AS dim, c.cq AS centroid_q,
        COALESCE(s.n, 0) AS n_vectors
 FROM cent{iters} c
@@ -1687,7 +1695,6 @@ LEFT JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
   ON s.cluster = c.cluster
 ORDER BY c.cluster, c.dim"""
     )
-    return "".join(parts)
 
 
 @register(
@@ -1700,3 +1707,42 @@ def q_kmeans_centroids(spark, sf_dir):
     return clustering.kmeans_centroid_table(
         _emb(spark, sf_dir), k=_KM_K, iters=_KM_ITERS, min_parallelism=par
     )
+
+
+# --- cluster-balanced coverage sample (per-cluster top-m by hash) ---
+
+_KM_SAMPLE_M = 50
+
+
+def _kmeans_sample_oracle_sql(k: int, iters: int, m: int) -> str:
+    return (
+        _kmeans_cte_chain(k, iters)
+        + f""", pri AS (
+    SELECT a.vec_id, a.cluster,
+           CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS p
+    FROM asg{iters + 1} a
+), ranked AS (
+    SELECT vec_id, cluster,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY p, vec_id) AS INT) AS rk
+    FROM pri
+)
+SELECT vec_id, cluster, rk
+FROM ranked WHERE rk <= {m}
+ORDER BY cluster, rk"""
+    )
+
+
+@register(
+    "kmeans_balanced_sample",
+    _kmeans_sample_oracle_sql(_KM_K, _KM_ITERS, _KM_SAMPLE_M),
+    "ext: cluster-balanced coverage sample (per-cluster top-m by hash priority)",
+)
+def q_kmeans_balanced_sample(spark, sf_dir):
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return clustering.cluster_balanced_sample(
+        _emb(spark, sf_dir),
+        per_cluster=_KM_SAMPLE_M,
+        k=_KM_K,
+        iters=_KM_ITERS,
+        min_parallelism=par,
+    ).orderBy("cluster", "rk")

@@ -86,6 +86,7 @@ def _ensure_loaded() -> None:
         # new in round 4
         "kmeans_centroids",  # distributed exact k-means
         "dsir_resampled_mixture",  # DSIR token-budget selection
+        "kmeans_balanced_sample",  # cluster-balanced coverage sample
         "boilerplate_free_docs",  # C4-style span dedup
         "doc_bigram_familiarity",  # bigram-LM quality gate
         "search_rerank_topk",  # two-stage retrieval

@@ -123,3 +123,36 @@ def test_kmeans_partitioning_independence_property(spark, vecs):
     a = clustering.kmeans_centroid_table(df.coalesce(1), k=k, iters=2).collect()
     b = clustering.kmeans_centroid_table(df.repartition(5), k=k, iters=2).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    """Each cluster contributes min(m, cluster size) rows, ranked 1..m
+    with unique ids — the head cluster cannot crowd out the tail."""
+    emb = _toy(spark, 4)
+    out = clustering.cluster_balanced_sample(emb, per_cluster=2, k=3, iters=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r["rk"])
+    # 3 clusters of sizes 5/5/2 -> 2 rows each
+    assert {c: sorted(v) for c, v in by_cluster.items()} == {
+        0: [1, 2], 1: [1, 2], 2: [1, 2]
+    }
+    assert len({r["vec_id"] for r in out}) == len(out)
+
+
+def test_cluster_balanced_sample_partitioning_independent(spark):
+    a = clustering.cluster_balanced_sample(_toy(spark, 1), per_cluster=3, k=3, iters=2)
+    b = clustering.cluster_balanced_sample(_toy(spark, 7), per_cluster=3, k=3, iters=2)
+    key = lambda r: (r["cluster"], r["rk"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_cluster_balanced_sample_no_single_partition_window(spark):
+    """The final per-cluster rank must run over the PRUNED bounded
+    relation, and no window in the plan may sit on a single-partition
+    exchange."""
+    emb = _toy(spark, 4)
+    df = clustering.cluster_balanced_sample(emb, per_cluster=2, k=3, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Window") >= 2  # local prune + final rank
