@@ -43,8 +43,16 @@ def eval_shingle_set(
     text_col: str = "text",
     k: int = 3,
     hashed: bool = True,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
-    """DISTINCT shingles across the whole eval set (column ``shingle``)."""
+    """DISTINCT shingles across the whole eval set (column ``shingle``).
+
+    ``min_parallelism`` fans the eval docs out before shingling: an
+    eval suite read from one file otherwise shingles in ONE task, and
+    that serial stage sits on the critical path of every downstream
+    broadcast (semantic no-op — same rationale as the train side)."""
+    if min_parallelism:
+        eval_docs = eval_docs.repartition(min_parallelism, id_col)
     return (
         with_shingles(eval_docs, id_col, text_col, k=k, hashed=hashed)
         .select(F.explode("shingles").alias("shingle"))
@@ -110,7 +118,10 @@ def contamination_stats(
         F.size("shingles").cast("long").alias("n_shingles"),
         F.explode("shingles").alias("shingle"),
     )
-    ev = eval_shingle_set(eval_docs, id_col, text_col, k=k, hashed=hashed)
+    ev = eval_shingle_set(
+        eval_docs, id_col, text_col, k=k, hashed=hashed,
+        min_parallelism=min_parallelism,
+    )
     if broadcast_eval:
         ev = broadcast(ev)
     # left_semi keeps train postings whose shingle is in the eval set;

@@ -1746,3 +1746,89 @@ def q_kmeans_balanced_sample(spark, sf_dir):
         iters=_KM_ITERS,
         min_parallelism=par,
     ).orderBy("cluster", "rk")
+
+
+# --- quality-classifier training (operators/classifier.py): full-batch
+# integer perceptron on hashed features, weak labels from the rule
+# gate.  Every quantity is an exact int64, so the oracle replays the
+# identical training trajectory as a CTE chain (the k-means pattern).
+
+_CLF_DIM = 32
+_CLF_ITERS = 3
+
+
+def _classifier_oracle_sql(dim: int, iters: int) -> str:
+    parts = [
+        f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+), sparse AS (
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % {dim} AS INTEGER) AS j,
+           CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 5, 1)) AS BIGINT) % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS x
+    FROM toks GROUP BY doc_id, j
+), feat AS (
+    SELECT * FROM sparse
+    UNION ALL SELECT doc_id, {dim} AS j, CAST(1 AS BIGINT) AS x FROM documents
+), st AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), labels AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 20 AND len(t) <= 100000
+                 AND (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+                       / length(text) >= 0.5
+                 AND len(list_filter(t, x -> list_contains(
+                       ['the','a','and','of','to','in','is','it','that','for'], lower(x))))::DOUBLE
+                       / len(t) >= 0.01
+                 AND len(list_filter(t, x -> list_contains(
+                       ['the','a','and','of','to','in','is','it','that','for'], lower(x))))::DOUBLE
+                       / len(t) <= 0.60
+                THEN 1 ELSE -1 END AS y
+    FROM st
+), w0 AS (
+    SELECT unnest(range(0, {dim + 1})) AS j, CAST(0 AS BIGINT) AS w
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", m{t} AS (
+    SELECT f.doc_id, CAST(SUM(p.w * f.x) AS BIGINT) AS m
+    FROM feat f JOIN w{t - 1} p ON p.j = f.j GROUP BY f.doc_id
+), g{t} AS (
+    SELECT f.j, CAST(SUM(l.y * f.x) AS BIGINT) AS g
+    FROM feat f
+    JOIN labels l ON l.doc_id = f.doc_id
+    JOIN m{t} ON m{t}.doc_id = f.doc_id
+    WHERE l.y * m{t}.m <= 0
+    GROUP BY f.j
+), w{t} AS (
+    SELECT p.j, p.w + COALESCE(g{t}.g, 0) AS w
+    FROM w{t - 1} p LEFT JOIN g{t} ON g{t}.j = p.j
+)"""
+        )
+    parts.append(
+        f"""
+SELECT l.doc_id, CAST(l.y AS INTEGER) AS label, mf.m AS margin,
+       CAST(CASE WHEN mf.m > 0 THEN 1 ELSE -1 END AS INTEGER) AS pred
+FROM labels l
+JOIN (SELECT f.doc_id, CAST(SUM(p.w * f.x) AS BIGINT) AS m
+      FROM feat f JOIN w{iters} p ON p.j = f.j GROUP BY f.doc_id) mf
+  ON mf.doc_id = l.doc_id
+ORDER BY l.doc_id"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "quality_classifier_scores",
+    _classifier_oracle_sql(_CLF_DIM, _CLF_ITERS),
+    "ext: weak-label perceptron training + corpus scoring (integer-exact)",
+)
+def q_quality_classifier_scores(spark, sf_dir):
+    from ..operators import classifier
+
+    return classifier.quality_classifier_scores(
+        _docs(spark, sf_dir), dim=_CLF_DIM, iters=_CLF_ITERS
+    ).orderBy("doc_id")

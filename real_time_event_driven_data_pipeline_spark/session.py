@@ -41,6 +41,21 @@ RUNTIME_CONFS = {
     # so the inferTimestampNTZ=false above can never reinterpret our own
     # sink output (it only ever fires on foreign NTZ files)
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` ahead of every
+    # explode, and PushDownPredicates then drags that predicate below
+    # projections and exchanges — INLINING the array expression into the
+    # filter.  All of this engine's exploded arrays are COMPUTED (shingle
+    # transforms, span lists, posting arrays), so the inferred filter
+    # only ever re-computes them — and when the array expr references a
+    # tokenization inside a lambda, the inlined copy re-evaluates it per
+    # element (the quadratic re-eval the with_shingles rule exists to
+    # avoid), concentrated in the narrow pre-repartition scan task.
+    # Measured on eval_contamination @ sf0.1: 13.2 s -> 5.4 s executor
+    # CPU for the whole query.  The rule only ever helps when exploded
+    # arrays arrive empty from a SCAN, which never happens here.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 

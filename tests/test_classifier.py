@@ -1,0 +1,96 @@
+"""Quality-classifier training (full-batch integer perceptron).
+
+The integer-exact contract makes the strongest possible test cheap: a
+pure-Python replica of the training trajectory must match the Spark
+result BIT-FOR-BIT, on any partitioning."""
+
+import hashlib
+
+import pytest
+
+from real_time_event_driven_data_pipeline_spark.operators import classifier
+
+DIM = 8
+ITERS = 3
+STOPS = {"the", "a", "and", "of", "to", "in", "is", "it", "that", "for"}
+
+DOCS = [
+    # passing-gate docs: >=20 tokens, alphabetic, with stopwords
+    (0, "the quick brown fox jumps over the lazy dog and runs to the old mill by the river in the morning light"),
+    (1, "it is a truth universally acknowledged that a reader in possession of a good book must be in want of time"),
+    (2, "we hold these truths to be self evident that all engines are created equal in the eyes of the optimizer"),
+    # failing-gate docs: too short / no stopwords / digit soup
+    (3, "short doc"),
+    (4, "100 200 300 400 500 600 700 800 900 1000 1100 1200 1300 1400 1500 1600 1700 1800 1900 2000 2100"),
+    (5, "alpha beta gamma delta"),
+]
+
+
+def _feats(text: str):
+    toks = text.strip().split()
+    x = [0] * (DIM + 1)
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = int(h[:4], 16) % DIM
+        s = 1 if int(h[4], 16) % 2 == 0 else -1
+        x[b] += s
+    x[DIM] = 1
+    n_alpha = sum(c.isascii() and c.isalpha() for c in text)
+    alpha_ratio = n_alpha / len(text)
+    stop_ratio = sum(t.lower() in STOPS for t in toks) / len(toks)
+    y = (
+        1
+        if 20 <= len(toks) <= 100_000
+        and alpha_ratio >= 0.5
+        and 0.01 <= stop_ratio <= 0.60
+        else -1
+    )
+    return y, x
+
+
+def _replica():
+    feats = [(d, *_feats(t)) for d, t in DOCS]
+    w = [0] * (DIM + 1)
+    for _ in range(ITERS):
+        grad = [0] * (DIM + 1)
+        for _, y, x in feats:
+            m = sum(wi * xi for wi, xi in zip(w, x))
+            if y * m <= 0:
+                for j in range(DIM + 1):
+                    grad[j] += y * x[j]
+        w = [wi + gi for wi, gi in zip(w, grad)]
+    out = {}
+    for d, y, x in feats:
+        m = sum(wi * xi for wi, xi in zip(w, x))
+        out[d] = (y, m, 1 if m > 0 else -1)
+    return out
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_perceptron_matches_python_replica_exactly(spark, docs_df):
+    got = {
+        r["doc_id"]: (r["label"], r["margin"], r["pred"])
+        for r in classifier.quality_classifier_scores(
+            docs_df, dim=DIM, iters=ITERS
+        ).collect()
+    }
+    assert got == _replica()
+
+
+def test_perceptron_partitioning_independent(spark, docs_df):
+    a = classifier.quality_classifier_scores(docs_df.coalesce(1), dim=DIM, iters=2)
+    b = classifier.quality_classifier_scores(docs_df.repartition(5), dim=DIM, iters=2)
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_scoring_plan_is_shuffle_free(spark, docs_df):
+    """Training collapses to literal weights, so the returned scoring
+    plan must be a pure per-row projection — zero exchanges."""
+    df = classifier.quality_classifier_scores(docs_df, dim=DIM, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
