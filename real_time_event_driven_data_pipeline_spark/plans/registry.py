@@ -84,6 +84,7 @@ def _ensure_loaded() -> None:
     # (verdict item 5); the rest keep their order behind them.
     _prioritize(
         # new in round 4
+        "quality_classifier_scores",  # weak-label perceptron training
         "kmeans_centroids",  # distributed exact k-means
         "dsir_resampled_mixture",  # DSIR token-budget selection
         "kmeans_balanced_sample",  # cluster-balanced coverage sample
