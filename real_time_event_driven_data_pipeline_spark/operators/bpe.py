@@ -1,0 +1,171 @@
+"""Distributed BPE-style tokenizer vocabulary learning.
+
+The missing piece between the corpus ops and the token pipeline
+(`text.vocab_token_ids` encodes with a FIXED vocab; `token_count_bpe`
+only counts): actually LEARNING the merge table from the corpus — the
+byte-pair-encoding fit (Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units"; the HF-tokenizers training shape).
+
+Scale design — the real BPE-trainer shape:
+- The corpus collapses to the DISTINCT-WORD relation with counts
+  first (one linear shuffle on the word key).  Vocabulary grows
+  sublinearly in corpus size, so every subsequent iteration works on a
+  relation ~orders of magnitude smaller than the corpus, cached once.
+- Each merge step is: pair-count aggregate over the word relation
+  (map-side partials), a ONE-ROW driver collect (the argmax pair —
+  same bounded-collect contract as the k-means/perceptron loops), and
+  a literal string replace folded into the plan.  No shuffle of
+  anything corpus-sized after step 0.
+
+Exact, engine-portable semantics (what makes it oracle-certifiable):
+- Words are symbolized as separator-delimited strings
+  ``SEP c1 SEP c2 ... SEP`` (SEP = U+001F, filtered out of input).
+- A merge (l, r) applies as ``replace(s, SEP+l+SEP+r+SEP, SEP+lr+SEP)``
+  — greedy left-to-right, non-overlapping, scan resuming AFTER the
+  consumed trailing separator.  Both Spark's `replace` and DuckDB's
+  `replace` implement exactly this, so the learned trajectory is
+  bit-identical across engines.  The trailing separator in the pattern
+  is what keeps multi-character symbols intact (a pattern without it
+  could match a PREFIX of a longer right-symbol).  Divergence from
+  textbook BPE: on an odd-length run of the merged pair (``a a a``
+  with merge (a,a)) the scan-restart skips the boundary re-pair — a
+  deliberate, documented trade for exact cross-engine replay.
+- Argmax tie-break: highest count, then lexicographically smallest
+  (left, right).  Fully deterministic.
+
+No analogue in the reference (`transform.py:28-227`); extends the
+SURVEY §2 token-pipeline family (doc_token_ids, token_count_bpe).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+SEP = "\x1f"
+
+
+def word_relation(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt): distinct corpus words with occurrence counts.
+    Words containing the symbol separator are dropped (cannot be
+    symbolized losslessly); empty tokens are dropped."""
+    toks = df.select(F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("word"))
+    return (
+        toks.filter((F.col("word") != "") & (~F.col("word").contains(SEP)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _symbolized(word: Column) -> Column:
+    """``SEP + c1 + SEP + ... + SEP`` — the delimited symbol string."""
+    return F.concat(
+        F.lit(SEP), F.array_join(F.split(word, ""), SEP), F.lit(SEP)
+    )
+
+
+def _pair_counts(sym: DataFrame) -> DataFrame:
+    """(l, r, n): adjacent-symbol pair counts weighted by word count.
+    One explode + one hash agg over the (small) word relation."""
+    syms = F.slice(
+        F.split(F.col("s"), SEP), 2, F.size(F.split(F.col("s"), SEP)) - 2
+    )
+    base = sym.select(F.col("cnt"), syms.alias("_sy")).filter(F.size("_sy") >= 2)
+    pairs = F.zip_with(
+        F.slice("_sy", 1, F.size("_sy") - 1),
+        F.slice("_sy", 2, F.size("_sy") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        base.select(F.col("cnt"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+
+
+def bpe_fit(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    ``[(step, left, right, pair_count), ...]``.
+
+    Each step costs one aggregate over the cached word relation and a
+    one-row driver collect.  Stops early if no pair remains."""
+    words = word_relation(df, id_col, text_col)
+    base = words.select(_symbolized(F.col("word")).alias("s"), "cnt").persist()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        sym = base
+        for step in range(1, n_merges + 1):
+            top = (
+                _pair_counts(sym)
+                .orderBy(F.col("n").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((step, l, r, n))
+            sym = sym.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"{SEP}{l}{SEP}{r}{SEP}"),
+                    F.lit(f"{SEP}{l}{r}{SEP}"),
+                ),
+            )
+    finally:
+        try:
+            base.unpersist()
+        except Exception:
+            pass
+    return merges
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The learned merge table as a DataFrame:
+    (step int, left, right, pair_count long), ordered by step."""
+    spark = df.sparkSession
+    merges = bpe_fit(df, n_merges, id_col, text_col)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count long"
+    ).orderBy("step")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table to encode documents:
+    (id, n_words, n_symbols) — the before/after token-budget view.
+    Merge application is the same literal-replace fold as training, per
+    word, shuffle-free (one explode + per-row exprs + re-agg by id)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("word"),
+    ).filter((F.col("word") != "") & (~F.col("word").contains(SEP)))
+    s = _symbolized(F.col("word"))
+    for _, l, r, _n in merges:
+        s = F.replace(s, F.lit(f"{SEP}{l}{SEP}{r}{SEP}"), F.lit(f"{SEP}{l}{r}{SEP}"))
+    n_sym = F.size(F.split(s, SEP)) - 2
+    return (
+        toks.select(F.col(id_col), n_sym.alias("_ns"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_ns").cast("long").alias("n_symbols"),
+        )
+    )

@@ -1832,3 +1832,111 @@ def q_quality_classifier_scores(spark, sf_dir):
     return classifier.quality_classifier_scores(
         _docs(spark, sf_dir), dim=_CLF_DIM, iters=_CLF_ITERS
     ).orderBy("doc_id")
+
+
+# --- BPE vocabulary learning (operators/bpe.py): iterative pair-count
+# -> merge on the distinct-word relation.  Merge application is a
+# literal separator-delimited replace with IDENTICAL greedy semantics
+# in Spark and DuckDB, so the oracle replays the whole training
+# trajectory as a CTE chain (the k-means/perceptron pattern).
+
+_BPE_MERGES = 10
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    """WITH-chain: words -> symbolized s0 -> n x (pair-count, argmax,
+    replace).  Keeps the word key through the chain so the encode
+    oracle can join per-doc tokens to final symbol counts."""
+    parts = [
+        r"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+), words AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+    WHERE word <> '' AND position(chr(31) IN word) = 0
+    GROUP BY word
+), s0 AS (
+    SELECT word,
+           chr(31) || array_to_string(regexp_split_to_array(word, ''), chr(31)) || chr(31) AS s,
+           cnt
+    FROM words
+)"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f""", p{t} AS (
+    SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM (
+      SELECT cnt, unnest(list_transform(range(2, len(parts) - 1),
+                   i -> [parts[i], parts[i + 1]])) AS pr
+      FROM (SELECT string_split(s, chr(31)) AS parts, cnt FROM s{t - 1})
+    )
+    GROUP BY pr[1], pr[2]
+), best{t} AS (
+    SELECT lhs, rhs, n FROM p{t} ORDER BY n DESC, lhs, rhs LIMIT 1
+), s{t} AS (
+    SELECT word,
+           replace(s, chr(31) || b.lhs || chr(31) || b.rhs || chr(31),
+                      chr(31) || b.lhs || b.rhs || chr(31)) AS s,
+           cnt
+    FROM s{t - 1}, best{t} b
+)"""
+        )
+    return "".join(parts)
+
+
+def _bpe_merge_oracle_sql(n_merges: int) -> str:
+    steps = "\n    UNION ALL ".join(
+        f"SELECT {t} AS step, lhs, rhs, n AS pair_count FROM best{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return (
+        _bpe_cte_chain(n_merges)
+        + f"""
+SELECT CAST(step AS INTEGER) AS step, lhs, rhs, pair_count
+FROM ({steps})
+ORDER BY step"""
+    )
+
+
+def _bpe_budget_oracle_sql(n_merges: int) -> str:
+    return (
+        _bpe_cte_chain(n_merges)
+        + f""", wsym AS (
+    SELECT word, CAST(len(string_split(s, chr(31))) - 2 AS BIGINT) AS n_sym
+    FROM s{n_merges}
+), dtoks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_sym) AS BIGINT) AS n_symbols
+FROM dtoks d JOIN wsym w ON w.word = d.word
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+    )
+
+
+@register(
+    "bpe_merge_table",
+    _bpe_merge_oracle_sql(_BPE_MERGES),
+    "ext: BPE vocabulary learning (iterative pair-count merge fit)",
+)
+def q_bpe_merge_table(spark, sf_dir):
+    from ..operators import bpe
+
+    return bpe.bpe_merge_table(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+
+
+@register(
+    "bpe_token_budget",
+    _bpe_budget_oracle_sql(_BPE_MERGES),
+    "ext: per-doc token budget under the learned BPE merges",
+)
+def q_bpe_token_budget(spark, sf_dir):
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.bpe_fit(docs, n_merges=_BPE_MERGES)
+    return bpe.bpe_encode(docs, merges).orderBy("doc_id")
