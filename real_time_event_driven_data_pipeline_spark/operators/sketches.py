@@ -1,0 +1,103 @@
+"""Count-min sketch: a mergeable frequency sketch with DETERMINISTIC
+hashes — the frequency-domain complement of the HLL distinct-count
+rollups (`plans/streaming_queries.py::weekly_users_from_daily_sketches`).
+
+Why it earns its place next to the exact `top_tokens` aggregate: at
+100 TB the exact token-frequency table is itself huge (vocab can be
+billions of n-grams), while the CMS is a FIXED d x w counter grid
+(d*w rows, here 4 x 512) that:
+- builds with one explode(d) + one hash aggregate (map-side partials
+  reduce every partition to <= d*w rows before the exchange);
+- merges across shards/days by element-wise SUM (same union +
+  re-aggregate shape as the HLL rollup — raw data scanned once ever);
+- answers any point-frequency query with estimate = min over d rows,
+  guaranteed >= the true count (Cormode & Muthukrishnan, "An improved
+  data stream summary: the count-min sketch and its applications").
+
+Unlike library sketches, the row hashes are the repo's md5-hex
+convention (`md5(row || ':' || key)` prefix mod w), so the sketch —
+and anything computed FROM it — is bit-identical in any engine and
+DuckDB-oracle-certifiable (the HLL/KLL queries are rows-only; this one
+is exact-hash-checkable).
+
+No analogue in the reference (`transform.py:28-227`).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import broadcast
+
+
+def _bucket(row: Column, key: Column, w: int) -> Column:
+    h = F.md5(F.concat(row.cast("string"), F.lit(":"), key))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w).cast("int")
+
+
+def cms_build(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Build the sketch: (row int, bucket int, cnt long), <= d*w rows.
+    Sketches over different slices (days, sources, shards) merge by
+    ``union -> groupBy(row, bucket) -> sum(cnt)``."""
+    rows = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+    )
+    return (
+        rows.select("row", _bucket(F.col("row"), F.col("_k"), w).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise sum of compatible sketches (same d, w)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Point-frequency estimates for ``keys``: (key_col, est_count) with
+    est = min over the d rows — always >= the true count.  The sketch
+    is <= d*w rows, so it broadcasts; the probe side never shuffles
+    more than one (key, d)-explode + the final min aggregate."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+    ).select(
+        F.col(key_col),
+        "row",
+        _bucket(F.col("row"), F.col(key_col), w).alias("bucket"),
+    )
+    return (
+        probes.join(broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def token_heavy_hitters(
+    docs: DataFrame,
+    top_n: int = 20,
+    d: int = 4,
+    w: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_n`` corpus tokens BY SKETCH ESTIMATE: build the CMS
+    over all token occurrences, then estimate every distinct token and
+    take the largest (ties -> lexicographically smallest token).
+    Deterministic end-to-end, so exact-oracle-checkable even though the
+    estimates themselves are approximate counts."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    sketch = cms_build(toks, "token", d, w)
+    est = cms_estimate(sketch, toks.distinct(), "token", d, w)
+    return est.orderBy(F.col("est_count").desc(), "token").limit(top_n)

@@ -1940,3 +1940,55 @@ def q_bpe_token_budget(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     merges = bpe.bpe_fit(docs, n_merges=_BPE_MERGES)
     return bpe.bpe_encode(docs, merges).orderBy("doc_id")
+
+
+# --- count-min sketch heavy hitters (operators/sketches.py): the
+# oracle-exact frequency sketch (deterministic md5 row hashes), unlike
+# the rows-only HLL/KLL queries.  est >= true count always; top-n by
+# estimate with a full deterministic tie-break.
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_TOP = 20
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents
+), t AS (
+    SELECT token FROM toks WHERE token <> ''
+), rows_r AS (
+    SELECT unnest(range(0, {_CMS_D})) AS r
+), posts AS (
+    SELECT t.token, rows_r.r,
+           CAST(CAST(('0x' || substr(md5(CAST(rows_r.r AS VARCHAR) || ':' || t.token), 1, 8))
+                AS BIGINT) % {_CMS_W} AS INTEGER) AS bucket
+    FROM t, rows_r
+), cms AS (
+    SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM posts GROUP BY r, bucket
+), probes AS (
+    SELECT k.token, rows_r.r,
+           CAST(CAST(('0x' || substr(md5(CAST(rows_r.r AS VARCHAR) || ':' || k.token), 1, 8))
+                AS BIGINT) % {_CMS_W} AS INTEGER) AS bucket
+    FROM (SELECT DISTINCT token FROM t) k, rows_r
+), est AS (
+    SELECT p.token, MIN(c.cnt) AS est_count
+    FROM probes p JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.token
+)
+SELECT token, est_count FROM est
+ORDER BY est_count DESC, token LIMIT {_CMS_TOP}
+"""
+
+
+@register(
+    "cms_heavy_hitters",
+    CMS_HEAVY_HITTERS_SQL,
+    "ext: count-min sketch heavy hitters (mergeable, oracle-exact)",
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    from ..operators import sketches
+
+    return sketches.token_heavy_hitters(
+        _docs(spark, sf_dir), top_n=_CMS_TOP, d=_CMS_D, w=_CMS_W
+    )

@@ -84,3 +84,62 @@ def test_week_bucketing_safe_at_year_boundary(spark):
     ).select(F.date_trunc("week", F.to_date("d")).cast("date").alias("week_start"))
     weeks = {str(r.week_start) for r in df.collect()}
     assert weeks == {"2024-12-30", "2024-01-01"}
+
+
+# --- count-min sketch (operators/sketches.py) ---
+
+def _cms_corpus(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "alpha " * (i % 5 + 1) + "beta gamma " + ("delta " * (i % 3)))
+            for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cms_never_underestimates(spark):
+    """est >= true count for EVERY key (the count-min guarantee)."""
+    from pyspark.sql import functions as F
+    from real_time_event_driven_data_pipeline_spark.operators import sketches
+
+    docs = _cms_corpus(spark)
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = {r.token: r.n for r in toks.groupBy("token").count().withColumnRenamed("count", "n").collect()}
+    sk = sketches.cms_build(toks, "token", d=4, w=16)  # tiny w forces collisions
+    est = {
+        r.token: r.est_count
+        for r in sketches.cms_estimate(sk, toks.distinct(), "token", d=4, w=16).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n
+
+
+def test_cms_merge_equals_direct_build(spark):
+    """Sketch of the union == merged sketches of the halves — the
+    mergeability contract that lets day sketches roll up to any range."""
+    from pyspark.sql import functions as F
+    from real_time_event_driven_data_pipeline_spark.operators import sketches
+
+    docs = _cms_corpus(spark)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    h1, h2 = toks.filter("doc_id < 20"), toks.filter("doc_id >= 20")
+    merged = sketches.cms_merge(
+        sketches.cms_build(h1, "token"), sketches.cms_build(h2, "token")
+    )
+    direct = sketches.cms_build(toks, "token")
+    key = lambda r: (r["row"], r["bucket"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+
+
+def test_cms_heavy_hitters_deterministic_across_partitioning(spark):
+    from real_time_event_driven_data_pipeline_spark.operators import sketches
+
+    docs = _cms_corpus(spark)
+    a = sketches.token_heavy_hitters(docs.coalesce(1), top_n=5).collect()
+    b = sketches.token_heavy_hitters(docs.repartition(7), top_n=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["token"] == "alpha"  # 3x avg multiplicity dominates
