@@ -120,3 +120,96 @@ def rerank_topk(
             "rerank",
         )
     )
+
+
+def dense_hash_search_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dense retrieval twin of ``keyword_search_topk`` over the
+    feature-hashed embedding space (`text.hashed_embedding_weights`):
+    score(q, d) = <q_vec, d_vec> as an exact INTEGER dot product of the
+    signed hashed token counts, so the ranking is bit-identical across
+    engines (float cosine ANN lives in ``similarity.py``; this is the
+    retrieval-stack member that composes with RRF fusion).
+
+    ``query_terms``: (query_id, term) — the query's bag of words.
+    The query embedding is vocab-hashed exactly like documents, stays
+    |queries| x dim rows, and broadcasts; the dot product is a sparse
+    equi-join on the bucket key (docs with zero overlapping buckets
+    cannot rank).  Output: (query_id, doc_id, dense_score, rank).
+    """
+    from . import text as _text
+
+    demb = _text.hashed_embedding_weights(docs, dim=dim, id_col=id_col, text_col=text_col)
+    h = F.md5(F.col("term"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % dim).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    qemb = (
+        query_terms.select("query_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("query_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("qw"))
+    )
+    dots = (
+        demb.join(F.broadcast(qemb), "bucket")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("weight") * F.col("qw")).cast("long").alias("dense_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dense_score"), F.col(id_col))
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dense_score", "rank")
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    k_retrieve: int = 20,
+    rrf_k: int = 60,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    "Reciprocal rank fusion outperforms Condorcet and individual rank
+    learning methods"): run the lexical tf-idf ranking and the dense
+    hashed-embedding ranking to depth ``k_retrieve`` each, then fuse
+
+        rrf(d) = sum over systems of 1 / (rrf_k + rank_system(d))
+
+    (missing from a system contributes 0).  Both per-system ranks are
+    integer-exact; the fusion is two correctly-rounded IEEE divisions
+    plus one add, mirrored verbatim by the oracle, so even the fused
+    ORDER is engine-identical (ties -> doc id).
+
+    Scale shape: each system's result is |queries| x k_retrieve rows —
+    the fusion join and final window touch only bounded relations; the
+    corpus is scanned once per system.  Output: (query_id, doc_id,
+    lex_rank, dense_rank, rrf_score, rank), top ``k`` per query.
+    """
+    lex = keyword_search_topk(
+        docs, query_terms, k=k_retrieve, id_col=id_col, text_col=text_col
+    ).select("query_id", id_col, F.col("rank").alias("lex_rank"))
+    dense = dense_hash_search_topk(
+        docs, query_terms, k=k_retrieve, dim=dim, id_col=id_col, text_col=text_col
+    ).select("query_id", id_col, F.col("rank").alias("dense_rank"))
+    fused = lex.join(dense, ["query_id", id_col], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.col(id_col))
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "lex_rank", "dense_rank", "rrf_score", "rank")
+    )

@@ -1992,3 +1992,97 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return sketches.token_heavy_hitters(
         _docs(spark, sf_dir), top_n=_CMS_TOP, d=_CMS_D, w=_CMS_W
     )
+
+
+# --- hybrid retrieval with reciprocal-rank fusion (operators/search.py):
+# lexical tf-idf ranks + integer hashed-embedding dense ranks, fused as
+# 1/(60+rank) sums.  Every rank is integer-exact and the fusion is two
+# correctly-rounded IEEE divisions, so even the fused ORDER replays
+# bit-identically in the oracle.
+
+HYBRID_RRF_SQL = """
+WITH q(query_id, term) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' AND term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+idf AS (
+  SELECT term,
+         CAST((1000000 * (n.n_docs + 1)) // (CAST(count(*) AS BIGINT) + 1) AS BIGINT) AS idf
+  FROM tf, n GROUP BY term, n.n_docs
+),
+lscores AS (
+  SELECT q.query_id, tf.doc_id, CAST(SUM(tf.tf * idf.idf) AS BIGINT) AS score
+  FROM q JOIN tf USING (term) JOIN idf USING (term)
+  GROUP BY q.query_id, tf.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+  FROM lscores QUALIFY lex_rank <= 20
+),
+wtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+demb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 32 AS INTEGER) AS bucket,
+         CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 5, 1)) AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS weight
+  FROM wtoks GROUP BY doc_id, bucket
+),
+qemb AS (
+  SELECT query_id,
+         CAST(CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) % 32 AS INTEGER) AS bucket,
+         CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(term), 5, 1)) AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS qw
+  FROM q GROUP BY query_id, bucket
+),
+dots AS (
+  SELECT qe.query_id, de.doc_id, CAST(SUM(de.weight * qe.qw) AS BIGINT) AS dense_score
+  FROM demb de JOIN qemb qe ON qe.bucket = de.bucket
+  GROUP BY qe.query_id, de.doc_id
+),
+dense AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dense_score DESC, doc_id) AS INT) AS dense_rank
+  FROM dots QUALIFY dense_rank <= 20
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0)
+           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.dense_rank), 0) AS rrf_score
+  FROM lex l FULL JOIN dense d ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, lex_rank, dense_rank, rrf_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+FROM fused QUALIFY rank <= 10
+ORDER BY query_id, rank
+""".format(values=", ".join(f"({qid}, '{t}')" for qid, t in KEYWORD_QUERIES))
+
+
+@register(
+    "hybrid_rrf_search",
+    HYBRID_RRF_SQL,
+    "ext: hybrid lexical+dense retrieval, reciprocal-rank fusion",
+)
+def q_hybrid_rrf_search(spark, sf_dir):
+    from ..operators import search
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(KEYWORD_QUERIES, "query_id long, term string")
+    return search.hybrid_rrf_topk(docs, queries, k=10, k_retrieve=20).orderBy(
+        "query_id", "rank"
+    )

@@ -375,3 +375,47 @@ def test_dsir_budget_edges(spark):
     assert text.dsir_select_by_budget(docs, "is_tgt", token_budget=0).count() == 0
     # budget beyond the corpus keeps everything
     assert text.dsir_select_by_budget(docs, "is_tgt", token_budget=10**9).count() == 2
+
+
+# --- hybrid RRF retrieval (operators/search.py) ---
+
+def test_hybrid_rrf_fuses_both_systems(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from real_time_event_driven_data_pipeline_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle join hash partition"),
+            (1, "window order sort rank frame"),
+            (2, "shuffle shuffle shuffle exchange network"),
+            (3, "totally unrelated pelican prose"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "shuffle"), (1, "join")], "query_id long, term string")
+    out = search.hybrid_rrf_topk(docs, qs, k=4, k_retrieve=4).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # doc 0 matches lexically AND shares hashed buckets -> both ranks set
+    assert by_doc[0]["lex_rank"] is not None
+    # rrf = sum of the two reciprocal terms, exactly
+    for r in out:
+        want = (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] is not None else 0.0) + (
+            1.0 / (60 + r["dense_rank"]) if r["dense_rank"] is not None else 0.0
+        )
+        assert r["rrf_score"] == want
+    # ranks are 1..n dense per query, no gaps
+    assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+
+
+def test_hybrid_rrf_partitioning_independent(spark):
+    from real_time_event_driven_data_pipeline_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 5} shuffle join word{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "shuffle"), (2, "join")], "query_id long, term string")
+    a = search.hybrid_rrf_topk(docs.coalesce(1), qs, k=5).collect()
+    b = search.hybrid_rrf_topk(docs.repartition(7), qs, k=5).collect()
+    key = lambda r: tuple((v if v is not None else -1) for v in r)  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
