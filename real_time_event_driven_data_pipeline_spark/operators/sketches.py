@@ -101,3 +101,101 @@ def token_heavy_hitters(
     sketch = cms_build(toks, "token", d, w)
     est = cms_estimate(sketch, toks.distinct(), "token", d, w)
     return est.orderBy(F.col("est_count").desc(), "token").limit(top_n)
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_hi: DataFrame,
+    buckets: int = 128,
+) -> DataFrame:
+    """Fixed-width histogram: (group, bucket int, cnt long) against the
+    1-row (lo, hi) bounds relation.  Mergeable across shards/days by
+    ``union -> groupBy(group, bucket) -> sum(cnt)`` — the quantile
+    analogue of the CMS/HLL rollups.  Nulls excluded; values clamp into
+    [0, buckets-1] so merged histograms with wider live ranges stay
+    well-defined.  Requires hi > lo."""
+    ev = df.select(F.col(group_col), F.col(value_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(buckets))
+    raw = F.floor((F.col("_v") - F.col("lo")) / width)
+    bucket = (
+        F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(buckets - 1).cast("long"))
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        ev.join(F.broadcast(lo_hi))  # 1-row bounds: broadcast cross join
+        .select(F.col(group_col), bucket)
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    buckets: int = 128,
+    percents: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Mergeable approximate quantiles via a fixed-width histogram —
+    deterministic, so (unlike `percentile_approx`/KLL) the estimate is
+    DuckDB-oracle-exact end to end.
+
+    Estimate for percentile p: the LOWER EDGE of the first bucket whose
+    cumulative count reaches ceil(p*n/100) (integer-exact target rank;
+    edge = lo + bucket*width, one IEEE mul+add).  Error is bounded by
+    one bucket width — the classic fixed-histogram trade, and the price
+    of mergeability + determinism.
+
+    Scale shape: one pass for the global (lo, hi) 1-row bounds
+    (broadcast back), one pass to histogram (map-side partials reduce
+    every partition to <= |groups| x buckets rows), then all remaining
+    work (cumulative window, target selection) runs on <= buckets rows
+    per group.  Output: (group, n, p{p}_est ...) ordered by group."""
+    ev = df.select(F.col(group_col), F.col(value_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    bounds = ev.agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
+    hist = value_histogram(df, value_col, group_col, bounds, buckets)
+    n = ev.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    sel = (
+        cum.join(n, group_col)
+        .groupBy(group_col)
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
+                        F.col("bucket"),
+                    )
+                ).alias(f"_b{p}")
+                for p in percents
+            ]
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(buckets))
+    return (
+        sel.join(n, group_col)
+        .join(F.broadcast(bounds))
+        .select(
+            F.col(group_col),
+            F.col("n"),
+            *[
+                (F.col("lo") + F.col(f"_b{p}") * width).alias(f"p{p}_est")
+                for p in percents
+            ],
+        )
+        .orderBy(group_col)
+    )

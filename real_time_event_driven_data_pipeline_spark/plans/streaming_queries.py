@@ -408,3 +408,56 @@ def q_weekly_users_from_daily_sketches(spark, sf_dir):
         )
         .orderBy("week_start")
     )
+
+
+# --- mergeable histogram quantiles (operators/sketches.py): the
+# deterministic, oracle-EXACT quantile sketch (value_quantile_sketch's
+# KLL is rows-only) — day histograms merge to any range by bucket-count
+# sum, estimates are bucket lower edges with error <= one bucket width.
+
+HIST_QUANTILES_SQL = """
+WITH ev AS (
+  SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM ev
+), h AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(CAST(floor((ev.v - b.lo)
+                / ((b.hi - b.lo) / CAST(128 AS DOUBLE))) AS BIGINT), 0), 127)
+              AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev, b GROUP BY event_type, bucket
+), n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY event_type
+), c AS (
+  SELECT event_type, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM h
+), sel AS (
+  SELECT c.event_type,
+         MIN(CASE WHEN c.cum >= (50 * n.n + 99) // 100 THEN c.bucket END) AS b50,
+         MIN(CASE WHEN c.cum >= (95 * n.n + 99) // 100 THEN c.bucket END) AS b95,
+         MIN(CASE WHEN c.cum >= (99 * n.n + 99) // 100 THEN c.bucket END) AS b99
+  FROM c JOIN n ON n.event_type = c.event_type GROUP BY c.event_type
+)
+SELECT s.event_type, n.n,
+       b.lo + s.b50 * ((b.hi - b.lo) / CAST(128 AS DOUBLE)) AS p50_est,
+       b.lo + s.b95 * ((b.hi - b.lo) / CAST(128 AS DOUBLE)) AS p95_est,
+       b.lo + s.b99 * ((b.hi - b.lo) / CAST(128 AS DOUBLE)) AS p99_est
+FROM sel s JOIN n ON n.event_type = s.event_type, b
+ORDER BY s.event_type
+"""
+
+
+@register(
+    "value_histogram_quantiles",
+    HIST_QUANTILES_SQL,
+    "sketch: mergeable fixed-width histogram quantiles (oracle-exact)",
+)
+def q_value_histogram_quantiles(spark, sf_dir):
+    from ..operators import sketches
+
+    events = _events(spark, sf_dir)
+    return sketches.histogram_quantiles(
+        events, "value", "event_type", buckets=128, percents=(50, 95, 99)
+    )

@@ -42,6 +42,12 @@ CROSS_OK = {
     "context_packing",
     # DSIR budget cut uses the same hierarchical-window offset join
     "dsir_resampled_mixture",
+    # RRF fusion's lexical arm IS keyword_search_topk, so its plan
+    # inherits the same free 1-row n_docs broadcast cross
+    "hybrid_rrf_search",
+    # the 1-row (lo, hi) global-bounds aggregate broadcast-crossed back
+    # into the scan — the same free 1-row shape as idle_rich_customers
+    "value_histogram_quantiles",
 }
 
 

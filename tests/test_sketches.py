@@ -143,3 +143,57 @@ def test_cms_heavy_hitters_deterministic_across_partitioning(spark):
     b = sketches.token_heavy_hitters(docs.repartition(7), top_n=5).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a[0]["token"] == "alpha"  # 3x avg multiplicity dominates
+
+
+# --- fixed-width histogram quantiles (operators/sketches.py) ---
+
+def test_histogram_quantiles_bracket_true_percentiles(spark):
+    """est is the lower edge of the bucket holding the target rank, so
+    exact_pctile in [est, est + width] for every group and p."""
+    import random
+
+    from pyspark.sql import functions as F
+    from real_time_event_driven_data_pipeline_spark.operators import sketches
+
+    rng = random.Random(7)
+    rows = [("g" + str(i % 3), rng.uniform(0.0, 100.0)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    buckets = 64
+    out = {
+        r["grp"]: r
+        for r in sketches.histogram_quantiles(
+            df, "value", "grp", buckets=buckets, percents=(50, 95, 99)
+        ).collect()
+    }
+    lo, hi = min(v for _, v in rows), max(v for _, v in rows)
+    width = (hi - lo) / float(buckets)
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        for p in (50, 95, 99):
+            exact = vals[(p * len(vals) + 99) // 100 - 1]
+            est = out[g][f"p{p}_est"]
+            assert est <= exact <= est + width + 1e-9, (g, p, est, exact)
+
+
+def test_histograms_merge_to_direct_build(spark):
+    from real_time_event_driven_data_pipeline_spark.operators import sketches
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(i % 37)) for i in range(400)],
+        "id long, grp string, value double",
+    )
+    bounds = df.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    h1 = sketches.value_histogram(df.filter("id < 200"), "value", "grp", bounds, 32)
+    h2 = sketches.value_histogram(df.filter("id >= 200"), "value", "grp", bounds, 32)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("grp", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    direct = sketches.value_histogram(df, "value", "grp", bounds, 32)
+    key = lambda r: (r["grp"], r["bucket"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
