@@ -159,6 +159,7 @@ def quality_classifier_scores(
     iters: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Train the weak-label perceptron, then score every document under
     the final weights: (id, label, margin, pred) with pred = +1 iff
@@ -167,7 +168,14 @@ def quality_classifier_scores(
     The feature frame is computed once and cached for the training
     passes (scoped persist, released before returning the score plan —
     scoring recomputes features map-side, keeping the returned plan
-    self-contained and cache-free)."""
+    self-contained and cache-free).
+
+    ``min_parallelism`` fans the docs out before featurization: a
+    single-file table otherwise computes every O(dim x tokens) feature
+    vector in ONE task (semantic no-op — the engine's standard
+    few-split fanout, see dedup.minhash_band_buckets)."""
+    if min_parallelism:
+        df = df.repartition(min_parallelism, id_col)
     feat = _dense_features(df, dim, id_col, text_col)
     cached = feat.persist()
     try:

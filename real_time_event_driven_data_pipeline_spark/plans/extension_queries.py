@@ -1829,8 +1829,9 @@ ORDER BY l.doc_id"""
 def q_quality_classifier_scores(spark, sf_dir):
     from ..operators import classifier
 
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return classifier.quality_classifier_scores(
-        _docs(spark, sf_dir), dim=_CLF_DIM, iters=_CLF_ITERS
+        _docs(spark, sf_dir), dim=_CLF_DIM, iters=_CLF_ITERS, min_parallelism=par
     ).orderBy("doc_id")
 
 
