@@ -161,6 +161,39 @@ shuffles); stage 2 semi-filters the corpus scan by the BROADCAST
 bounded candidate-id set, model-scores candidates only in one
 mapInPandas stage, and re-ranks k rows per query. The expensive model
 never sees the corpus.""",
+    "quality_classifier_scores": """Weak-label perceptron (r4): after
+training, the learned weights appear INLINE as a literal array inside
+`aggregate(zip_with(x, [w0,...,w32], *), ...)` — the scoring plan is a
+pure per-row projection with ZERO exchanges beyond the presentation
+sort.  Each training iteration (not shown — separate jobs) is one
+33-measure HashAggregate whose map-side partials reduce every
+partition to a single row.""",
+    "kmeans_balanced_sample": """Cluster-balanced coverage sample (r4):
+per-cluster top-m runs TWICE as WindowGroupLimit (Partial on the
+(pid, cluster) prune, Final after the cluster exchange) — Spark's
+rank-limit pushdown keeps each sort bounded to m rows per group; no
+cluster's full membership ever converges on one task.""",
+    "cms_heavy_hitters": """Count-min sketch (r4): the d x w sketch is
+built by a partial+final HashAggregate (<= d*w rows after map-side
+combine) and BROADCAST into the probe join; the final top-20 compiles
+to `TakeOrderedAndProject`, not a global sort.""",
+    "hybrid_rrf_search": """RRF fusion (r4): both rankings carry
+WindowGroupLimit (partial BEFORE the query_id exchange, final after),
+so only ~k rows per query per system reach the full-outer fusion
+join; the fused rank is again WindowGroupLimit-bounded.  The only
+cross shape is the free 1-row n_docs broadcast inside the idf
+computation.""",
+    "value_histogram_quantiles": """Mergeable histogram quantiles (r4):
+ONE corpus-sized aggregate (partial+final, group x 128 buckets out);
+everything downstream — cumulative window, integer target-rank
+selection, edge arithmetic — runs on <= 128 rows per group.  The
+BroadcastNestedLoopJoin is the free 1-row (lo, hi) bounds relation.""",
+    "bpe_merge_table": """BPE fit (r4): the result plan is a tiny
+ExistingRDD scan because training already ran at plan-build — 10
+iterations x (pair-count HashAggregate over the CACHED distinct-word
+relation + a 1-row argmax collect), the k-means bounded-collect
+contract.  The corpus is scanned once ever (word_relation's single
+linear shuffle).""",
 }
 
 
