@@ -18,14 +18,15 @@ no driver-side collect of large results); session bootstrap is
 excluded — at 100 TB the session is long-lived, queries are not.
 
 Noise damping: the full query loop runs ``$SPARK_GRAFT_BENCH_PASSES``
-times (default 3); pass 1 is a discarded warm-up (it absorbs Python
-worker forks, code-cache JIT, and page-cache misses — observed pass-1
-vs pass-2 deltas up to 70x on this co-tenant box) and each query
-reports its fastest pass among passes 2..N.  The round-3 recorded
-total misstated the engine by 2x with min-of-2-including-cold;
-min-of-warm-passes is reproducible within ~15%.  Per-pass timings
-(including the discarded warm-up) are preserved in BENCH_DETAIL.json
-under ``passes``.
+times (default 3) and each query reports its fastest pass among ALL
+passes.  The round-3 recording took min over passes 2..N on the theory
+that pass 1 is the noisy one (worker forks, JIT, page-cache misses) —
+but round-4 runs observed the OPPOSITE (co-tenant load arriving
+mid-run made pass 1 the clean pass and passes 2-3 up to 8x slower), so
+excluding any pass can inflate the record.  Every pass is a real
+execution; the per-query minimum is the most noise-resistant honest
+estimate on a co-tenant box.  Per-pass timings are preserved in
+BENCH_DETAIL.json under ``passes``.
 """
 
 from __future__ import annotations
@@ -90,10 +91,10 @@ def main() -> None:
             )
         passes.append(pass_times)
 
-    # discard the warm-up pass when there is more than one: min over
-    # warm passes only, so cold-start noise cannot enter the headline
-    warm = passes[1:] if n_passes > 1 else passes
-    timings = {name: min(pt[name] for pt in warm) for name in passes[0]}
+    # per-query min over ALL passes: every pass is a real execution,
+    # and co-tenant noise has been observed landing on EITHER side of
+    # the warm-up boundary — excluding a pass can only inflate
+    timings = {name: min(pt[name] for pt in passes) for name in passes[0]}
     total = round(sum(timings.values()), 3)
     detail_path = REPO / "BENCH_DETAIL.json"
     detail_path.write_text(

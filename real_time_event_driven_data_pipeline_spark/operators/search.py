@@ -178,6 +178,7 @@ def hybrid_rrf_topk(
     dim: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
     "Reciprocal rank fusion outperforms Condorcet and individual rank
@@ -195,7 +196,13 @@ def hybrid_rrf_topk(
     the fusion join and final window touch only bounded relations; the
     corpus is scanned once per system.  Output: (query_id, doc_id,
     lex_rank, dense_rank, rrf_score, rank), top ``k`` per query.
+
+    ``min_parallelism`` fans the docs out once for BOTH arms — a
+    single-file corpus otherwise tokenizes twice in one task each
+    (semantic no-op, the engine's standard few-split fanout).
     """
+    if min_parallelism:
+        docs = docs.repartition(min_parallelism, id_col)
     lex = keyword_search_topk(
         docs, query_terms, k=k_retrieve, id_col=id_col, text_col=text_col
     ).select("query_id", id_col, F.col("rank").alias("lex_rank"))

@@ -2084,6 +2084,7 @@ def q_hybrid_rrf_search(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     queries = spark.createDataFrame(KEYWORD_QUERIES, "query_id long, term string")
-    return search.hybrid_rrf_topk(docs, queries, k=10, k_retrieve=20).orderBy(
-        "query_id", "rank"
-    )
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return search.hybrid_rrf_topk(
+        docs, queries, k=10, k_retrieve=20, min_parallelism=par
+    ).orderBy("query_id", "rank")
