@@ -1,0 +1,124 @@
+"""Perceptron-trainer scale probe: evidence the full-batch fit scales
+~linearly in corpus size (flat per-unit cost).
+
+Unlike the BPE probe (whose working set is vocabulary-pinned, so the
+gate is SUBLINEAR), the classifier's per-iteration gradient is a
+corpus-sized aggregate — the right 100 TB shape is LINEAR: featurize
+map-side, dim+1 SUM measures partial-aggregated to one row per
+partition, a single (dim+1)-column row to the driver per iteration.
+Nothing in the plan grows super-linearly with n.
+
+Gate: time(Nx) <= N * 1.25 * time(1x) (linear + noise headroom — the
+k-means probe criterion).
+
+Appends a ``"kind": "classifier_scale_probe"`` record to
+PROGRESS.jsonl.
+
+Usage: python tools/classifier_probe.py [multiplier]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+BASE_DOCS = 50_000
+VOCAB = 5_000
+DIM = 32
+ITERS = 3
+
+
+def generate(n_docs: int, path: Path, seed: int = 7) -> None:
+    path.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = np.array(
+        ["".join(rng.choice(letters, size=ln)) for ln in rng.integers(3, 9, size=VOCAB)],
+        dtype=object,
+    )
+    stops = np.array(["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"])
+    texts = []
+    for i in range(n_docs):
+        n_tok = int(rng.integers(10, 60))
+        words = list(rng.choice(vocab, size=n_tok))
+        if i % 2 == 0:  # half the corpus passes the stopword gate
+            words[:: max(1, n_tok // 5)] = list(
+                rng.choice(stops, size=len(words[:: max(1, n_tok // 5)]))
+            )
+        texts.append(" ".join(words))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, path / "documents.parquet")
+
+
+def main() -> None:
+    multiplier = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    base = Path("/tmp/classifier_probe/x1")
+    big = Path(f"/tmp/classifier_probe/x{multiplier}")
+    generate(BASE_DOCS, base)
+    generate(BASE_DOCS * multiplier, big, seed=11)
+
+    from real_time_event_driven_data_pipeline_spark.operators import classifier
+    from real_time_event_driven_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("classifier-probe")
+    spark.range(64, numPartitions=8).count()  # warm the JVM
+
+    def timed(d: Path) -> dict:
+        best, n_pos = None, None
+        for _ in range(2):  # min-of-2: first touch pays listing/codegen
+            docs = spark.read.parquet(str(d / "documents.parquet"))
+            t0 = time.perf_counter()
+            out = classifier.quality_classifier_scores(
+                docs, dim=DIM, iters=ITERS, min_parallelism=32
+            )
+            n_pos = out.filter("pred = 1").count()
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        return {"sec": round(best, 2), "n_pred_pos": n_pos}
+
+    out = {}
+    for label, d in [("x1", base), (f"x{multiplier}", big)]:
+        out[label] = timed(d)
+        print(f"# classifier @ {label}: {out[label]}", file=sys.stderr)
+    spark.stop()
+
+    ratio = round(out[f"x{multiplier}"]["sec"] / max(out["x1"]["sec"], 1e-9), 2)
+    bar = 1.25 * multiplier
+    record = {
+        "ts": time.time(),
+        "kind": "classifier_scale_probe",
+        "multiplier": multiplier,
+        "base_docs": BASE_DOCS,
+        "dim": DIM,
+        "iters": ITERS,
+        "results": out,
+        "time_ratio": ratio,
+        "pass": ratio <= bar,
+        "note": (
+            "Gate: Nx fit+score <= linear + 25% noise headroom.  "
+            "Featurization is map-side, each gradient partial-aggregates "
+            "to 1 row/partition, driver sees dim+1 longs per iteration."
+        ),
+    }
+    with open(REPO / "PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(record) + "\n")
+    print(json.dumps(record, indent=2))
+
+
+if __name__ == "__main__":
+    main()
