@@ -49,7 +49,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from . import text
+
+_STOPS = frozenset(
+    ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+)
 
 
 def _dense_features(
@@ -58,65 +61,79 @@ def _dense_features(
     """(id, y, x array<long> len dim+1): signed hashed token counts,
     x[dim] = 1 (bias).  y = +1 iff the doc passes the rule gate.
 
-    Shuffle-free: the whole feature vector is a per-row array
-    expression (buckets/signs materialized first — the with_shingles
-    rule), and the label is a per-row predicate on exact int/int
-    ratios (the proven `quality_filtered_docs` condition set)."""
-    toked = df.select(
-        F.col(id_col), F.col(text_col), text.tokens_expr(text_col).alias("_toks")
-    )
+    Arrow-batched `mapInPandas` with a per-partition token -> (bucket,
+    sign) memo: md5 is computed once per DISTINCT token per partition
+    (Zipfian corpora hit the memo almost always), and the fold runs on
+    unboxed Python ints.  This replaced two pure-Catalyst formulations
+    that were semantically identical but pathological at scale: the
+    per-dim `transform(sequence(dim), i -> aggregate(...))` gets its
+    single-referenced hash arrays CollapseProject-inlined INTO the
+    per-dim lambda (md5 re-evaluated dim times per row), and the
+    allocation-light rewrite (single fold building the array
+    accumulator) spent 3x its CPU time in GC from interpreted-HOF
+    boxing (353 s jvmGcTime vs 147 s CPU on the 500k-doc probe).
+    Interpreted HOFs never enter whole-stage codegen, so the Arrow path
+    is the engine-idiomatic escape hatch — same pattern as
+    `operators/inference.py`.
 
-    def _bucket(t: Column) -> Column:
-        return (F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % dim).cast(
-            "int"
-        )
+    Exactness is preserved (pinned by the Python-replica test and the
+    DuckDB oracle): hashlib md5 == Spark md5 == DuckDB md5 on UTF-8
+    bytes, and the label ratios are the same two IEEE divisions.
+    ASCII-whitespace corpora tokenize identically under Python ``\\s``
+    and Java ``\\s`` (both testdata and reference data are ASCII)."""
+    import re
 
-    def _sign(t: Column) -> Column:
-        return F.when(
-            F.conv(F.substring(F.md5(t), 5, 1), 16, 10).cast("long") % 2 == 0,
-            F.lit(1),
-        ).otherwise(F.lit(-1))
+    schema = f"{id_col} long, y int, x array<long>"
+    stops = _STOPS
 
-    n_tokens = F.size("_toks")
-    n_alpha = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), "[a-zA-Z]", "")
-    )
-    alpha_ratio = n_alpha.cast("double") / F.length(F.col(text_col)).cast("double")
-    stop_hits = F.size(
-        F.filter(
-            "_toks",
-            lambda x: F.lower(x).isin(
-                "the", "a", "and", "of", "to", "in", "is", "it", "that", "for"
-            ),
-        )
-    )
-    stop_ratio = stop_hits.cast("double") / n_tokens.cast("double")
-    passes = (
-        (n_tokens >= 20)
-        & (n_tokens <= 100_000)
-        & (alpha_ratio >= 0.5)
-        & (stop_ratio >= 0.01)
-        & (stop_ratio <= 0.60)
-    )
+    def gen(batches):
+        import hashlib
 
-    hashed = toked.select(
-        F.col(id_col),
-        F.when(passes, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
-        F.transform("_toks", _bucket).alias("_bs"),
-        F.transform("_toks", _sign).alias("_ss"),
-    )
-    vec = F.concat(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.aggregate(
-                F.zip_with("_bs", "_ss", lambda b, s: F.when(b == i, s).otherwise(0)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        ),
-        F.array(F.lit(1).cast("long")),  # bias
-    )
-    return hashed.select(F.col(id_col), "y", vec.alias("x"))
+        import pandas as pd
+
+        memo: dict[str, tuple[int, int]] = {}
+
+        def pair(tok: str) -> tuple[int, int]:
+            p = memo.get(tok)
+            if p is None:
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                p = (int(h[:4], 16) % dim, 1 if int(h[4], 16) % 2 == 0 else -1)
+                memo[tok] = p
+            return p
+
+        ws = re.compile(r"\s+")
+        alpha = re.compile(r"[a-zA-Z]")
+        for pdf in batches:
+            out_y, out_x = [], []
+            for txt in pdf[text_col].astype(str).values:
+                toks = ws.split(txt.strip())
+                x = [0] * (dim + 1)
+                x[dim] = 1
+                stop_hits = 0
+                for t in toks:
+                    b, s = pair(t)
+                    x[b] += s
+                    if t.lower() in stops:
+                        stop_hits += 1
+                n = len(toks)
+                alpha_ratio = len(alpha.findall(txt)) / len(txt) if txt else 0.0
+                stop_ratio = stop_hits / n
+                y = (
+                    1
+                    if (
+                        20 <= n <= 100_000
+                        and alpha_ratio >= 0.5
+                        and 0.01 <= stop_ratio <= 0.60
+                    )
+                    else -1
+                )
+                out_y.append(y)
+                out_x.append(x)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "y": out_y, "x": out_x}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 
 def _margin_expr(weights: list[int]) -> Column:

@@ -46,15 +46,14 @@ def generate(n_docs: int, path: Path, seed: int = 7) -> None:
         dtype=object,
     )
     stops = np.array(["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"])
-    texts = []
-    for i in range(n_docs):
-        n_tok = int(rng.integers(10, 60))
-        words = list(rng.choice(vocab, size=n_tok))
-        if i % 2 == 0:  # half the corpus passes the stopword gate
-            words[:: max(1, n_tok // 5)] = list(
-                rng.choice(stops, size=len(words[:: max(1, n_tok // 5)]))
-            )
-        texts.append(" ".join(words))
+    # vectorized: fixed 40 tokens/doc, every 5th token of even docs is a
+    # stopword (half the corpus passes the stopword gate)
+    n_tok = 40
+    ids = rng.integers(0, VOCAB, size=(n_docs, n_tok))
+    words = vocab[ids]  # (n_docs, n_tok) object array
+    stop_ids = rng.integers(0, len(stops), size=(n_docs, n_tok // 5))
+    words[::2, ::5] = stops[stop_ids[::2]]
+    texts = [" ".join(row) for row in words]
     tbl = pa.table(
         {
             "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
