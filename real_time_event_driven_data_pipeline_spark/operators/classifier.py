@@ -209,3 +209,66 @@ def quality_classifier_scores(
         margin.alias("margin"),
         F.when(margin > 0, F.lit(1)).otherwise(F.lit(-1)).cast("int").alias("pred"),
     )
+
+
+def margin_curriculum_cut(
+    df: DataFrame,
+    keep_pct: int = 25,
+    dim: int = 32,
+    iters: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """FineWeb-style curriculum selection: keep the top ``keep_pct``%
+    of documents PER SOURCE by classifier margin — per-stratum cuts
+    keep rare sources represented instead of letting one source's score
+    distribution swallow the budget (the same coverage argument as
+    `clustering.cluster_balanced_sample`).
+
+    Per-source quota: k_s = ceil(keep_pct * n_s / 100) (integer-exact);
+    ranking is (margin desc, id) — fully deterministic.
+
+    Scale shape: a single window partitioned by source would move each
+    source's ENTIRE membership into one task, so the top-k_s runs in
+    two phases — a per-input-partition prune (window over (pid, source)
+    keeps at most k_s rows per partition) and a final rank over the
+    pruned relation, bounded by k_s x partitions rows per source.  The
+    per-source quotas are a |sources|-row broadcast join.  Same
+    two-phase shape as the cluster-balanced sampler, generalized to
+    per-group DYNAMIC caps.
+
+    Output: (source, id, margin, rk) with rk in 1..k_s.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_classifier_scores(
+        df, dim, iters, id_col, text_col, min_parallelism
+    ).select(F.col(id_col), "margin")
+    base = df.select(F.col(id_col), F.col(source_col)).join(scored, id_col)
+    quotas = (
+        base.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .select(
+            source_col,
+            F.expr(f"(_n * {keep_pct} + 99) div 100").alias("_k"),
+        )
+    )
+    with_k = base.join(F.broadcast(quotas), source_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid", source_col).orderBy(
+        F.desc("margin"), F.col(id_col)
+    )
+    pruned = (
+        with_k.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= F.col("_k"))
+        .drop("_pid", "_lrk")
+    )
+    w_final = Window.partitionBy(source_col).orderBy(F.desc("margin"), F.col(id_col))
+    return (
+        pruned.withColumn("rk", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rk") <= F.col("_k"))
+        .select(source_col, id_col, "margin", "rk")
+    )

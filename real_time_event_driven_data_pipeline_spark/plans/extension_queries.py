@@ -1757,7 +1757,10 @@ _CLF_DIM = 32
 _CLF_ITERS = 3
 
 
-def _classifier_oracle_sql(dim: int, iters: int) -> str:
+def _classifier_cte_chain(dim: int, iters: int) -> str:
+    """WITH-chain shared by the scoring and curriculum oracles: hashed
+    features + rule-gate labels + iters x (margin, gradient, weights),
+    ending with the final-margin CTE ``mfin``."""
     parts = [
         f"""
 WITH toks AS (
@@ -1809,16 +1812,25 @@ WITH toks AS (
 )"""
         )
     parts.append(
-        f"""
-SELECT l.doc_id, CAST(l.y AS INTEGER) AS label, mf.m AS margin,
-       CAST(CASE WHEN mf.m > 0 THEN 1 ELSE -1 END AS INTEGER) AS pred
-FROM labels l
-JOIN (SELECT f.doc_id, CAST(SUM(p.w * f.x) AS BIGINT) AS m
-      FROM feat f JOIN w{iters} p ON p.j = f.j GROUP BY f.doc_id) mf
-  ON mf.doc_id = l.doc_id
-ORDER BY l.doc_id"""
+        f""", mfin AS (
+    SELECT f.doc_id, CAST(SUM(p.w * f.x) AS BIGINT) AS m
+    FROM feat f JOIN w{iters} p ON p.j = f.j GROUP BY f.doc_id
+)"""
     )
     return "".join(parts)
+
+
+
+
+def _classifier_oracle_sql(dim: int, iters: int) -> str:
+    return (
+        _classifier_cte_chain(dim, iters)
+        + """
+SELECT l.doc_id, CAST(l.y AS INTEGER) AS label, mfin.m AS margin,
+       CAST(CASE WHEN mfin.m > 0 THEN 1 ELSE -1 END AS INTEGER) AS pred
+FROM labels l JOIN mfin ON mfin.doc_id = l.doc_id
+ORDER BY l.doc_id"""
+    )
 
 
 @register(
@@ -2088,3 +2100,50 @@ def q_hybrid_rrf_search(spark, sf_dir):
     return search.hybrid_rrf_topk(
         docs, queries, k=10, k_retrieve=20, min_parallelism=par
     ).orderBy("query_id", "rank")
+
+
+# --- FineWeb-style curriculum cut: top-q% per source by classifier
+# margin (operators/classifier.py::margin_curriculum_cut).  Per-source
+# integer quotas + deterministic (margin desc, id) ranking make the
+# whole selection oracle-exact on top of the training CTE chain.
+
+_CURR_PCT = 25
+
+
+def _curriculum_oracle_sql(dim: int, iters: int, pct: int) -> str:
+    return (
+        _classifier_cte_chain(dim, iters)
+        + f""", src AS (
+    SELECT d.doc_id, d.source, mfin.m AS margin
+    FROM documents d JOIN mfin ON mfin.doc_id = d.doc_id
+), quotas AS (
+    SELECT source, (CAST(COUNT(*) AS BIGINT) * {pct} + 99) // 100 AS k
+    FROM src GROUP BY source
+), ranked AS (
+    SELECT s.source, s.doc_id, s.margin,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.source
+                                   ORDER BY s.margin DESC, s.doc_id) AS BIGINT) AS rk,
+           q.k
+    FROM src s JOIN quotas q ON q.source = s.source
+)
+SELECT source, doc_id, margin, rk FROM ranked WHERE rk <= k
+ORDER BY source, rk"""
+    )
+
+
+@register(
+    "margin_curriculum_cut",
+    _curriculum_oracle_sql(_CLF_DIM, _CLF_ITERS, _CURR_PCT),
+    "ext: per-source top-q% curriculum selection by classifier margin",
+)
+def q_margin_curriculum_cut(spark, sf_dir):
+    from ..operators import classifier
+
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return classifier.margin_curriculum_cut(
+        _docs(spark, sf_dir),
+        keep_pct=_CURR_PCT,
+        dim=_CLF_DIM,
+        iters=_CLF_ITERS,
+        min_parallelism=par,
+    ).orderBy("source", "rk")

@@ -84,6 +84,7 @@ def _ensure_loaded() -> None:
     # (verdict item 5); the rest keep their order behind them.
     _prioritize(
         # new in round 4
+        "margin_curriculum_cut",  # per-source top-q% by margin
         "value_histogram_quantiles",  # mergeable histogram quantiles
         "hybrid_rrf_search",  # lexical+dense reciprocal-rank fusion
         "cms_heavy_hitters",  # count-min sketch (oracle-exact)

@@ -94,3 +94,41 @@ def test_scoring_plan_is_shuffle_free(spark, docs_df):
     df = classifier.quality_classifier_scores(docs_df, dim=DIM, iters=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_curriculum_cut_respects_per_source_quotas(spark):
+    rows = []
+    for i in range(40):
+        src = "big" if i < 30 else "small"
+        rows.append((i, src, DOCS[i % len(DOCS)][1]))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = classifier.margin_curriculum_cut(
+        df, keep_pct=25, dim=DIM, iters=2
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["rk"])
+    # ceil(25% of 30) = 8, ceil(25% of 10) = 3 — every source represented
+    assert sorted(by_src["big"]) == list(range(1, 9))
+    assert sorted(by_src["small"]) == list(range(1, 4))
+    # kept docs have the highest margins within their source
+    margins = {(r["source"], r["doc_id"]): r["margin"] for r in out}
+    assert len(margins) == len(out)
+
+
+def test_curriculum_cut_partitioning_independent(spark):
+    rows = [(i, f"s{i % 3}", DOCS[i % len(DOCS)][1]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = classifier.margin_curriculum_cut(df.coalesce(1), keep_pct=30, dim=DIM, iters=2)
+    b = classifier.margin_curriculum_cut(df.repartition(7), keep_pct=30, dim=DIM, iters=2)
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_curriculum_cut_no_single_partition_window(spark):
+    rows = [(i, f"s{i % 3}", DOCS[i % len(DOCS)][1]) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = classifier.margin_curriculum_cut(df, keep_pct=50, dim=DIM, iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Window") >= 2  # local prune + final rank
