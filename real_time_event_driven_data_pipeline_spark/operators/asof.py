@@ -51,7 +51,13 @@ def asof_join(
     # row stays null instead of being skipped past by ignorenulls
     r_struct = F.struct(F.col(on).alias("__ts"), *[F.col(v).alias(v) for v in values])
     l_tagged = left.select(*left.columns, F.lit(1).alias("__side"))
-    r_tagged = right.select(*by, F.col(on), F.lit(0).alias("__side"), r_struct.alias("__r"))
+    # null-ts right rows can never satisfy `right.on <= left.on` (SQL
+    # comparison with null is never true), but window ordering would
+    # sort them FIRST and carry them into every row's frame — drop them
+    # so window and join semantics agree (ADVICE r4)
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
+        *by, F.col(on), F.lit(0).alias("__side"), r_struct.alias("__r")
+    )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     # right rows (side=0) sort before left rows at the same ts ->
@@ -116,7 +122,10 @@ def asof_aggregate(
 
     l_tagged = left.select(*left.columns, F.lit(1).alias("__side"))
     need = sorted({c for c, _ in aggs.values()})
-    r_tagged = right.select(
+    # null-ts right rows never match `right.on <= left.on` in the SQL
+    # oracle, but sort FIRST under window ordering and would aggregate
+    # into every frame — drop them so the semantics agree (ADVICE r4)
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         *by, F.col(on), F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__rv_{c}") for c in need],
     )

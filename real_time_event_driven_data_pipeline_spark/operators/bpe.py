@@ -90,17 +90,30 @@ def bpe_fit(
     n_merges: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rematerialize_every: int = 64,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(step, left, right, pair_count), ...]``.
 
     Each step costs one aggregate over the cached word relation and a
-    one-row driver collect.  Stops early if no pair remains."""
+    one-row driver collect.  Stops early if no pair remains.
+
+    Re-materialization cadence (r4 verdict item 4): step t's plan
+    otherwise re-applies all t prior ``replace``s over the cached base
+    — O(n_merges² · vocab) total work and a per-merge-growing
+    expression chain, harmless at 10 merges but fatal at a real 32k
+    vocabulary.  Every ``rematerialize_every`` merges the symbolized
+    relation is checkpointed (``localCheckpoint``: lineage truncated,
+    blocks on executors), so per-step cost stays O(vocab · cadence)
+    and the plan stops growing.  Values are unchanged — checkpointing
+    only materializes, so the learned trajectory stays bit-identical
+    (pinned by the Python-replica test and the CTE-chain oracle)."""
     words = word_relation(df, id_col, text_col)
     base = words.select(_symbolized(F.col("word")).alias("s"), "cnt").persist()
     merges: list[tuple[int, str, str, int]] = []
     try:
         sym = base
+        pending = 0  # replaces applied since the last materialization
         for step in range(1, n_merges + 1):
             top = (
                 _pair_counts(sym)
@@ -120,6 +133,10 @@ def bpe_fit(
                     F.lit(f"{SEP}{l}{r}{SEP}"),
                 ),
             )
+            pending += 1
+            if pending >= rematerialize_every:
+                sym = sym.localCheckpoint(eager=True)
+                pending = 0
     finally:
         try:
             base.unpersist()

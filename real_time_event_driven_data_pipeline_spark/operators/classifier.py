@@ -202,7 +202,24 @@ def quality_classifier_scores(
             cached.unpersist()
         except Exception:
             pass
-    margin = _margin_expr(w)
+    return score_with_weights(df, w, dim, id_col, text_col)
+
+
+def score_with_weights(
+    df: DataFrame,
+    weights: list[int],
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a FROZEN weight vector: (id, label, margin,
+    pred).  Stateless per-row work (Arrow featurization + a literal-array
+    dot product), so the same transformation applies unchanged to a
+    Structured Streaming source — `streaming.scoring.score_stream` is
+    this function on a readStream frame."""
+    if len(weights) != dim + 1:
+        raise ValueError(f"weights must have dim+1={dim + 1} entries, got {len(weights)}")
+    margin = _margin_expr(weights)
     return _dense_features(df, dim, id_col, text_col).select(
         F.col(id_col),
         F.col("y").alias("label"),
@@ -230,18 +247,18 @@ def margin_curriculum_cut(
     Per-source quota: k_s = ceil(keep_pct * n_s / 100) (integer-exact);
     ranking is (margin desc, id) — fully deterministic.
 
-    Scale shape: a single window partitioned by source would move each
-    source's ENTIRE membership into one task, so the top-k_s runs in
-    two phases — a per-input-partition prune (window over (pid, source)
-    keeps at most k_s rows per partition) and a final rank over the
-    pruned relation, bounded by k_s x partitions rows per source.  The
-    per-source quotas are a |sources|-row broadcast join.  Same
-    two-phase shape as the cluster-balanced sampler, generalized to
-    per-group DYNAMIC caps.
+    Scale shape: a plain window partitioned by source would move each
+    source's ENTIRE membership into one task (and with k_s PROPORTIONAL
+    to n_s, a per-partition top-k_s prune bounds nothing — the round-4
+    verdict's funnel finding), so the rank runs through the grouped
+    hierarchical window (`windows.with_grouped_row_number`): range
+    partitions on (source, margin desc, id) bound every task by
+    partition size, never by source size.  The per-source quotas are a
+    |sources|-row broadcast join.
 
     Output: (source, id, margin, rk) with rk in 1..k_s.
     """
-    from pyspark.sql import Window
+    from .windows import with_grouped_row_number
 
     scored = quality_classifier_scores(
         df, dim, iters, id_col, text_col, min_parallelism
@@ -255,20 +272,10 @@ def margin_curriculum_cut(
             F.expr(f"(_n * {keep_pct} + 99) div 100").alias("_k"),
         )
     )
-    with_k = base.join(F.broadcast(quotas), source_col).withColumn(
-        "_pid", F.spark_partition_id()
+    with_k = base.join(F.broadcast(quotas), source_col)
+    ranked = with_grouped_row_number(
+        with_k, [source_col], [("margin", False), (id_col, True)], "rk"
     )
-    w_local = Window.partitionBy("_pid", source_col).orderBy(
-        F.desc("margin"), F.col(id_col)
-    )
-    pruned = (
-        with_k.withColumn("_lrk", F.row_number().over(w_local))
-        .filter(F.col("_lrk") <= F.col("_k"))
-        .drop("_pid", "_lrk")
-    )
-    w_final = Window.partitionBy(source_col).orderBy(F.desc("margin"), F.col(id_col))
-    return (
-        pruned.withColumn("rk", F.row_number().over(w_final).cast("long"))
-        .filter(F.col("rk") <= F.col("_k"))
-        .select(source_col, id_col, "margin", "rk")
+    return ranked.filter(F.col("rk") <= F.col("_k")).select(
+        source_col, id_col, "margin", "rk"
     )

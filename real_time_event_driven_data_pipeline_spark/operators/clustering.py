@@ -107,6 +107,11 @@ def kmeans_fit_assign(
 
     # deterministic init: the k smallest ids' vectors (bounded collect)
     init = q.orderBy(id_col).limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_fit_assign: corpus has no vectors")
+    # fewer vectors than requested clusters: fit the k that exist (the
+    # update loop below indexes centroids[c] for c < k — ADVICE r4)
+    k = min(k, len(init))
     centroids = [list(r["q"]) for r in init]
     dim = len(centroids[0])
 

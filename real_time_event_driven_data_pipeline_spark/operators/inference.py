@@ -31,14 +31,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-SCORES_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("model_score", T.DoubleType(), True),
-    ]
-)
-
-
 def length_logistic_model() -> Callable[[list[str]], list[float]]:
     """The deterministic stand-in 'model': rational logistic of length.
     Returns a predict_batch callable, mirroring how a real loader would
@@ -65,7 +57,17 @@ def batch_score(
     ``make_model`` runs ON THE EXECUTOR once per partition and returns
     the predict_batch callable — the closure ships the loader, not the
     loaded model, so a heavyweight model never rides the task binary.
+
+    The output id column keeps the caller's ``id_col`` name (the schema
+    is built from it — a non-default id no longer comes back silently
+    renamed to ``doc_id``, ADVICE r4).
     """
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("model_score", T.DoubleType(), True),
+        ]
+    )
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         predict = make_model()  # once per PARTITION, amortized over batches
@@ -76,6 +78,6 @@ def batch_score(
             scores = predict(["" if t is None else t for t in raw])
             # null text scores null (SQL aggregate-over-null parity)
             scores = [None if t is None else s for t, s in zip(raw, scores)]
-            yield pd.DataFrame({"doc_id": pdf[id_col], "model_score": scores})
+            yield pd.DataFrame({id_col: pdf[id_col], "model_score": scores})
 
-    return df.select(id_col, text_col).mapInPandas(_score, schema=SCORES_SCHEMA)
+    return df.select(id_col, text_col).mapInPandas(_score, schema=schema)

@@ -115,14 +115,21 @@ def value_histogram(
     ``union -> groupBy(group, bucket) -> sum(cnt)`` — the quantile
     analogue of the CMS/HLL rollups.  Nulls excluded; values clamp into
     [0, buckets-1] so merged histograms with wider live ranges stay
-    well-defined.  Requires hi > lo."""
+    well-defined.  A degenerate range (hi <= lo, e.g. a constant-valued
+    column) short-circuits to bucket 0 for every row instead of the NaN
+    division a zero width would produce (ADVICE r4) — quantile
+    estimates then collapse to ``lo`` exactly."""
     ev = df.select(F.col(group_col), F.col(value_col).alias("_v")).filter(
         F.col("_v").isNotNull()
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(buckets))
     raw = F.floor((F.col("_v") - F.col("lo")) / width)
+    clamped = F.least(
+        F.greatest(raw, F.lit(0).cast("long")), F.lit(buckets - 1).cast("long")
+    )
     bucket = (
-        F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(buckets - 1).cast("long"))
+        F.when(F.col("hi") > F.col("lo"), clamped)
+        .otherwise(F.lit(0).cast("long"))
         .cast("int")
         .alias("bucket")
     )

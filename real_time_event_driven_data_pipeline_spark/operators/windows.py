@@ -54,6 +54,70 @@ def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
+def _sort_exprs(order_by: list[tuple[str, bool]]) -> list[Column]:
+    return [F.col(n).asc() if asc else F.col(n).desc() for n, asc in order_by]
+
+
+def _grouped_hierarchical_prefix(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[tuple[str, bool]],
+    local_expr,
+    total_expr: Column,
+    out_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Shared core, generalized to PER-GROUP prefixes: prefix quantity =
+    broadcast (partition, group) offset + per-(partition, group) local
+    prefix.  ``group_cols=[]`` is the global case.  ``order_by`` is
+    ``[(col, ascending), ...]`` — range partitioning honors descending
+    sort expressions, so top-k-style ranks need no value negation.
+
+    The grouped offsets join has EQUALITY keys on ``group_cols`` (the
+    pid inequality rides along as the join condition's residual), so it
+    plans a BroadcastHashJoin — only the global case degenerates to the
+    triangular BNLJ the ``CROSS_OK`` consumers allowlist.
+
+    This is the scale-safe replacement for
+    ``Window.partitionBy(group).orderBy(...)`` when groups are FEW and
+    LARGE (source labels, tenant ids): a plain grouped window moves each
+    group's entire membership into one task, while here every stage is
+    bounded by range-partition size, not group size.  For many small
+    groups the plain window is already distributed — use it directly.
+    """
+    parts = _num_partitions(df, num_partitions)
+    ranged = df.repartitionByRange(
+        parts, *[F.col(g) for g in group_cols], *_sort_exprs(order_by)
+    ).withColumn(_PID, F.spark_partition_id())
+    # per-(partition, group) totals: range partitioning keeps each
+    # group's rows contiguous across partitions, so this relation is
+    # bounded by parts + |groups| rows; Spark reuses the range exchange
+    totals = ranged.groupBy(_PID, *group_cols).agg(total_expr.alias(_TOTAL))
+    a, b = totals.alias("__wa"), totals.alias("__wb")
+    cond = F.col(f"__wb.{_PID}") < F.col(f"__wa.{_PID}")
+    for g in group_cols:
+        cond = (F.col(f"__wa.{g}") == F.col(f"__wb.{g}")) & cond
+    offsets = (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(
+            F.col(f"__wa.{_PID}").alias(_PID),
+            *[F.col(f"__wa.{g}").alias(g) for g in group_cols],
+        )
+        .agg(F.coalesce(F.sum(f"__wb.{_TOTAL}"), F.lit(0)).cast("long").alias(_OFFSET))
+    )
+    w_local = (
+        Window.partitionBy(_PID, *group_cols)
+        .orderBy(*_sort_exprs(order_by))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn(_LOCAL, local_expr(w_local))
+        .join(F.broadcast(offsets), [_PID, *group_cols])
+        .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
 def _hierarchical_prefix(
     df: DataFrame,
     order_cols: list[str],
@@ -62,33 +126,15 @@ def _hierarchical_prefix(
     out_col: str,
     num_partitions: int | None,
 ) -> DataFrame:
-    """Shared core: global prefix quantity = broadcast partition offset
-    + per-partition local prefix.  ``local_expr(window) -> Column`` is
-    the per-partition running expression; ``total_expr`` is the
-    matching per-partition total aggregate."""
-    parts = _num_partitions(df, num_partitions)
-    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
-    )
-    # per-partition totals: one row per range partition (bounded by
-    # `parts`); Spark reuses the range exchange for both branches
-    totals = ranged.groupBy(_PID).agg(total_expr.alias(_TOTAL))
-    a, b = totals.alias("__wa"), totals.alias("__wb")
-    offsets = (
-        a.join(b, F.col(f"__wb.{_PID}") < F.col(f"__wa.{_PID}"), "left")
-        .groupBy(F.col(f"__wa.{_PID}").alias(_PID))
-        .agg(F.coalesce(F.sum(f"__wb.{_TOTAL}"), F.lit(0)).cast("long").alias(_OFFSET))
-    )
-    w_local = (
-        Window.partitionBy(_PID)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        ranged.withColumn(_LOCAL, local_expr(w_local))
-        .join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
-        .drop(_PID, _LOCAL, _OFFSET)
+    """Global (ungrouped) case of ``_grouped_hierarchical_prefix``."""
+    return _grouped_hierarchical_prefix(
+        df,
+        [],
+        [(c, True) for c in order_cols],
+        local_expr,
+        total_expr,
+        out_col,
+        num_partitions,
     )
 
 
@@ -125,6 +171,56 @@ def with_global_running_sum(
     return _hierarchical_prefix(
         df,
         order_cols,
+        lambda w: F.sum(F.col(value_col)).over(w).cast("long"),
+        F.sum(F.col(value_col)).cast("long"),
+        col_name,
+        num_partitions,
+    )
+
+
+def with_grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[tuple[str, bool]],
+    col_name: str = "rk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (PARTITION BY group_cols ORDER BY order_by)``
+    (1-based, long) without any task ever holding a whole group —
+    the round-4 verdict's missing generalization, built for FEW/LARGE
+    groups (per-source curriculum cuts, per-tenant ranks).
+
+    ``order_by`` is ``[(col, ascending), ...]`` and must be a total
+    order within each group (unique-key tiebreak), same contract as
+    ``with_global_row_number``."""
+    return _grouped_hierarchical_prefix(
+        df,
+        group_cols,
+        order_by,
+        lambda w: F.row_number().over(w).cast("long"),
+        F.count(F.lit(1)).cast("long"),
+        col_name,
+        num_partitions,
+    )
+
+
+def with_grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[tuple[str, bool]],
+    value_col: str,
+    col_name: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(value) OVER (PARTITION BY group_cols ORDER BY order_by
+    ROWS UNBOUNDED PRECEDING)`` (inclusive) without any task holding a
+    whole group — the running-sum twin of ``with_grouped_row_number``,
+    for per-group budget cuts (take rows in priority order until each
+    group's token budget is spent).  ``value_col`` must be integral."""
+    return _grouped_hierarchical_prefix(
+        df,
+        group_cols,
+        order_by,
         lambda w: F.sum(F.col(value_col)).over(w).cast("long"),
         F.sum(F.col(value_col)).cast("long"),
         col_name,

@@ -175,11 +175,9 @@ def q_ngram_jaccard_near_dups(spark, sf_dir):
 # the candidate-recall is ~1-1e-4, so the oracle is the exact query.
 @register("minhash_lsh_near_dups", NGRAM_JACCARD_SQL, "ext: MinHash-LSH near-dup")
 def q_minhash_lsh_near_dups(spark, sf_dir):
-    # single-file testdata = one input split; fan the signature fold out
-    # to the session's shuffle width (no-op semantically — see operator)
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # documents arrives pre-fanned-out (sources.readers._fanout_small)
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.5, min_parallelism=par
+        _docs(spark, sf_dir), threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
@@ -187,12 +185,9 @@ def q_minhash_lsh_near_dups(spark, sf_dir):
 # rows-only for the driver; pinned against brute-force in pytest.
 @register("simhash_near_pairs", None, "ext: SimHash near-dup banding")
 def q_simhash_near_pairs(spark, sf_dir):
-    # the per-doc signature expressions (higher-order functions run
-    # interpreted, not codegen'd) parallelize over input splits; fan a
-    # single-file table out first — semantic no-op, see
-    # dedup.minhash_band_buckets
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _docs(spark, sf_dir).repartition(par, "doc_id")
+    # documents arrives pre-fanned-out (sources.readers._fanout_small),
+    # so the interpreted-HOF signature expressions already parallelize
+    docs = _docs(spark, sf_dir)
     return dedup.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
@@ -242,16 +237,15 @@ ORDER BY doc_id
 
 @register("curated_corpus", CURATE_SQL, "ext: quality gate + exact dedup + near-dup removal pipeline")
 def q_curated_corpus(spark, sf_dir):
-    # fan the single-file table out before the interpreted-HOF stages
-    # (quality regex battery, fingerprints, shingles) — semantic no-op,
-    # see dedup.minhash_band_buckets
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(par, "doc_id")
+    # documents arrives pre-fanned-out (sources.readers._fanout_small),
+    # covering the interpreted-HOF stages (quality regex battery,
+    # fingerprints, shingles)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     qualified = text.quality_filter(docs)
     # LSH pair generation (the scale path); output identical to the
     # exact path at this threshold — pinned in tests/test_extensions.py
     return (
-        dedup.curate_corpus(qualified, use_lsh=True, min_parallelism=par)
+        dedup.curate_corpus(qualified, use_lsh=True)
         .select("doc_id")
         .orderBy("doc_id")
     )
@@ -383,6 +377,77 @@ def q_media_features(spark, sf_dir):
         F.lit(None).cast("long").alias("duration_ms"),
     )
     return multimodal.extract_image_features(media).orderBy("media_id")
+
+
+# --- image near-dup via banded perceptual hash (dHash) ---------------
+# The "dedup x multimodal" composition (r4 verdict gap 1): banded-LSH
+# candidates over 8 dHash byte-bands + exact Hamming re-verify.  With
+# max_dist <= 7 the banding is lossless (pigeonhole), so the DuckDB
+# brute-force all-pairs oracle certifies the banded Spark plan exactly.
+# Same opaque-payload convention as media_features: documents' UTF-8
+# bytes stand in for image payloads, both codec modes take the
+# deterministic stub grid, and the oracle mirrors the byte math via
+# ord(text[i]) (ASCII corpus: byte i == ord(char i); DuckDB's ord
+# returns -1 on out-of-range, matching the stub's all-zero bits for
+# degenerate payloads).
+
+_DHASH_MAX_DIST = 7
+
+
+def _dhash_band_sql(r: int) -> str:
+    """band r = sum_c [p(r,c) < p(r,c+1)] << c over the 8x9 nearest-
+    neighbor sample grid (positions (r*side)//8, (c*side)//9 of the
+    side x side stub byte grid, row-major)."""
+
+    def pix(c: int) -> str:
+        return f"ord(text[(({r}*side)//8)*side + (({c}*side)//9) + 1])"
+
+    terms = [
+        f"(CASE WHEN {pix(c)} < {pix(c + 1)} THEN {1 << c} ELSE 0 END)"
+        for c in range(8)
+    ]
+    return " + ".join(terms)
+
+
+def _image_near_dups_sql(max_dist: int) -> str:
+    bands = ",\n         ".join(
+        f"({_dhash_band_sql(r)}) AS b{r}" for r in range(8)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{r}, b.b{r}))" for r in range(8))
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         greatest(1, CAST(floor(sqrt(octet_length(encode(text)))) AS INT)) AS side
+  FROM documents
+), h AS (
+  SELECT media_id,
+         {bands}
+  FROM m
+)
+SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+       CAST({ham} AS BIGINT) AS hamming_dist
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE {ham} <= {max_dist}
+ORDER BY media_id_a, media_id_b"""
+
+
+@register(
+    "image_near_dups",
+    _image_near_dups_sql(_DHASH_MAX_DIST),
+    "ext: perceptual image near-dup (banded dHash LSH + exact re-verify)",
+)
+def q_image_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    # media derives narrowly from the pre-fanned-out documents table
+    # (sources.readers._fanout_small), so the Arrow hash stage is wide
+    return multimodal.image_near_dups(
+        media, max_dist=_DHASH_MAX_DIST
+    ).orderBy("media_id_a", "media_id_b")
 
 
 # --- as-of join: purchase -> most recent prior click per user ---
@@ -731,10 +796,7 @@ def q_near_dup_clusters(spark, sf_dir):
     # Edges via the MinHash-LSH scale path (banding recall at this
     # threshold is total — pinned in tests/test_extensions.py — so the
     # exact-Jaccard recursive-CTE oracle still matches).
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    pairs = dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.5, min_parallelism=par
-    )
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
     return components.near_dup_clusters(pairs).orderBy("doc_id")
 
 
@@ -1238,9 +1300,8 @@ def q_eval_contamination(spark, sf_dir):
     split = text.train_split(docs)
     train = docs.join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
     ev = docs.join(split.filter(F.col("split") == "test"), "doc_id", "left_semi")
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return decontam.contamination_stats(
-        train, ev, k=3, hashed=True, min_parallelism=par
+        train, ev, k=3, hashed=True
     ).orderBy("doc_id")
 
 
@@ -1703,9 +1764,8 @@ ORDER BY c.cluster, c.dim"""
     "ext: distributed exact-integer k-means (clustering stage for semantic dedup)",
 )
 def q_kmeans_centroids(spark, sf_dir):
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return clustering.kmeans_centroid_table(
-        _emb(spark, sf_dir), k=_KM_K, iters=_KM_ITERS, min_parallelism=par
+        _emb(spark, sf_dir), k=_KM_K, iters=_KM_ITERS
     )
 
 
@@ -1738,13 +1798,11 @@ ORDER BY cluster, rk"""
     "ext: cluster-balanced coverage sample (per-cluster top-m by hash priority)",
 )
 def q_kmeans_balanced_sample(spark, sf_dir):
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return clustering.cluster_balanced_sample(
         _emb(spark, sf_dir),
         per_cluster=_KM_SAMPLE_M,
         k=_KM_K,
         iters=_KM_ITERS,
-        min_parallelism=par,
     ).orderBy("cluster", "rk")
 
 
@@ -1841,9 +1899,8 @@ ORDER BY l.doc_id"""
 def q_quality_classifier_scores(spark, sf_dir):
     from ..operators import classifier
 
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return classifier.quality_classifier_scores(
-        _docs(spark, sf_dir), dim=_CLF_DIM, iters=_CLF_ITERS, min_parallelism=par
+        _docs(spark, sf_dir), dim=_CLF_DIM, iters=_CLF_ITERS
     ).orderBy("doc_id")
 
 
@@ -2096,9 +2153,8 @@ def q_hybrid_rrf_search(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     queries = spark.createDataFrame(KEYWORD_QUERIES, "query_id long, term string")
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return search.hybrid_rrf_topk(
-        docs, queries, k=10, k_retrieve=20, min_parallelism=par
+        docs, queries, k=10, k_retrieve=20
     ).orderBy("query_id", "rank")
 
 
@@ -2139,11 +2195,115 @@ ORDER BY source, rk"""
 def q_margin_curriculum_cut(spark, sf_dir):
     from ..operators import classifier
 
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return classifier.margin_curriculum_cut(
         _docs(spark, sf_dir),
         keep_pct=_CURR_PCT,
         dim=_CLF_DIM,
         iters=_CLF_ITERS,
-        min_parallelism=par,
     ).orderBy("source", "rk")
+
+
+# --- grouped hierarchical windows as a first-class query (r4 verdict
+# item 2): per-source rank + decile WITHOUT any task holding a whole
+# source (operators/windows.py::with_grouped_row_number — range
+# partitions on (source, order), per-(pid, source) local windows,
+# equality-keyed offsets join).  The decile reproduces SQL NTILE's
+# row-split rule exactly (windows.ntile_from_row_number, already pinned
+# bit-exact for the global case).
+
+SOURCE_LENGTH_DECILES_SQL = """
+WITH s AS (
+  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+)
+SELECT source, doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+       CAST(NTILE(10) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS BIGINT) AS decile
+FROM s ORDER BY source, rk
+"""
+
+
+@register(
+    "source_length_deciles",
+    SOURCE_LENGTH_DECILES_SQL,
+    "ext: per-group rank/NTILE via grouped hierarchical windows",
+)
+def q_source_length_deciles(spark, sf_dir):
+    from ..operators.windows import ntile_from_row_number, with_grouped_row_number
+
+    s = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    ranked = with_grouped_row_number(
+        s, ["source"], [("n_chars", False), ("doc_id", True)], "rk"
+    )
+    totals = s.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        ranked.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "rk",
+            ntile_from_row_number(F.col("rk"), F.col("_n"), 10).alias("decile"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+# --- per-source token-budget cut (grouped running sum): take docs in
+# deterministic hash-priority order within EACH source until that
+# source's token budget is spent — the per-group twin of
+# dsir_resampled_mixture's global budget prefix, and the second
+# consumer of the grouped hierarchical windows (no task ever holds a
+# whole source).  Hash priority = md5 over the doc id (the
+# shuffled_corpus_order convention), so the "curriculum" is a
+# reproducible uniform draw in both engines.
+
+_SRC_BUDGET = 6_000
+
+SOURCE_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+    SELECT source, doc_id,
+           md5('budget:' || CAST(doc_id AS VARCHAR)) AS pri,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+), ranked AS (
+    SELECT source, doc_id, pri, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY pri, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+    FROM t
+)
+SELECT source, doc_id, n_tokens, cum_tokens
+FROM ranked
+WHERE cum_tokens - n_tokens < {_SRC_BUDGET}
+ORDER BY source, cum_tokens, doc_id
+"""
+
+
+@register(
+    "source_token_budget_cut",
+    SOURCE_TOKEN_BUDGET_SQL,
+    "ext: per-source token-budget prefix via grouped hierarchical running sum",
+)
+def q_source_token_budget_cut(spark, sf_dir):
+    from ..operators.windows import with_grouped_running_sum
+
+    t = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias("pri"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    summed = with_grouped_running_sum(
+        t, ["source"], [("pri", True), ("doc_id", True)], "n_tokens", "cum_tokens"
+    )
+    return (
+        summed.filter(F.col("cum_tokens") - F.col("n_tokens") < _SRC_BUDGET)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id")
+    )

@@ -77,41 +77,41 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
 
-    # round 4: every oracle-backed query is driver-green at its latest
-    # sample (union r1-r3: 98/98).  Put this round's NEW queries and
-    # the ones whose plans/behavior changed this round FIRST so the
-    # driver (re-)hashes them, then the r3-rewritten curated_corpus
-    # (verdict item 5); the rest keep their order behind them.
+    # round 5: union r1-r4 is 117/117 oracle-green.  Sampling prefix =
+    # (a) queries NEW this round, (b) queries whose code path changed
+    # this round (grouped hierarchical rank, as-of null-ts filter,
+    # histogram degenerate-range guard, BPE cadence, inference schema),
+    # (c) explode-family queries whose last oracle hash predates the r4
+    # `InferFiltersFromGenerate` exclusion (a runtime conf that changed
+    # their physical plans; eval_contamination last hashed r3) — the r4
+    # verdict's item 6.  The rest keep their order behind them.
     _prioritize(
-        # new in round 4
-        "margin_curriculum_cut",  # per-source top-q% by margin
-        "value_histogram_quantiles",  # mergeable histogram quantiles
-        "hybrid_rrf_search",  # lexical+dense reciprocal-rank fusion
-        "cms_heavy_hitters",  # count-min sketch (oracle-exact)
-        "bpe_merge_table",  # BPE vocabulary learning
-        "bpe_token_budget",  # per-doc budget under learned merges
-        "quality_classifier_scores",  # weak-label perceptron training
-        "kmeans_centroids",  # distributed exact k-means
-        "dsir_resampled_mixture",  # DSIR token-budget selection
-        "kmeans_balanced_sample",  # cluster-balanced coverage sample
-        "boilerplate_free_docs",  # C4-style span dedup
-        "doc_bigram_familiarity",  # bigram-LM quality gate
-        "search_rerank_topk",  # two-stage retrieval
-        "dsir_importance_scores",  # DSIR domain selection
-        "clicks_before_purchase",  # grouped as-of aggregate
-        "customer_priority_history",  # SCD2 history build
-        "keyword_search_topk",  # sparse lexical search
-        "doc_model_scores",  # batched-inference plumbing
-        # changed in round 4: week bucketing (date_trunc), lazy LSH
-        # planes, stage-2 candidate broadcast (latter two rows-only)
-        "weekly_users_from_daily_sketches",
-        "ann_lsh_topk",
-        "ann_quantized_topk",
-        # r3-rewritten, promoted for a fresh post-rewrite oracle hash
-        "curated_corpus",
-        "minhash_lsh_near_dups",
-        "simhash_near_pairs",
-        "media_features",
+        # (a) new in round 5
+        "image_near_dups",  # banded dHash perceptual near-dup (lossless LSH)
+        "source_length_deciles",  # grouped hierarchical rank/NTILE
+        "source_token_budget_cut",  # grouped hierarchical running sum
+        # (b) code path changed in round 5
+        "margin_curriculum_cut",  # rank now via grouped hierarchical window
+        "clicks_before_purchase",  # as-of: null-ts right rows filtered
+        "purchase_click_attribution",  # as-of join, same filter
+        "value_histogram_quantiles",  # degenerate-range short-circuit branch
+        "bpe_merge_table",  # rematerialize_every cadence param
+        "bpe_token_budget",
+        "doc_model_scores",  # schema now built from id_col
+        "kmeans_centroids",  # k = min(k, |corpus|) guard
+        "kmeans_balanced_sample",
+        # (c) explode-family, stale pre-conf oracle hashes (r2/r3)
+        "eval_contamination",
+        "incremental_near_dups",
+        "doc_winnowing_fingerprints",
+        "doc_repetition_stats",
+        "doc_chunks",
+        "semantic_dedup_clusters",
+        "hashed_doc_embeddings",
+        "doc_token_ids",
+        "shuffled_corpus_order",
+        "stratified_sample_counts",
+        "embedding_quantization",
         after=0,
     )
 

@@ -115,6 +115,37 @@ def _normalize_timestamps(df: DataFrame, table: str) -> DataFrame:
     return df
 
 
+# Tables that feed per-row-EXPENSIVE operators (Arrow featurization,
+# explode-heavy shingling, BLAS matmuls): when such a table arrives as
+# fewer splits than cores — single-file local testdata is ONE split —
+# every downstream Arrow/codegen stage inherits that parallelism and
+# runs nearly serial (classifier featurization measured 22 s -> ~5 s
+# with the fanout).  Mapping value = the stable hash key to fan out on
+# (hash-partitioning by id keeps downstream id-keyed joins/groupBys on
+# an already-useful distribution).  At real scale (100 TB = thousands
+# of splits) the split count exceeds cores and this never fires — it is
+# a small-input affordance, not a plan stage.
+_FANOUT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+FANOUT_CONF = "spark.rtedp.fanoutSmallInputs"
+
+
+def _fanout_small(df: DataFrame, spark: SparkSession, table: str) -> DataFrame:
+    """Repartition a few-split expensive-consumer table up to core count
+    (r4 verdict item 5: centralized here so query call sites don't each
+    carry a min_parallelism/repartition knob).  Opt out with
+    ``spark.rtedp.fanoutSmallInputs=false``."""
+    key = _FANOUT_TABLES.get(table)
+    if key is None:
+        return df
+    if str(spark.conf.get(FANOUT_CONF, "true")).lower() != "true":
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores, key)
+
+
 # (applicationId, sf_dir, table) -> loaded DataFrame.  spark.read.parquet
 # schedules a footer/schema-inference job on EVERY call; the query
 # registry re-loads the same ten immutable tables hundreds of times per
@@ -138,9 +169,10 @@ def load_testdata(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, D
     for t in names:
         key = (app, sf_dir, t)
         if key not in _TESTDATA_CACHE:
-            _TESTDATA_CACHE[key] = _normalize_timestamps(
+            df = _normalize_timestamps(
                 spark.read.parquet(f"{sf_dir}/{t}.parquet"), t
             )
+            _TESTDATA_CACHE[key] = _fanout_small(df, spark, t)
         out[t] = _TESTDATA_CACHE[key]
     return out
 

@@ -209,6 +209,43 @@ def test_asof_aggregate_strict_bound(spark, agg_frames):
     assert got[2] == (3, 70.0)
 
 
+def test_asof_aggregate_null_ts_right_rows_never_match(spark, agg_frames):
+    """ADVICE r4: a null-ts right row sorts FIRST under window ordering
+    and would leak into every frame, but the SQL oracle's
+    ``right.ts <= left.ts`` never matches null — pin the join-semantics
+    behavior (null-ts rows contribute nothing; a null-ts LEFT row
+    aggregates over nothing)."""
+    from real_time_event_driven_data_pipeline_spark.operators.asof import asof_aggregate
+
+    left, right = agg_frames
+    left = left.union(
+        spark.createDataFrame([(9, "u1", None)], left.schema)
+    )
+    right = right.union(
+        spark.createDataFrame([("u1", None, 1000.0)], right.schema)
+    )
+    got = {
+        r.id: (r.n, r.s)
+        for r in asof_aggregate(
+            left, right, on="ts", by=["user"],
+            aggs={"n": ("v", "count"), "s": ("v", "sum")},
+        ).collect()
+    }
+    assert got[1] == (2, 30.0)  # the 1000.0 null-ts row did NOT leak in
+    assert got[9] == (0, None)  # null-ts left row matches nothing
+
+
+def test_asof_join_null_ts_right_rows_never_match(spark, agg_frames):
+    from real_time_event_driven_data_pipeline_spark.operators.asof import asof_join
+
+    left, right = agg_frames
+    right = right.union(
+        spark.createDataFrame([("u3", None, 1000.0)], right.schema)
+    )
+    got = {r.id: r.asof_v for r in asof_join(left, right, by=["user"]).collect()}
+    assert got[4] is None  # u3's only right row has null ts -> no match
+
+
 def test_asof_aggregate_unknown_fn(spark, agg_frames):
     from real_time_event_driven_data_pipeline_spark.operators.asof import asof_aggregate
 

@@ -82,3 +82,17 @@ def test_bpe_merges_first_pair_is_most_frequent(spark):
     # 'low'/'lower'/'lowest' dominate: (l, o) or (o, w) is the top pair;
     # replica decides which — just pin determinism + positive count here
     assert len(merges) == 1 and merges[0][0] == 1 and merges[0][3] > 0
+
+
+def test_bpe_rematerialize_cadence_is_trajectory_invariant(spark):
+    """r4 verdict item 4: the localCheckpoint cadence only materializes
+    — an aggressive every-2-merges cadence must learn the EXACT same
+    merge table (and match the Python replica) as no cadence at all."""
+    want, _ = _replica(8)
+    frequent = bpe.bpe_fit(
+        _spark_corpus(spark), n_merges=8, rematerialize_every=2
+    )
+    never = bpe.bpe_fit(
+        _spark_corpus(spark), n_merges=8, rematerialize_every=10**9
+    )
+    assert frequent == never == want

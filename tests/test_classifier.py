@@ -125,10 +125,24 @@ def test_curriculum_cut_partitioning_independent(spark):
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
 
 
-def test_curriculum_cut_no_single_partition_window(spark):
+def test_curriculum_cut_no_per_source_window_funnel(spark):
+    """Round-4 verdict fix pin: with proportional quotas a per-partition
+    prune bounds nothing, so the rank must go through the grouped
+    hierarchical window — every Window in the plan is partitioned by the
+    range-partition id (never by source alone, which would funnel ~q% of
+    a source's full membership into one task), and the offsets join is
+    an equality hash join, not a cartesian shape."""
     rows = [(i, f"s{i % 3}", DOCS[i % len(DOCS)][1]) for i in range(12)]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     out = classifier.margin_curriculum_cut(df, keep_pct=50, dim=DIM, iters=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
-    assert plan.count("Window") >= 2  # local prune + final rank
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if "Window [" in ln and "windowspecdefinition" in ln
+    ]
+    assert win_lines, "expected the distributed per-partition rank window"
+    for ln in win_lines:
+        assert "__w_pid" in ln, f"window not bounded by range partition: {ln}"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -64,6 +64,22 @@ def test_blobs_separate(spark):
     assert len(blob1 | blob2 | out) == 3
 
 
+def test_k_larger_than_corpus_fits_what_exists(spark):
+    """ADVICE r4: |corpus| < k used to IndexError in the update loop —
+    now the fit shrinks k to the vectors that exist."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, centroids = clustering.kmeans_fit_assign(emb, k=5, iters=2)
+    assert len(centroids) == 2
+    assert {r["cluster"] for r in assigned.collect()} == {0, 1}
+
+
+def test_empty_corpus_raises_clear_error(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no vectors"):
+        clustering.kmeans_fit_assign(emb, k=3, iters=1)
+
+
 def test_empty_cluster_keeps_previous_centroid(spark):
     """k > distinct points: surplus clusters carry their init centroid."""
     rows = [(i, [0.0, 0.0]) for i in range(4)] + [(9, [8.0, 8.0])]

@@ -221,6 +221,43 @@ def test_multimodal_feature_extraction(spark):
     assert [(f.frame_idx, f.frame_ts_ms) for f in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
 
 
+def test_image_near_dups_banded_equals_brute_force(spark):
+    """With max_dist <= bands-1 the band-LSH candidate join is LOSSLESS
+    (pigeonhole): the banded pipeline must reproduce the brute-force
+    all-pairs Hamming scan exactly — including planted near-identical
+    payloads (few flipped bytes) and exact duplicates."""
+    rng = np.random.default_rng(3)
+    payloads = [bytes(rng.integers(0, 256, 400).astype(np.uint8)) for i in range(20)]
+    # plant: 20 == copy of 0 with 2 bytes flipped; 21 == exact copy of 1
+    near = bytearray(payloads[0])
+    near[5] = (near[5] + 100) % 256
+    near[37] = (near[37] + 100) % 256
+    payloads.append(bytes(near))
+    payloads.append(payloads[1])
+    rows = [
+        (i, "image", p, None, None, None, None) for i, p in enumerate(payloads)
+    ] + [(99, "video", b"\x00" * 64, None, None, None, 1000)]  # filtered out
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming_dist
+        for r in multimodal.image_near_dups(media, max_dist=7).collect()
+    }
+
+    # brute force over the same decoder + dhash math
+    hashes = {i: multimodal.dhash_bands(multimodal.decode_image(p))
+              for i, p in enumerate(payloads)}
+    want = {}
+    for a in range(len(payloads)):
+        for b in range(a + 1, len(payloads)):
+            d = sum(bin(x ^ y).count("1") for x, y in zip(hashes[a], hashes[b]))
+            if d <= 7:
+                want[(a, b)] = d
+    assert got == want
+    assert got[(1, 21)] == 0  # exact copy
+    assert (0, 20) in got  # 2 flipped bytes perturb few sampled pixels
+
+
 def test_decode_image_both_codec_modes(spark, monkeypatch):
     """decode_image routes through PIL when importable and falls back to
     the deterministic stub when PIL is absent or the payload does not
@@ -358,6 +395,21 @@ def test_batch_score_values_and_nulls(spark):
     # every batch in a partition sees the SAME model instance; with 40
     # tiny rows each partition is one Arrow batch -> all scores 1.0
     assert set(scores) == {1.0}
+
+
+def test_batch_score_custom_id_col(spark):
+    """ADVICE r4: the output schema is built from id_col — a non-default
+    id column keeps its name instead of coming back as 'doc_id'."""
+    from real_time_event_driven_data_pipeline_spark.operators.inference import (
+        batch_score,
+    )
+
+    vecs = spark.createDataFrame(
+        [(7, "y" * 300)], "vec_id long, text string"
+    )
+    out = batch_score(vecs, id_col="vec_id")
+    assert out.columns == ["vec_id", "model_score"]
+    assert out.collect()[0]["vec_id"] == 7
 
 
 def test_keyword_search_topk_hand_computed(spark):
@@ -538,14 +590,18 @@ def test_hashed_embeddings_sparse_dense_agree_and_shuffle_free(spark, docs):
     va, vb = [r.embedding for r in text.hashed_embeddings(two, dim=dim).orderBy("doc_id").collect()]
     assert va == vb and any(v != 0 for v in va)
 
-    # the dense path is embarrassingly parallel: no exchange in the plan
+    # the dense path is embarrassingly parallel: the only exchange
+    # allowed is the load-time small-input fanout (readers._fanout_small,
+    # a REPARTITION_BY_NUM on doc_id; local-only, absent at scale) —
+    # the embedding math itself never shuffles
     plan = (
         text.hashed_embeddings(docs, dim=dim)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("REPARTITION_BY_NUM" in ln for ln in exchanges), exchanges
     assert "InPandas" not in plan and "PythonUDF" not in plan
 
 

@@ -178,6 +178,27 @@ def test_histogram_quantiles_bracket_true_percentiles(spark):
             assert est <= exact <= est + width + 1e-9, (g, p, est, exact)
 
 
+def test_histogram_quantiles_constant_column(spark):
+    """ADVICE r4: hi == lo (constant column) used to divide by a zero
+    width -> NaN buckets -> silent null estimates.  Now all mass lands
+    in bucket 0 and every percentile estimate is exactly lo."""
+    from real_time_event_driven_data_pipeline_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g0", 42.0)] * 50 + [("g1", 42.0)] * 30, "grp string, value double"
+    )
+    out = {
+        r["grp"]: r
+        for r in sketches.histogram_quantiles(
+            df, "value", "grp", buckets=16, percents=(50, 95, 99)
+        ).collect()
+    }
+    assert out["g0"]["n"] == 50 and out["g1"]["n"] == 30
+    for g in ("g0", "g1"):
+        for p in (50, 95, 99):
+            assert out[g][f"p{p}_est"] == 42.0
+
+
 def test_histograms_merge_to_direct_build(spark):
     from real_time_event_driven_data_pipeline_spark.operators import sketches
     from pyspark.sql import functions as F

@@ -287,3 +287,46 @@ def test_metrics_listener_captures_batches(spark, pipeline_env):
     # arrival rows once (plus the cache-materializing first action)
     assert sum(r["num_input_rows"] for r in listener.records) >= 80
     assert all("batch_id" in r for r in listener.records)
+
+
+def test_streaming_scorer_matches_batch_under_frozen_weights(spark, tmp_path):
+    """r4 verdict item 8: train offline, score the stream online under
+    the FROZEN weights — every (id, label, margin, pred) row from the
+    streaming file sink must equal the batch scorer's output bit-exactly
+    (the transformation is stateless, so streaming adds no semantics)."""
+    from real_time_event_driven_data_pipeline_spark.operators import classifier
+    from real_time_event_driven_data_pipeline_spark.sources.readers import load_testdata
+    from real_time_event_driven_data_pipeline_spark.streaming import scoring
+
+    dim, iters = 8, 2
+    docs = load_testdata(spark, "/root/testdata/sf0.001", "documents")[
+        "documents"
+    ].select("doc_id", "text")
+
+    feat = classifier._dense_features(docs, dim, "doc_id", "text")
+    w = classifier.perceptron_fit(feat, dim, iters)
+    assert any(v != 0 for v in w)
+
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    with pytest.raises(ValueError, match="streaming"):
+        scoring.score_stream(docs, w, dim)
+    q = scoring.run_scoring_stream(
+        stream,
+        w,
+        out_path=str(tmp_path / "scores_out"),
+        checkpoint=str(tmp_path / "ckpt_score"),
+        dim=dim,
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["label"], r["margin"], r["pred"])
+        for r in spark.read.parquet(str(tmp_path / "scores_out")).collect()
+    }
+    want = {
+        r["doc_id"]: (r["label"], r["margin"], r["pred"])
+        for r in classifier.score_with_weights(docs, w, dim).collect()
+    }
+    assert got == want and len(got) == docs.count()

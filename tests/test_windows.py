@@ -10,6 +10,7 @@ from real_time_event_driven_data_pipeline_spark.operators.windows import (
     ntile_from_row_number,
     with_global_row_number,
     with_global_running_sum,
+    with_grouped_row_number,
 )
 
 
@@ -80,6 +81,70 @@ def test_ntile_formula_matches_ntile(spark, n, tiles):
     assert got == want
 
 
+def _grouped_rows(n, spark, seed=11):
+    # few LARGE groups (the shape the grouped helper exists for) with a
+    # unique (val, key) order inside each; shuffled input
+    import random
+
+    rng = random.Random(seed)
+    data = [
+        (f"src_{i % 3}", i * 13 % 9973, (i * 31) % 101, i % 11 + 1)
+        for i in range(n)
+    ]
+    rng.shuffle(data)
+    return spark.createDataFrame(data, "g string, key long, val long, amt long")
+
+
+@pytest.mark.parametrize("n", [0, 1, 5, 997])
+def test_grouped_row_number_matches_window(spark, n):
+    df = _grouped_rows(n, spark)
+    got = {
+        (r["g"], r["key"]): r["rk"]
+        for r in with_grouped_row_number(
+            df, ["g"], [("val", False), ("key", True)], "rk", num_partitions=8
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("val"), "key")
+    want = {
+        (r["g"], r["key"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_row_number_partitioning_invariant(spark):
+    df = _grouped_rows(400, spark)
+    a = with_grouped_row_number(
+        df.coalesce(1), ["g"], [("val", False), ("key", True)], "rk", num_partitions=8
+    )
+    b = with_grouped_row_number(
+        df.repartition(13), ["g"], [("val", False), ("key", True)], "rk", num_partitions=3
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_grouped_helper_plan_shape(spark):
+    """No single-partition window, no per-group window (every Window's
+    partition spec includes the range-partition id), and the offsets
+    join is a hash join (equality on the group key), not the global
+    path's triangular BNLJ."""
+    df = _grouped_rows(500, spark)
+    plan = (
+        with_grouped_row_number(
+            df, ["g"], [("val", False), ("key", True)], "rk", num_partitions=8
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line and "windowspecdefinition" in line:
+            assert "__w_pid" in line, f"per-group window without pid: {line}"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_helper_plans_no_single_partition_window(spark):
     df = _rows(500, spark)
     plan = (
@@ -90,3 +155,28 @@ def test_helper_plans_no_single_partition_window(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan  # the distributed per-partition window
+
+
+@pytest.mark.parametrize("n", [0, 7, 653])
+def test_grouped_running_sum_matches_window(spark, n):
+    from real_time_event_driven_data_pipeline_spark.operators.windows import (
+        with_grouped_running_sum,
+    )
+
+    df = _grouped_rows(n, spark)
+    got = {
+        (r["g"], r["key"]): r["rs"]
+        for r in with_grouped_running_sum(
+            df, ["g"], [("val", True), ("key", True)], "amt", "rs", num_partitions=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("val", "key")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["g"], r["key"]): r["rs"]
+        for r in df.withColumn("rs", F.sum("amt").over(w)).collect()
+    }
+    assert got == want
