@@ -2307,3 +2307,84 @@ def q_source_token_budget_cut(spark, sf_dir):
         .select("source", "doc_id", "n_tokens", "cum_tokens")
         .orderBy("source", "cum_tokens", "doc_id")
     )
+
+
+# --- joint multimodal duplicate clusters: the two dedup families
+# COMPOSED — a pair of records is duplicate-linked if their TEXT is
+# near-identical (MinHash-LSH verified Jaccard >= 0.5) OR their IMAGE
+# payload is perceptually near-identical (banded dHash, Hamming <= 7);
+# clusters are connected components over the union edge set (min-label
+# canonical representative).  This is the image-text corpus curation
+# shape: captions get paraphrased while the image is re-encoded, or the
+# image is re-cropped while the caption survives verbatim — either link
+# alone must pull the pair into one cluster.  Both edge generators are
+# the banded (never all-pairs) scale paths, both lossless at these
+# thresholds, so the brute-force recursive-CTE oracle is exact.
+
+def _multimodal_dup_clusters_sql(max_dist: int) -> str:
+    bands = ",\n         ".join(
+        f"({_dhash_band_sql(r)}) AS b{r}" for r in range(8)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{r}, b.b{r}))" for r in range(8))
+    return f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [] END AS s
+    FROM toks
+), tpairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+), m AS (
+    SELECT doc_id AS media_id, text,
+           greatest(1, CAST(floor(sqrt(octet_length(encode(text)))) AS INT)) AS side
+    FROM documents
+), h AS (
+    SELECT media_id,
+           {bands}
+    FROM m
+), ipairs AS (
+    SELECT a.media_id AS id_a, b.media_id AS id_b
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE {ham} <= {max_dist}
+), pairs AS (
+    SELECT id_a, id_b FROM tpairs UNION SELECT id_a, id_b FROM ipairs
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(id, comp) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+), comps AS (
+    SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comps ORDER BY doc_id"""
+
+
+@register(
+    "multimodal_dup_clusters",
+    _multimodal_dup_clusters_sql(_DHASH_MAX_DIST),
+    "ext: joint text+image duplicate clusters (MinHash-LSH OR dHash edges -> CC)",
+)
+def q_multimodal_dup_clusters(spark, sf_dir):
+    from ..operators import components
+
+    docs = _docs(spark, sf_dir)
+    tpairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    ipairs = multimodal.image_near_dups(media, max_dist=_DHASH_MAX_DIST).select(
+        F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
+    )
+    edges = tpairs.unionByName(ipairs)  # CC dedups the union internally
+    return components.near_dup_clusters(edges).orderBy("doc_id")

@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
         "image_near_dups",  # banded dHash perceptual near-dup (lossless LSH)
         "source_length_deciles",  # grouped hierarchical rank/NTILE
         "source_token_budget_cut",  # grouped hierarchical running sum
+        "multimodal_dup_clusters",  # text-OR-image dup edges -> CC
         # (b) code path changed in round 5
         "margin_curriculum_cut",  # rank now via grouped hierarchical window
         "clicks_before_purchase",  # as-of: null-ts right rows filtered

@@ -194,6 +194,36 @@ iterations x (pair-count HashAggregate over the CACHED distinct-word
 relation + a 1-row argmax collect), the k-means bounded-collect
 contract.  The corpus is scanned once ever (word_relation's single
 linear shuffle).""",
+    "margin_curriculum_cut": """Per-source curriculum cut (r5 rewrite):
+the rank routes through the GROUPED hierarchical window — range
+partition on (source, margin DESC, id), per-(pid, source) local
+Window (every windowspecdefinition carries __w_pid), per-(pid, source)
+totals joined back as a BroadcastHashJoin on the source equality key.
+No window is partitioned by source alone, so no task ever holds a
+source's membership (the r4 funnel).  Quotas are a |sources|-row
+broadcast.""",
+    "source_length_deciles": """Grouped hierarchical rank + NTILE (r5):
+same shape as the curriculum cut — the per-source ROW_NUMBER comes
+from per-(pid, source) windows + broadcast offsets; the NTILE is pure
+arithmetic on (rank, per-source total), the per-source totals a
+broadcast |sources|-row aggregate.""",
+    "source_token_budget_cut": """Per-source token-budget prefix (r5):
+grouped hierarchical RUNNING SUM — per-(pid, source) partial sums +
+broadcast (pid, source) offsets; the budget filter is then a per-row
+comparison.  The raw table never enters a per-source window.""",
+    "image_near_dups": """Banded perceptual image dedup (r5): dHash
+signatures in ONE Arrow mapInPandas pass over the (pre-fanned-out)
+payload scan, posting-list band join for candidates (equality join on
+(band, value) — never all-pairs), exact Hamming re-verify on
+candidates only.  Pigeonhole makes the banding lossless at
+max_dist <= 7, so this banded plan is certified exactly by the
+brute-force oracle.""",
+    "multimodal_dup_clusters": """The two dedup families composed (r5):
+text MinHash-LSH verified pairs UNION image dHash banded pairs feed
+iterative min-label propagation; per round the plan is edge-join +
+partial/final min-aggregate over the (tiny) duplicate graph, with
+localCheckpoint truncating lineage between rounds and a scalar
+SUM(comp) convergence probe.""",
 }
 
 

@@ -44,6 +44,7 @@ QUADRATIC_ORACLES = {
     "embedding_similar_pairs",
     "image_near_dups",
     "curated_corpus",
+    "multimodal_dup_clusters",
 }
 
 
