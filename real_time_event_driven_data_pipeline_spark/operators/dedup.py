@@ -379,27 +379,43 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """64-bit SimHash per document (vectorized numpy inside a pandas
     batch iterator; per-token bit-unpacking has no built-in expression).
 
-    Token hashes are xxhash64 computed JVM-side *into an array column*,
-    so each row is self-contained: no explode, no repartition — the
-    whole signature computation is shuffle-free and embarrassingly
-    parallel (the shape that matters at 100 TB).
+    Token hashes are md5 computed JVM-side *into an array column* (the
+    signature takes the LOWER 64 bits = first 16 hex chars), so each
+    row is self-contained: no explode, no repartition — the whole
+    signature computation is shuffle-free and embarrassingly parallel
+    (the shape that matters at 100 TB).  md5 (not xxhash64, r5) because
+    Spark md5 == hashlib md5 == DuckDB md5 on UTF-8 bytes, which makes
+    the whole SimHash pipeline ORACLE-EXACT (SIMHASH_PAIRS_SQL replays
+    the per-bit majority vote); any uniform hash serves SimHash equally.
     """
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("hs"),
+        F.transform(tokens_expr(text_col), lambda t: F.md5(t)).alias("hs"),
     )
 
     def _fold(batches):
+        memo: dict[str, int] = {}
+
+        def h64(hx: str) -> int:
+            v = memo.get(hx)
+            if v is None:
+                v = int(hx[:16], 16)
+                memo[hx] = v
+            return v
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["hs"]]
+            arrs = [np.asarray(a, dtype=object) for a in pdf["hs"]]
             lens = np.array([len(a) for a in arrs])
             docs = pdf["doc_id"].to_numpy()
             nonempty = lens > 0
             out_docs, out_vals = [], []
             if nonempty.any():
-                flat = np.concatenate([a for a in arrs if len(a)]).astype(np.uint64)
+                flat_hex = np.concatenate([a for a in arrs if len(a)])
+                flat = np.fromiter(
+                    (h64(h) for h in flat_hex), dtype=np.uint64, count=len(flat_hex)
+                )
                 bits = (
                     (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 ).astype(np.int64)
@@ -455,7 +471,13 @@ def simhash_near_pairs(
     return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )

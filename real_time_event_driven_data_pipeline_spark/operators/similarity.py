@@ -162,6 +162,51 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-cosine-similar corpus vectors whose LABEL DIFFERS — the
+    negatives that sit closest to the decision boundary, the standard
+    negative-sampling step for embedding/reranker training.
+
+    Same scale shape as ``cosine_topk``: the anchor set is small by
+    construction and broadcast; the corpus is scanned once with no
+    shuffle until the per-anchor top-k (k rows per anchor move).  Rows
+    with a null label on either side are excluded (SQL ``<>``
+    three-valued semantics, mirrored by the oracle).
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(label_col).alias("_cl"), as_double(vec_col).alias("v")
+    )
+    q = anchors.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("_ql"),
+        as_double(vec_col).alias("qv"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col(id_col) != F.col(query_id_col)) & (F.col("_cl") != F.col("_ql")),
+    ).select(
+        query_id_col,
+        id_col,
+        F.col("_cl").alias("neg_label"),
+        cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "neg_label", "cos_sim", "rank")
+    )
+
+
 def _lsh_signature_udf(planes: np.ndarray):
     """Arrow-vectorized signature: one numpy matmul per batch, emitting
     ``array<bigint>`` of n_tables bucket ids ((table_idx << n_planes) | bits).

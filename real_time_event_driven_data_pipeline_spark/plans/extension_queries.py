@@ -181,12 +181,55 @@ def q_minhash_lsh_near_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-# SimHash: signature semantics are not reasonably SQL-expressible ->
-# rows-only for the driver; pinned against brute-force in pytest.
-@register("simhash_near_pairs", None, "ext: SimHash near-dup banding")
+# SimHash: ORACLE-EXACT since r5 — the token hash is md5 lower-64
+# (Spark md5 == DuckDB md5), so the oracle replays the per-bit majority
+# vote (bit j = 1 iff 2*SUM(bit_j(h)) > n_tokens, occurrences weighted)
+# and brute-forces all-pairs Hamming; the Spark side's pigeonhole
+# banding (4 x 16-bit bands, lossless at max_hamming <= 3) must
+# reproduce it exactly.  Signatures are packed as 8 byte-bands in the
+# SQL (DuckDB's << overflows at bit 63; bytewise xor+bit_count sums to
+# the same Hamming distance).
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    h = "CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)"
+
+    def band(r: int) -> str:
+        terms = [
+            f"(CASE WHEN 2 * SUM((h >> {8 * r + j}) & 1) > COUNT(*) "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(8)
+        ]
+        return "CAST(" + " + ".join(terms) + f" AS BIGINT) AS b{r}"
+
+    bands = ",\n         ".join(band(r) for r in range(8))
+    ham = " + ".join(f"bit_count(xor(a.b{r}, b.b{r}))" for r in range(8))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+), th AS (
+    SELECT doc_id, {h} AS h FROM toks
+), sig AS (
+    SELECT doc_id,
+         {bands}
+    FROM th GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+ORDER BY id_a, id_b"""
+
+
+@register(
+    "simhash_near_pairs",
+    _simhash_pairs_sql(3),
+    "ext: SimHash near-dup banding (oracle-exact md5 majority vote)",
+)
 def q_simhash_near_pairs(spark, sf_dir):
     # documents arrives pre-fanned-out (sources.readers._fanout_small),
-    # so the interpreted-HOF signature expressions already parallelize
+    # so the Arrow signature fold already parallelizes
     docs = _docs(spark, sf_dir)
     return dedup.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
@@ -1410,10 +1453,69 @@ def q_doc_token_ids(spark, sf_dir):
 # code relation, exact cosine re-score of candidates only.  The
 # prefilter is approximate -> rows-only; recall vs the exact top-k is
 # asserted in pytest (tests/test_curation_ops.py).
+#
+# ORACLE-EXACT since r5: unlike the LSH/IVF variants (seeded-PRNG
+# planes / float-accumulated centroids), the two-stage quantized sweep
+# is a deterministic function of the input — floor-rule int8 codes,
+# integer stage-1 dots (exact in doubles at these magnitudes), and
+# explicitly-ordered IEEE folds — so DuckDB can replay BOTH stages
+# verbatim: the oracle certifies the approximate algorithm itself, not
+# the true top-k.
+ANN_QUANTIZED_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS scale
+  FROM e
+), cq AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(floor(x / scale) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+  FROM sc
+), cr AS (
+  SELECT vec_id, scale, codes,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(codes, c -> CAST(c AS DOUBLE) * scale)),
+              (a, x) -> a + x * x)) AS rnorm
+  FROM cq
+), qq AS (
+  SELECT vec_id AS query_id, scale AS q_scale, codes AS q_codes, rnorm AS q_rnorm
+  FROM cr WHERE vec_id < 8
+), s1 AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(list_transform(c.codes, x -> CAST(x AS DOUBLE)),
+                          list_transform(q.q_codes, x -> CAST(x AS DOUBLE)))
+           * c.scale * q.q_scale / (c.rnorm * q.q_rnorm + 1e-300) AS approx_sim
+  FROM qq q JOIN cr c ON c.vec_id <> q.query_id
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_sim DESC, vec_id) AS r
+    FROM s1) WHERE r <= 40
+), scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_dot_product(qe.v, ce.v)
+           / sqrt(list_dot_product(qe.v, qe.v) * list_dot_product(ce.v, ce.v)) AS cos_sim
+  FROM cand
+  JOIN e ce ON ce.vec_id = cand.vec_id
+  JOIN e qe ON qe.vec_id = cand.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 @register(
     "ann_quantized_topk",
-    None,
-    "ext: int8-quantized two-stage ANN (bandwidth-bound scale path)",
+    ANN_QUANTIZED_SQL,
+    "ext: int8-quantized two-stage ANN (bandwidth-bound scale path, oracle-replayed)",
 )
 def q_ann_quantized_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
@@ -2388,3 +2490,42 @@ def q_multimodal_dup_clusters(spark, sf_dir):
     )
     edges = tpairs.unionByName(ipairs)  # CC dedups the union internally
     return components.near_dup_clusters(edges).orderBy("doc_id")
+
+
+# --- hard-negative mining (contrastive-training data prep): per
+# anchor, the top-k most-similar corpus vectors with a DIFFERENT label
+# (operators/similarity.py::hard_negative_topk).  Same bounded-anchor
+# BNLJ shape as ann_cosine_topk (CROSS_OK + build-side pin); null
+# labels drop out under SQL <>'s three-valued logic in both engines.
+
+HARD_NEG_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 8),
+     scored AS (
+       SELECT q.query_id, e.vec_id, e.label AS neg_label,
+              list_dot_product(q.qv, e.v)
+                / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)) AS cos_sim
+       FROM q JOIN e ON e.vec_id <> q.query_id AND e.label <> q.qlabel
+     ),
+     ranked AS (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rank
+       FROM scored
+     )
+SELECT query_id, vec_id, neg_label, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+@register(
+    "hard_negative_mining",
+    HARD_NEG_SQL,
+    "ext: hard-negative mining (top-k nearest with a different label)",
+)
+def q_hard_negative_mining(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = similarity.hard_negative_topk(emb, anchors, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")

@@ -91,6 +91,9 @@ def _ensure_loaded() -> None:
         "source_length_deciles",  # grouped hierarchical rank/NTILE
         "source_token_budget_cut",  # grouped hierarchical running sum
         "multimodal_dup_clusters",  # text-OR-image dup edges -> CC
+        "hard_negative_mining",  # contrastive negatives (bounded BNLJ)
+        "simhash_near_pairs",  # md5 rewrite: first ORACLE-exact SimHash
+        "ann_quantized_topk",  # two-stage replay: now ORACLE-exact
         # (b) code path changed in round 5
         "margin_curriculum_cut",  # rank now via grouped hierarchical window
         "clicks_before_purchase",  # as-of: null-ts right rows filtered

@@ -749,3 +749,34 @@ def test_indexed_incremental_near_dups_equals_text_path(spark, docs):
     }
     assert via_index == via_text
     assert via_text  # non-vacuous
+
+
+def test_hard_negative_topk_excludes_same_and_null_labels(spark):
+    """Hard negatives: only DIFFERENT-label vectors rank; same-label and
+    null-label rows are excluded on either side (SQL <> three-valued
+    logic); order is (cos_sim desc, vec_id)."""
+    rows = [
+        # anchor: label 0, pointing at +x
+        (0, [1.0, 0.0], 0),
+        # same label, nearly identical -> must NOT appear
+        (1, [0.99, 0.1], 0),
+        # different label, decreasing similarity
+        (2, [0.9, 0.1], 1),
+        (3, [0.5, 0.5], 1),
+        (4, [0.0, 1.0], 2),
+        # null label -> excluded
+        (5, [1.0, 0.01], None),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    got = similarity.hard_negative_topk(emb, anchors, k=2).orderBy("rank").collect()
+    assert [(r.vec_id, r.neg_label, r.rank) for r in got] == [(2, 1, 1), (3, 1, 2)]
+    assert got[0].cos_sim > got[1].cos_sim
+
+    # a null-label anchor gets no negatives at all
+    null_anchor = spark.createDataFrame(
+        [(9, None, [1.0, 0.0])], "query_id long, label int, embedding array<float>"
+    )
+    assert similarity.hard_negative_topk(emb, null_anchor, k=2).count() == 0

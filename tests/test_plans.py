@@ -23,6 +23,10 @@ CROSS_OK = {
     # candidates only.  test_bounded_bnlj_build_sides pins that the
     # broadcast side really is the bounded query relation.
     "ann_quantized_topk",
+    # hard-negative mining is the ann_cosine_topk sweep with a
+    # label-difference residual — same bounded-anchor broadcast BNLJ,
+    # same build-side pin below
+    "hard_negative_mining",
     # scalar-subquery threshold: a single-row aggregate broadcast into
     # the filter IS a (free) broadcast nested-loop join by construction
     "idle_rich_customers",
@@ -163,7 +167,7 @@ def test_bounded_bnlj_build_sides(spark):
     (filter vec_id < 8).  Pin that: every BroadcastExchange feeding the
     BNLJ must sit over the query-side filter, so a regression that
     flips the build side (broadcasting the corpus!) fails here."""
-    for name in ("ann_cosine_topk", "ann_quantized_topk"):
+    for name in ("ann_cosine_topk", "ann_quantized_topk", "hard_negative_mining"):
         plan = _plan(ent.queries()[name](spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" in plan, f"{name}: expected the intentional BNLJ"
         lines = plan.splitlines()

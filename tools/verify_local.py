@@ -45,6 +45,7 @@ QUADRATIC_ORACLES = {
     "image_near_dups",
     "curated_corpus",
     "multimodal_dup_clusters",
+    "simhash_near_pairs",
 }
 
 
