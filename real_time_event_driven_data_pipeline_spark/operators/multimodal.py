@@ -192,26 +192,44 @@ def image_near_dups(
 
     Banded-LSH shape, same as SimHash text dedup
     (`operators/dedup.py::simhash_near_pairs`): candidates = pairs
-    sharing at least one of 8 byte-bands (a posting-list equality join,
-    never all-pairs), then exact Hamming re-verification on candidates
-    only.  With ``max_dist <= 7`` the banding is LOSSLESS (pigeonhole
-    over 8 bands), so the result equals the brute-force all-pairs scan
-    and the DuckDB oracle can certify it exactly.
+    sharing at least one band (a posting-list equality join, never
+    all-pairs), then exact Hamming re-verification on candidates only.
+    The band WIDTH follows pigeonhole from ``max_dist``: for
+    ``max_dist <= 3`` the 8 hash bytes pair up into 4 x 16-bit bands
+    (65,536 values each — the SimHash selectivity class, the production
+    path); for ``4 <= max_dist <= 7`` it falls back to 8 x 8-bit bands.
+    Either way the banding is LOSSLESS, so the result equals the
+    brute-force all-pairs scan and the DuckDB oracle certifies it
+    exactly.
 
-    Scale: candidates are bounded by band-bucket co-membership, linear
-    in true near-dup density for natural images; a pathological bucket
-    (e.g. millions of flat/constant images all hashing 0) degenerates
-    the same way a stop-shingle does in text dedup — cap or pre-filter
-    constant images upstream if the corpus has them.
+    Scale: candidate count ~ sum over buckets of C(n_bucket, 2).  8-bit
+    bands hold only 256 values, so even a UNIFORM corpus pays ~n²/1024
+    random collisions — quadratic; 16-bit bands push that to ~n²/262k
+    and, for natural-image corpora (hash values concentrate), shrink
+    the big buckets by the same 256x.  Prefer ``max_dist <= 3`` at
+    scale; a pathological bucket (millions of flat images all hashing
+    0) degenerates either path the way a stop-shingle does in text
+    dedup — cap or pre-filter constant images upstream.
 
     Output: (media_id_a, media_id_b, hamming_dist), a < b.
     """
     from .dedup import _scoped_cache
 
+    if not 0 <= max_dist <= 7:
+        raise ValueError("max_dist must be in [0, 7] (64-bit hash, >= bands needed)")
     # scoped pin: banding + two hash-lookups re-read the signatures
     sig = _scoped_cache(image_dhash(media, decoder), "image_dhash_sig")
+    if max_dist <= 3:
+        # 4 x 16-bit bands: byte pair (2i, 2i+1) -> one band value
+        band_arr = F.expr(
+            "array("
+            + ",".join(f"bands[{2 * i}] + 256 * bands[{2 * i + 1}]" for i in range(4))
+            + ")"
+        )
+    else:
+        band_arr = F.col("bands")
     posting = sig.select(
-        "media_id", F.posexplode("bands").alias("band", "val")
+        "media_id", F.posexplode(band_arr).alias("band", "val")
     )
     cand = (
         posting.alias("pa")

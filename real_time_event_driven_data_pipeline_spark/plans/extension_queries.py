@@ -424,17 +424,19 @@ def q_media_features(spark, sf_dir):
 
 # --- image near-dup via banded perceptual hash (dHash) ---------------
 # The "dedup x multimodal" composition (r4 verdict gap 1): banded-LSH
-# candidates over 8 dHash byte-bands + exact Hamming re-verify.  With
-# max_dist <= 7 the banding is lossless (pigeonhole), so the DuckDB
-# brute-force all-pairs oracle certifies the banded Spark plan exactly.
-# Same opaque-payload convention as media_features: documents' UTF-8
-# bytes stand in for image payloads, both codec modes take the
-# deterministic stub grid, and the oracle mirrors the byte math via
-# ord(text[i]) (ASCII corpus: byte i == ord(char i); DuckDB's ord
-# returns -1 on out-of-range, matching the stub's all-zero bits for
-# degenerate payloads).
+# candidates over dHash bands + exact Hamming re-verify.  max_dist = 3
+# puts the operator on its 4 x 16-bit band path (65k values/band — the
+# scale-selective production path; 8-bit bands collide quadratically,
+# see the operator docstring); pigeonhole keeps the banding lossless,
+# so the DuckDB brute-force all-pairs oracle certifies the banded
+# Spark plan exactly.  Same opaque-payload convention as
+# media_features: documents' UTF-8 bytes stand in for image payloads,
+# both codec modes take the deterministic stub grid, and the oracle
+# mirrors the byte math via ord(text[i]) (ASCII corpus: byte i ==
+# ord(char i); DuckDB's ord returns -1 on out-of-range, matching the
+# stub's all-zero bits for degenerate payloads).
 
-_DHASH_MAX_DIST = 7
+_DHASH_MAX_DIST = 3
 
 
 def _dhash_band_sql(r: int) -> str:
@@ -2414,7 +2416,7 @@ def q_source_token_budget_cut(spark, sf_dir):
 # --- joint multimodal duplicate clusters: the two dedup families
 # COMPOSED — a pair of records is duplicate-linked if their TEXT is
 # near-identical (MinHash-LSH verified Jaccard >= 0.5) OR their IMAGE
-# payload is perceptually near-identical (banded dHash, Hamming <= 7);
+# payload is perceptually near-identical (banded dHash, Hamming <= 3);
 # clusters are connected components over the union edge set (min-label
 # canonical representative).  This is the image-text corpus curation
 # shape: captions get paraphrased while the image is re-encoded, or the

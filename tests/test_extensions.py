@@ -239,23 +239,29 @@ def test_image_near_dups_banded_equals_brute_force(spark):
     ] + [(99, "video", b"\x00" * 64, None, None, None, 1000)]  # filtered out
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
 
-    got = {
-        (r.media_id_a, r.media_id_b): r.hamming_dist
-        for r in multimodal.image_near_dups(media, max_dist=7).collect()
-    }
-
     # brute force over the same decoder + dhash math
     hashes = {i: multimodal.dhash_bands(multimodal.decode_image(p))
               for i, p in enumerate(payloads)}
-    want = {}
-    for a in range(len(payloads)):
-        for b in range(a + 1, len(payloads)):
-            d = sum(bin(x ^ y).count("1") for x, y in zip(hashes[a], hashes[b]))
-            if d <= 7:
-                want[(a, b)] = d
-    assert got == want
-    assert got[(1, 21)] == 0  # exact copy
-    assert (0, 20) in got  # 2 flipped bytes perturb few sampled pixels
+
+    def brute(max_dist):
+        want = {}
+        for a in range(len(payloads)):
+            for b in range(a + 1, len(payloads)):
+                d = sum(bin(x ^ y).count("1") for x, y in zip(hashes[a], hashes[b]))
+                if d <= max_dist:
+                    want[(a, b)] = d
+        return want
+
+    # both band paths: 8 x 8-bit (max_dist 4..7) and the scale-selective
+    # 4 x 16-bit (max_dist <= 3)
+    for max_dist in (7, 3):
+        got = {
+            (r.media_id_a, r.media_id_b): r.hamming_dist
+            for r in multimodal.image_near_dups(media, max_dist=max_dist).collect()
+        }
+        assert got == brute(max_dist), f"max_dist={max_dist}"
+        assert got[(1, 21)] == 0  # exact copy
+    assert (0, 20) in brute(7)  # 2 flipped bytes perturb few sampled pixels
 
 
 def test_decode_image_both_codec_modes(spark, monkeypatch):

@@ -59,6 +59,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _key_shuffles(plan: str) -> int:
+    """Count ENSURE_REQUIREMENTS hash exchanges — the shuffles an
+    operator itself requires.  Excludes the load-time small-input
+    fanout (REPARTITION_BY_NUM), which is local-only AND gets reprinted
+    inside the InMemoryRelation build-plan section whenever another
+    test has cached the table (a text artifact, not an executed
+    shuffle)."""
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln
+    )
+
+
 # queries whose single-partition window runs over BOUNDED input (a
 # day-grain aggregate: row count == #distinct days, independent of
 # table size) -- acceptable per the round-1/2 verdict rulings.
@@ -322,10 +336,11 @@ def test_embedding_pairs_distributed_no_corpus_broadcast(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastExchange" not in plan
     assert "LocalTableScan" not in plan  # no driver-materialized corpus
-    # block-pair exchange + the load-time small-input fanout (readers.
-    # _fanout_small — local-only: at scale splits >= cores and it is
-    # absent); the scorer itself still adds exactly ONE
-    assert plan.count("Exchange hashpartitioning") == 2
+    # the scorer adds exactly ONE key shuffle (ENSURE_REQUIREMENTS);
+    # any other hash exchange must be the load-time small-input fanout
+    # (REPARTITION_BY_NUM, local-only — and printed again inside the
+    # InMemoryRelation section when another test cached the table)
+    assert _key_shuffles(plan) == 1
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "vec_id" in read and "embedding" in read
 
@@ -334,10 +349,10 @@ def test_doc_chunks_scan_local_no_hash_shuffle(spark):
     """Chunking is per-row array work (sequence/slice/posexplode): the
     only exchanges allowed are the presentation sort's range partition
     and the load-time small-input fanout (local-only, absent at scale)
-    — chunking itself never shuffles."""
+    — chunking itself never key-shuffles."""
     plan = _plan(ent.queries()["doc_chunks"](spark, SF_DIR))
     assert "Generate" in plan  # posexplode stayed in the JVM
-    assert plan.count("Exchange hashpartitioning") <= 1  # fanout only
+    assert _key_shuffles(plan) == 0
     assert "InPandas" not in plan and "PythonUDF" not in plan
 
 
@@ -362,7 +377,8 @@ def test_stratified_sample_is_filter_plus_one_shuffle(spark):
     no join against a rates table) feeding partial+final count."""
     plan = _plan(ent.queries()["stratified_sample_counts"](spark, SF_DIR))
     assert "Join" not in plan
-    # the count agg's key shuffle + the load-time small-input fanout
-    # (filter still pushes below the fanout, so only sampled rows move)
-    assert plan.count("Exchange hashpartitioning") == 2
+    # exactly the count agg's key shuffle; the load-time fanout is a
+    # REPARTITION_BY_NUM (filter still pushes below it, so only sampled
+    # rows move) and is excluded by _key_shuffles
+    assert _key_shuffles(plan) == 1
     assert "HashAggregate" in plan and "partial_count" in plan
