@@ -191,75 +191,71 @@ def image_near_dups(
     (MinHash dedups text; nothing deduped images).
 
     Banded-LSH shape, same as SimHash text dedup
-    (`operators/dedup.py::simhash_near_pairs`): candidates = pairs
-    sharing at least one band (a posting-list equality join, never
+    (`operators/dedup.py::simhash_near_pairs`, which shares the probe
+    generator `dedup.hamming_band_keys`): candidates = pairs sharing at
+    least one probe key (a posting-list equality join, never
     all-pairs), then exact Hamming re-verification on candidates only.
-    The band WIDTH follows pigeonhole from ``max_dist``: for
-    ``max_dist <= 3`` the 8 hash bytes pair up into 4 x 16-bit bands
-    (65,536 values each — the SimHash selectivity class, the production
-    path); for ``4 <= max_dist <= 7`` it falls back to 8 x 8-bit bands.
-    Either way the banding is LOSSLESS, so the result equals the
-    brute-force all-pairs scan and the DuckDB oracle certifies it
-    exactly.
+    For ``max_dist <= 3`` (the production path) the keys are C(6,3)
+    block-TRIPLE combinations (~33 bits each, Manku et al. WWW'07) —
+    expected random collisions ~ 20·n²/2^34, feasible at 10^9 images;
+    ``4 <= max_dist <= 7`` falls back to 8 x 8-bit byte bands (only
+    sound pigeonhole split, fine for small corpora).  Either way the
+    banding is LOSSLESS, so the result equals the brute-force all-pairs
+    scan and the DuckDB oracle certifies it exactly.
 
-    Scale: candidate count ~ sum over buckets of C(n_bucket, 2).  8-bit
-    bands hold only 256 values, so even a UNIFORM corpus pays ~n²/1024
-    random collisions — quadratic; 16-bit bands push that to ~n²/262k
-    and, for natural-image corpora (hash values concentrate), shrink
-    the big buckets by the same 256x.  Prefer ``max_dist <= 3`` at
-    scale; a pathological bucket (millions of flat images all hashing
-    0) degenerates either path the way a stop-shingle does in text
-    dedup — cap or pre-filter constant images upstream.
+    A pathological bucket (millions of flat images all hashing 0)
+    degenerates any banding the way a stop-shingle does in text dedup —
+    cap or pre-filter constant images upstream.
 
     Output: (media_id_a, media_id_b, hamming_dist), a < b.
     """
-    from .dedup import _scoped_cache
+    from functools import reduce
+
+    from .dedup import _scoped_cache, hamming_band_keys
 
     if not 0 <= max_dist <= 7:
         raise ValueError("max_dist must be in [0, 7] (64-bit hash, >= bands needed)")
-    # scoped pin: banding + two hash-lookups re-read the signatures
-    sig = _scoped_cache(image_dhash(media, decoder), "image_dhash_sig")
-    if max_dist <= 3:
-        # 4 x 16-bit bands: byte pair (2i, 2i+1) -> one band value
-        band_arr = F.expr(
-            "array("
-            + ",".join(f"bands[{2 * i}] + 256 * bands[{2 * i + 1}]" for i in range(4))
-            + ")"
-        )
-    else:
-        band_arr = F.col("bands")
-    posting = sig.select(
-        "media_id", F.posexplode(band_arr).alias("band", "val")
-    )
-    cand = (
-        posting.alias("pa")
-        .join(
-            posting.alias("pb"),
-            (F.col("pa.band") == F.col("pb.band"))
-            & (F.col("pa.val") == F.col("pb.val"))
-            & (F.col("pa.media_id") < F.col("pb.media_id")),
-        )
-        .select(
-            F.col("pa.media_id").alias("media_id_a"),
-            F.col("pb.media_id").alias("media_id_b"),
-        )
-        .distinct()
-    )
-    a = sig.select(F.col("media_id").alias("media_id_a"), F.col("bands").alias("_ba"))
-    b = sig.select(F.col("media_id").alias("media_id_b"), F.col("bands").alias("_bb"))
-    dist = F.aggregate(
-        F.zip_with("_ba", "_bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+    # pack the 8 byte-bands into one 64-bit pattern (bitwise: byte 7 may
+    # set the sign bit, which is fine for shifts/xor and never overflows)
+    packed = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.shiftleft(F.element_at("bands", i + 1).cast("long"), 8 * i)
+        ),
+        range(8),
         F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    )
+    # scoped pin: the posting self-join reads the signature relation
+    # twice.  The packed hash RIDES ALONG through the postings (the
+    # simhash_near_pairs shape) so the Hamming re-verify is an inline
+    # XOR on the joined rows — no join-back-by-id, no third signature
+    # scan (the original three-scans-of-one-unmaterialized-cache shape
+    # re-decoded every payload per scan and measured 3-5x slower).
+    sig = _scoped_cache(
+        image_dhash(media, decoder).select("media_id", packed.alias("h")),
+        "image_dhash_sig",
+    )
+    posting = sig.select(
+        "media_id",
+        "h",
+        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
+    )
+    left = posting.select(
+        F.col("media_id").alias("media_id_a"), F.col("h").alias("_ha"), "band", "val"
+    )
+    right = posting.select(
+        F.col("media_id").alias("media_id_b"), F.col("h").alias("_hb"), "band", "val"
     )
     return (
-        cand.join(a, "media_id_a")
-        .join(b, "media_id_b")
+        left.join(right, ["band", "val"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
         .select(
             "media_id_a",
             "media_id_b",
-            dist.cast("long").alias("hamming_dist"),
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("long")
+            .alias("hamming_dist"),
         )
+        .dropDuplicates(["media_id_a", "media_id_b"])
         .filter(F.col("hamming_dist") <= max_dist)
     )
 

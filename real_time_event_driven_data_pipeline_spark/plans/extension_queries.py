@@ -185,7 +185,8 @@ def q_minhash_lsh_near_dups(spark, sf_dir):
 # (Spark md5 == DuckDB md5), so the oracle replays the per-bit majority
 # vote (bit j = 1 iff 2*SUM(bit_j(h)) > n_tokens, occurrences weighted)
 # and brute-forces all-pairs Hamming; the Spark side's pigeonhole
-# banding (4 x 16-bit bands, lossless at max_hamming <= 3) must
+# banding (C(6,3) block-triple probe keys, lossless at max_hamming
+# <= 3 — dedup.hamming_band_keys) must
 # reproduce it exactly.  Signatures are packed as 8 byte-bands in the
 # SQL (DuckDB's << overflows at bit 63; bytewise xor+bit_count sums to
 # the same Hamming distance).
@@ -424,10 +425,11 @@ def q_media_features(spark, sf_dir):
 
 # --- image near-dup via banded perceptual hash (dHash) ---------------
 # The "dedup x multimodal" composition (r4 verdict gap 1): banded-LSH
-# candidates over dHash bands + exact Hamming re-verify.  max_dist = 3
-# puts the operator on its 4 x 16-bit band path (65k values/band — the
-# scale-selective production path; 8-bit bands collide quadratically,
-# see the operator docstring); pigeonhole keeps the banding lossless,
+# candidates over dHash probe keys + exact Hamming re-verify.
+# max_dist = 3 puts the operator on its block-combination path
+# (C(6,3) ~33-bit keys — the scale-selective production path; narrow
+# bands collide quadratically, see the operator docstring);
+# pigeonhole keeps the banding lossless,
 # so the DuckDB brute-force all-pairs oracle certifies the banded
 # Spark plan exactly.  Same opaque-payload convention as
 # media_features: documents' UTF-8 bytes stand in for image payloads,

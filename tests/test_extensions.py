@@ -253,7 +253,7 @@ def test_image_near_dups_banded_equals_brute_force(spark):
         return want
 
     # both band paths: 8 x 8-bit (max_dist 4..7) and the scale-selective
-    # 4 x 16-bit (max_dist <= 3)
+    # C(6,3) block-combination keys (max_dist <= 3)
     for max_dist in (7, 3):
         got = {
             (r.media_id_a, r.media_id_b): r.hamming_dist

@@ -213,11 +213,11 @@ broadcast (pid, source) offsets; the budget filter is then a per-row
 comparison.  The raw table never enters a per-source window.""",
     "image_near_dups": """Banded perceptual image dedup (r5): dHash
 signatures in ONE Arrow mapInPandas pass over the (pre-fanned-out)
-payload scan, posting-list band join for candidates (equality join on
-(band, value) — never all-pairs), exact Hamming re-verify on
-candidates only.  Pigeonhole makes the banding lossless at
-max_dist <= 7, so this banded plan is certified exactly by the
-brute-force oracle.""",
+payload scan, posting-list probe-key join for candidates (equality
+join on (band, key) — never all-pairs; keys are C(6,3) block-triple
+combinations, ~33 bits each, the Manku WWW'07 scheme), exact Hamming
+re-verify on candidates only.  Pigeonhole makes the banding lossless,
+so this banded plan is certified exactly by the brute-force oracle.""",
     "multimodal_dup_clusters": """The two dedup families composed (r5):
 text MinHash-LSH verified pairs UNION image dHash banded pairs feed
 iterative min-label propagation; per round the plan is edge-join +
