@@ -107,7 +107,17 @@ def bpe_fit(
     blocks on executors), so per-step cost stays O(vocab · cadence)
     and the plan stops growing.  Values are unchanged — checkpointing
     only materializes, so the learned trajectory stays bit-identical
-    (pinned by the Python-replica test and the CTE-chain oracle)."""
+    (pinned by the cadence-invariance + Python-replica tests and the
+    CTE-chain oracle; note the registry query's ``n_merges=10`` never
+    reaches the default cadence — the tests exercise
+    ``rematerialize_every < n_merges`` explicitly).
+
+    Durability caveat: ``localCheckpoint`` blocks live UNREPLICATED on
+    executors and, unlike lineage, are not recomputable — an executor
+    loss mid-fit fails the job, which must then be retried from the
+    start (same trade as streaming/curation.py's ``_pin``; a long-lived
+    production fit should use ``sparkContext.setCheckpointDir`` +
+    reliable ``checkpoint()`` instead)."""
     words = word_relation(df, id_col, text_col)
     base = words.select(_symbolized(F.col("word")).alias("s"), "cnt").persist()
     merges: list[tuple[int, str, str, int]] = []

@@ -394,18 +394,23 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
     def _fold(batches):
-        memo: dict[str, int] = {}
-
-        def h64(hx: str) -> int:
-            v = memo.get(hx)
-            if v is None:
-                v = int(hx[:16], 16)
-                memo[hx] = v
-            return v
-
         for pdf in batches:
             if pdf.empty:
                 continue
+            # memo scoped PER BATCH (r6, ADVICE): a partition-lifetime
+            # dict grows unboundedly with distinct tokens on exactly the
+            # 100 TB path; the parse is cheap and repeats cluster within
+            # a batch anyway, so per-batch scope keeps the amortization
+            # with bounded memory.
+            memo: dict[str, int] = {}
+
+            def h64(hx: str) -> int:
+                v = memo.get(hx)
+                if v is None:
+                    v = int(hx[:16], 16)
+                    memo[hx] = v
+                return v
+
             arrs = [np.asarray(a, dtype=object) for a in pdf["hs"]]
             lens = np.array([len(a) for a in arrs])
             docs = pdf["doc_id"].to_numpy()

@@ -95,8 +95,13 @@ def _grouped_hierarchical_prefix(
     totals = ranged.groupBy(_PID, *group_cols).agg(total_expr.alias(_TOTAL))
     a, b = totals.alias("__wa"), totals.alias("__wb")
     cond = F.col(f"__wb.{_PID}") < F.col(f"__wa.{_PID}")
+    # null-SAFE group equality (r6, ADVICE): SQL ROW_NUMBER() OVER
+    # (PARTITION BY g) ranks the NULL group like any other; null-unsafe
+    # keys here would silently drop NULL-group rows from the result.
+    # EqualNullSafe is a supported hash-join key, so both joins still
+    # plan BroadcastHashJoin.
     for g in group_cols:
-        cond = (F.col(f"__wa.{g}") == F.col(f"__wb.{g}")) & cond
+        cond = F.col(f"__wa.{g}").eqNullSafe(F.col(f"__wb.{g}")) & cond
     offsets = (
         a.join(F.broadcast(b), cond, "left")
         .groupBy(
@@ -110,9 +115,14 @@ def _grouped_hierarchical_prefix(
         .orderBy(*_sort_exprs(order_by))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    local = ranged.withColumn(_LOCAL, local_expr(w_local)).alias("__wl")
+    offs = offsets.alias("__wo")
+    jcond = F.col(f"__wl.{_PID}") == F.col(f"__wo.{_PID}")
+    for g in group_cols:
+        jcond = jcond & F.col(f"__wl.{g}").eqNullSafe(F.col(f"__wo.{g}"))
     return (
-        ranged.withColumn(_LOCAL, local_expr(w_local))
-        .join(F.broadcast(offsets), [_PID, *group_cols])
+        local.join(F.broadcast(offs), jcond)
+        .select("__wl.*", F.col(f"__wo.{_OFFSET}").alias(_OFFSET))
         .withColumn(out_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
         .drop(_PID, _LOCAL, _OFFSET)
     )

@@ -77,45 +77,44 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
 
-    # round 5: union r1-r4 is 117/117 oracle-green.  Sampling prefix =
-    # (a) queries NEW this round, (b) queries whose code path changed
-    # this round (grouped hierarchical rank, as-of null-ts filter,
-    # histogram degenerate-range guard, BPE cadence, inference schema),
-    # (c) explode-family queries whose last oracle hash predates the r4
-    # `InferFiltersFromGenerate` exclusion (a runtime conf that changed
-    # their physical plans; eval_contamination last hashed r3) — the r4
-    # verdict's item 6.  The rest keep their order behind them.
+    # round 6 sampling prefix (the r5 verdict's item 1): (a) queries NEW
+    # this round, then (b) the 15 extension queries whose LOAD PLAN the
+    # r5 centralized small-input fanout (sources/readers.py::_fanout_small)
+    # rewrote but which the driver last hashed in r4 or earlier — a
+    # repartition cannot change values (builder's full sf0.01 sweep is
+    # green post-change), but the certification should be fresh.  (c)
+    # queries whose code path changed this round follow; the rest keep
+    # their order behind them.
     _prioritize(
-        # (a) new in round 5
-        "image_near_dups",  # banded dHash perceptual near-dup (lossless LSH)
-        "source_length_deciles",  # grouped hierarchical rank/NTILE
-        "source_token_budget_cut",  # grouped hierarchical running sum
-        "multimodal_dup_clusters",  # text-OR-image dup edges -> CC
-        "hard_negative_mining",  # contrastive negatives (bounded BNLJ)
-        "simhash_near_pairs",  # md5 rewrite: first ORACLE-exact SimHash
-        "ann_quantized_topk",  # two-stage replay: now ORACLE-exact
-        # (b) code path changed in round 5
-        "margin_curriculum_cut",  # rank now via grouped hierarchical window
-        "clicks_before_purchase",  # as-of: null-ts right rows filtered
-        "purchase_click_attribution",  # as-of join, same filter
-        "value_histogram_quantiles",  # degenerate-range short-circuit branch
-        "bpe_merge_table",  # rematerialize_every cadence param
-        "bpe_token_budget",
-        "doc_model_scores",  # schema now built from id_col
-        "kmeans_centroids",  # k = min(k, |corpus|) guard
-        "kmeans_balanced_sample",
-        # (c) explode-family, stale pre-conf oracle hashes (r2/r3)
-        "eval_contamination",
-        "incremental_near_dups",
-        "doc_winnowing_fingerprints",
-        "doc_repetition_stats",
-        "doc_chunks",
-        "semantic_dedup_clusters",
-        "hashed_doc_embeddings",
-        "doc_token_ids",
-        "shuffled_corpus_order",
-        "stratified_sample_counts",
-        "embedding_quantization",
+        # (a) new in round 6
+        "exact_substring_dedup",  # duplicated-span removal (Lee et al. shape)
+        "video_near_dups",  # per-frame dHash banding -> video-grain pairs
+        "audio_near_dups",  # banded spectral-stub fingerprint near-dup
+        "modality_profile",  # per-modality corpus dashboard
+        # (b) fanout-affected, last hashed r4 or earlier
+        "quality_classifier_scores",
+        "hybrid_rrf_search",
+        "search_rerank_topk",
+        "dsir_importance_scores",
+        "dsir_resampled_mixture",
+        "cms_heavy_hitters",
+        "boilerplate_free_docs",
+        "doc_bigram_familiarity",
+        "context_packing",
+        "near_dup_clusters",
+        "pii_scrubbed_docs",
+        "train_split_counts",
+        "source_profile",
+        "top_tokens",
+        "embedding_centroids",
+        # (c) code path changed in round 6 (bucket-cap param threading;
+        # grouped-window null-safe joins)
+        "image_near_dups",
+        "simhash_near_pairs",
+        "multimodal_dup_clusters",
+        "source_length_deciles",
+        "source_token_budget_cut",
+        "margin_curriculum_cut",
         after=0,
     )
 

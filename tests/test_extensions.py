@@ -786,3 +786,20 @@ def test_hard_negative_topk_excludes_same_and_null_labels(spark):
         [(9, None, [1.0, 0.0])], "query_id long, label int, embedding array<float>"
     )
     assert similarity.hard_negative_topk(emb, null_anchor, k=2).count() == 0
+
+
+def test_documents_corpus_is_ascii_and_nonempty(spark):
+    """Oracle precondition for the dHash image family (r6, ADVICE): the
+    DuckDB oracle indexes CHARACTERS (ord(text[i])) while the Spark stub
+    indexes UTF-8 BYTES — they agree iff the corpus is ASCII.  Pin that
+    precondition at both test scales so a future non-ASCII (or empty)
+    document fails loudly here instead of silently diverging the
+    image_near_dups / multimodal_dup_clusters / video_near_dups oracles."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = load_testdata(spark, sf_dir, "documents")["documents"]
+        bad = d.filter(
+            (F.octet_length(F.encode("text", "UTF-8")) != F.length("text"))
+            | (F.length("text") == 0)
+            | F.col("text").isNull()
+        ).count()
+        assert bad == 0, f"non-ASCII or empty documents in {sf_dir}"

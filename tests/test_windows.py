@@ -180,3 +180,42 @@ def test_grouped_running_sum_matches_window(spark, n):
         for r in df.withColumn("rs", F.sum("amt").over(w)).collect()
     }
     assert got == want
+
+
+def test_grouped_helpers_rank_the_null_group(spark):
+    """r6 ADVICE: SQL ROW_NUMBER() OVER (PARTITION BY g) ranks the NULL
+    group like any other — the helper's offset/final joins are
+    null-SAFE on the group key, so NULL-group rows must come back
+    ranked, not silently dropped."""
+    from real_time_event_driven_data_pipeline_spark.operators.windows import (
+        with_grouped_running_sum,
+    )
+
+    rows = [(None, 1, 10), (None, 2, 20), ("a", 3, 5), (None, 4, 1), ("a", 5, 2)]
+    df = spark.createDataFrame(rows, "g string, key long, amt long")
+    got = {
+        (r["g"], r["key"]): r["rk"]
+        for r in with_grouped_row_number(
+            df, ["g"], [("key", True)], "rk", num_partitions=4
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("key")
+    want = {
+        (r["g"], r["key"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want and len(got) == 5
+
+    got_sum = {
+        (r["g"], r["key"]): r["rs"]
+        for r in with_grouped_running_sum(
+            df, ["g"], [("key", True)], "amt", "rs", num_partitions=4
+        ).collect()
+    }
+    want_sum = {
+        (r["g"], r["key"]): r["rs"]
+        for r in df.withColumn(
+            "rs", F.sum("amt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).collect()
+    }
+    assert got_sum == want_sum
