@@ -501,11 +501,59 @@ def hamming_band_keys(hash_col, max_dist: int = 3):
     return F.array(*keys)
 
 
+def hamming_bucket_counts(
+    hashes: DataFrame, hash_col: str, max_dist: int = 3
+) -> DataFrame:
+    """(band, bucket, n_members) membership count of every Hamming
+    probe-key bucket for a relation of 64-bit hashes — the AUDIT twin of
+    ``max_bucket_df``: ``.filter(n_members > cap)`` is exactly the set
+    of buckets the capped operators drop, with how many records each
+    held, so the recall loss of a cap is inspectable (and loggable as a
+    side output) rather than silent."""
+    return (
+        hashes.select(
+            F.posexplode(hamming_band_keys(F.col(hash_col), max_dist)).alias(
+                "band", "bucket"
+            )
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
+
+
+def _cap_posting_buckets(
+    posting: DataFrame, max_bucket_df: int | None, keys: tuple[str, str]
+) -> DataFrame:
+    """Drop posting rows of probe-key buckets holding more than
+    ``max_bucket_df`` records — the Hamming-banding twin of
+    ``_drop_stop_shingles`` (r5 verdict item 2).  A real multimodal
+    corpus has millions of near-constant payloads (black frames, blank
+    scans) that all hash to ~0: every one lands in the same (band,
+    bucket) and the candidate self-join goes quadratic on that single
+    skewed key.  The cap bounds candidate work per bucket at
+    C(max_bucket_df, 2) — a recall knob, not a correctness one within
+    surviving buckets (re-verification stays exact): only pairs whose
+    EVERY shared probe key is over-cap can be missed, and those are
+    near-constant payloads a curation pipeline should gate upstream
+    anyway.  ``None`` (the oracle-parity default) keeps every bucket;
+    audit the loss with ``hamming_bucket_counts``."""
+    if max_bucket_df is None:
+        return posting
+    small = (
+        posting.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bdf"))
+        .filter(F.col("_bdf") <= max_bucket_df)
+        .select(*keys)
+    )
+    return posting.join(small, list(keys), "left_semi")
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance <= max_hamming via pigeonhole
     banding over block-combination probe keys (``hamming_band_keys``:
@@ -513,6 +561,12 @@ def simhash_near_pairs(
     scheme — falling back to 8 byte-bands for 4..7); any pair within
     distance shares at least one key, so the banding is LOSSLESS and
     the all-pairs DuckDB oracle certifies it exactly.
+
+    ``max_bucket_df`` (off by default for oracle parity) drops probe-key
+    buckets holding more than that many documents before the candidate
+    self-join — the skewed-bucket guard for corpora with millions of
+    near-identical signatures (see ``_cap_posting_buckets``); audit
+    dropped buckets with ``hamming_bucket_counts``.
     Output (id_a, id_b, hamming)."""
     # cached: the banding self-join reads the signature relation twice
     sig = _scoped_cache(simhash_signatures(df, id_col, text_col), "simhash_sig")
@@ -523,6 +577,7 @@ def simhash_near_pairs(
             "band", "bucket"
         ),
     )
+    bands = _cap_posting_buckets(bands, max_bucket_df, ("band", "bucket"))
     left = bands.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bucket"
     )

@@ -184,6 +184,7 @@ def image_near_dups(
     media: DataFrame,
     max_dist: int = 7,
     decoder: Callable[[bytes], np.ndarray] = decode_image,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Perceptual image near-duplicates: pairs of images whose dHashes
     are within ``max_dist`` Hamming bits — the "dedup x multimodal"
@@ -205,13 +206,19 @@ def image_near_dups(
 
     A pathological bucket (millions of flat images all hashing 0)
     degenerates any banding the way a stop-shingle does in text dedup —
-    cap or pre-filter constant images upstream.
+    ``max_bucket_df`` (off by default for oracle parity) caps it: probe
+    buckets holding more than that many images are dropped before the
+    candidate self-join, bounding per-bucket join work at
+    C(max_bucket_df, 2).  Only pairs whose EVERY shared probe key is
+    over-cap can be missed (re-verification stays exact); audit the
+    dropped buckets with ``dedup.hamming_bucket_counts`` over this
+    operator's packed hashes.
 
     Output: (media_id_a, media_id_b, hamming_dist), a < b.
     """
     from functools import reduce
 
-    from .dedup import _scoped_cache, hamming_band_keys
+    from .dedup import _cap_posting_buckets, _scoped_cache, hamming_band_keys
 
     if not 0 <= max_dist <= 7:
         raise ValueError("max_dist must be in [0, 7] (64-bit hash, >= bands needed)")
@@ -239,6 +246,7 @@ def image_near_dups(
         "h",
         F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
     )
+    posting = _cap_posting_buckets(posting, max_bucket_df, ("band", "val"))
     left = posting.select(
         F.col("media_id").alias("media_id_a"), F.col("h").alias("_ha"), "band", "val"
     )
