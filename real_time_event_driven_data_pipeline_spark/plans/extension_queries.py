@@ -2533,3 +2533,53 @@ def q_hard_negative_mining(spark, sf_dir):
     )
     out = similarity.hard_negative_topk(emb, anchors, k=10)
     return out.withColumn("rank", F.col("rank").cast("int")).orderBy("query_id", "rank")
+
+
+# --- exact-substring dedup (Lee et al. 2022 duplicated-span removal):
+# token positions inside any 5-token run whose exact text occurs in
+# >= 2 distinct documents are removed corpus-wide.  No pair join in the
+# plan (gram postings -> distinct-doc count -> semi-join back), so the
+# Spark side is linear in corpus tokens; the oracle replays the same
+# k-gram seed rule with DuckDB md5 == Spark md5 on identical strings.
+
+_SUBSTR_K = 5
+
+EXACT_SUBSTRING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, pos, md5(array_to_string(t[pos:pos + {_SUBSTR_K - 1}], ' ')) AS g
+  FROM toks, unnest(generate_series(1, len(t) - {_SUBSTR_K - 1})) AS u(pos)
+  WHERE len(t) >= {_SUBSTR_K}
+), dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, pos + off AS cp
+  FROM grams JOIN dupg USING (g),
+       unnest(generate_series(0, {_SUBSTR_K - 1})) AS o(off)
+), covagg AS (
+  SELECT doc_id, list(cp) AS cps, COUNT(*) AS nd FROM cov GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_tokens,
+       CASE WHEN len(t) > 0
+            THEN CAST(coalesce(nd, 0) AS DOUBLE) / len(t)
+            ELSE 0.0 END AS dup_token_ratio,
+       coalesce(array_to_string(
+         list_filter(t, (x, i) -> NOT coalesce(list_contains(cps, i), FALSE)),
+         ' '), '') AS cleaned_text  -- DuckDB: empty list -> NULL; Spark: ''
+FROM toks LEFT JOIN covagg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "exact_substring_dedup",
+    EXACT_SUBSTRING_SQL,
+    "ext: exact duplicated-span removal (Lee et al. 2022, k-gram seeds)",
+)
+def q_exact_substring_dedup(spark, sf_dir):
+    return dedup.exact_substring_dedup(
+        _docs(spark, sf_dir), min_tokens=_SUBSTR_K
+    ).orderBy("doc_id")

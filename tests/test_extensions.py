@@ -880,3 +880,31 @@ def test_simhash_bucket_cap_matches_uncapped_when_under_cap(spark, docs):
         for r in dedup.simhash_near_pairs(docs, max_bucket_df=10_000).collect()
     }
     assert capped == uncapped
+
+
+def test_exact_substring_dedup_removes_planted_span(spark):
+    """Lee et al.-style duplicated-span removal: a 6-token span planted
+    verbatim in two otherwise-different documents is removed from BOTH
+    (every position inside it sits in a cross-doc 5-gram), surrounding
+    unique text survives, and an untouched doc passes through intact."""
+    span = "the quick brown fox jumps high"
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"one two three {span} four"),
+        (3, "totally unrelated words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.exact_substring_dedup(df, min_tokens=5).collect()}
+    assert got[1].cleaned_text == "alpha beta gamma delta"
+    assert got[2].cleaned_text == "one two three four"
+    assert got[3].cleaned_text == "totally unrelated words only here"
+    assert got[1].n_dup_tokens == 6 and got[2].n_dup_tokens == 6
+    assert got[3].n_dup_tokens == 0
+    assert got[1].n_tokens == 10 and got[1].dup_token_ratio == 6 / 10
+
+    # a span shorter than min_tokens shared across docs is NOT removed
+    short = spark.createDataFrame(
+        [(1, "aa bb cc dd x y"), (2, "aa bb cc dd p q")], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r for r in dedup.exact_substring_dedup(short, min_tokens=5).collect()}
+    assert got2[1].n_dup_tokens == 0 and got2[2].n_dup_tokens == 0
