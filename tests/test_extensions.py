@@ -908,3 +908,48 @@ def test_exact_substring_dedup_removes_planted_span(spark):
     )
     got2 = {r.doc_id: r for r in dedup.exact_substring_dedup(short, min_tokens=5).collect()}
     assert got2[1].n_dup_tokens == 0 and got2[2].n_dup_tokens == 0
+
+
+def test_video_near_dups_banded_equals_brute_force(spark):
+    """Video-grain near-dup: banded per-frame candidates + MIN re-verify
+    must equal the brute-force all-frame-pairs scan — including a
+    planted byte-shifted copy (frame 2 of the copy == frame 0 of the
+    original exactly, at DIFFERENT frame indices)."""
+    import numpy as np
+
+    from real_time_event_driven_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(5)
+    payloads = [bytes(rng.integers(0, 256, 300).astype(np.uint8)) for _ in range(8)]
+    payloads.append(b"\x07\x09" + payloads[0])  # id 8: frame 2 == frame 0 of id 0
+    durs = [3000] * len(payloads)
+    rows = [
+        (i, "video", p, None, None, None, d)
+        for i, (p, d) in enumerate(zip(payloads, durs))
+    ] + [(99, "image", b"\x01" * 64, None, None, None, None)]  # filtered out
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def brute(max_dist):
+        frames = {
+            (v, i): multimodal.dhash_bands(multimodal.decode_image(p[i:]))
+            for v, p in enumerate(payloads)
+            for i in range(4)
+        }
+        best = {}
+        for (va, ia), ha in frames.items():
+            for (vb, ib), hb in frames.items():
+                if va < vb:
+                    d = sum(bin(x ^ y).count("1") for x, y in zip(ha, hb))
+                    key = (va, vb)
+                    best[key] = min(best.get(key, 99), d)
+        return {k: v for k, v in best.items() if v <= max_dist}
+
+    for max_dist in (3, 7):
+        got = {
+            (r.media_id_a, r.media_id_b): r.min_hamming
+            for r in multimodal.video_near_dups(
+                media, every_ms=1000, max_dist=max_dist
+            ).collect()
+        }
+        assert got == brute(max_dist), f"max_dist={max_dist}"
+        assert got[(0, 8)] == 0  # the planted shifted copy, at frame offset

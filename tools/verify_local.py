@@ -46,6 +46,7 @@ QUADRATIC_ORACLES = {
     "curated_corpus",
     "multimodal_dup_clusters",
     "simhash_near_pairs",
+    "video_near_dups",
 }
 
 
