@@ -180,6 +180,108 @@ def image_dhash(
     )
 
 
+def _packed_dhash_col():
+    """The 8 byte-bands packed into one 64-bit Column (bitwise: byte 7
+    may set the sign bit, which is fine for shifts/xor and never
+    overflows)."""
+    from functools import reduce
+
+    return reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.shiftleft(F.element_at("bands", i + 1).cast("long"), 8 * i)
+        ),
+        range(8),
+        F.lit(0).cast("long"),
+    )
+
+
+def packed_dhash(
+    media: DataFrame, decoder: Callable[[bytes], np.ndarray] = decode_image
+) -> DataFrame:
+    """(media_id, h): each image's 64-bit dHash as one packed long —
+    the signature relation of the banded image-dedup family."""
+    return image_dhash(media, decoder).select(
+        "media_id", _packed_dhash_col().alias("h")
+    )
+
+
+def image_dhash_postings(
+    media: DataFrame,
+    max_dist: int = 3,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """(media_id, band, val, h) Hamming probe-key posting rows — the
+    appendable image-dedup index (the dHash analogue of
+    ``dedup.doc_postings``).  Deterministic per payload, so an accepted
+    image's rows never change: the index is append-only alongside the
+    corpus and the arrival-time gate
+    (``incremental_image_near_dup_pairs``) reads it instead of
+    re-decoding history."""
+    from .dedup import hamming_band_keys
+
+    return packed_dhash(media, decoder).select(
+        "media_id",
+        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
+        "h",
+    )
+
+
+def incremental_image_near_dup_pairs(
+    existing_posting: DataFrame,
+    new_media: DataFrame,
+    max_dist: int = 3,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """Arrival-time image near-dup gate: all Hamming <= ``max_dist``
+    pairs that involve at least one NEW image — (new, existing) and
+    (new, new) — without re-decoding or re-hashing the accepted corpus
+    (the ``incremental_near_dup_pairs_indexed`` shape on
+    ``hamming_band_keys`` output; r5 verdict item 3).
+
+    ``existing_posting`` is ``image_dhash_postings`` rows accumulated
+    over accepted batches; history costs one narrow index scan.  The
+    candidate join's probe side is restricted to new images, so work
+    scales with |new| x bucket overlap, never |corpus|²; the packed
+    hash rides the postings, so re-verification is an inline XOR.
+    ``max_bucket_df`` caps pathological buckets over the COMBINED
+    posting set.  Ids must be unique across both inputs.
+    Output: (media_id_a, media_id_b, hamming_dist), a < b.
+    """
+    from .dedup import _cap_posting_buckets, _scoped_cache, hamming_band_keys
+
+    sig_new = _scoped_cache(packed_dhash(new_media, decoder), "inc_image_sig")
+    post_new = sig_new.select(
+        "media_id",
+        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
+        "h",
+    )
+    post_all = existing_posting.select(
+        "media_id", "band", "val", "h"
+    ).unionByName(post_new)
+    post_all = _cap_posting_buckets(post_all, max_bucket_df, ("band", "val"))
+    new_ids = new_media.select(F.col("media_id")).dropDuplicates()
+    a = post_all.select(
+        F.col("media_id").alias("_ida"), F.col("h").alias("_ha"), "band", "val"
+    )
+    b = post_all.join(new_ids, "media_id", "left_semi").select(
+        F.col("media_id").alias("_idb"), F.col("h").alias("_hb"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("media_id_a"),
+            F.greatest("_ida", "_idb").alias("media_id_b"),
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("long")
+            .alias("hamming_dist"),
+        )
+        .dropDuplicates(["media_id_a", "media_id_b"])
+        .filter(F.col("hamming_dist") <= max_dist)
+    )
+
+
 def image_near_dups(
     media: DataFrame,
     max_dist: int = 7,
@@ -216,31 +318,17 @@ def image_near_dups(
 
     Output: (media_id_a, media_id_b, hamming_dist), a < b.
     """
-    from functools import reduce
-
     from .dedup import _cap_posting_buckets, _scoped_cache, hamming_band_keys
 
     if not 0 <= max_dist <= 7:
         raise ValueError("max_dist must be in [0, 7] (64-bit hash, >= bands needed)")
-    # pack the 8 byte-bands into one 64-bit pattern (bitwise: byte 7 may
-    # set the sign bit, which is fine for shifts/xor and never overflows)
-    packed = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.shiftleft(F.element_at("bands", i + 1).cast("long"), 8 * i)
-        ),
-        range(8),
-        F.lit(0).cast("long"),
-    )
     # scoped pin: the posting self-join reads the signature relation
     # twice.  The packed hash RIDES ALONG through the postings (the
     # simhash_near_pairs shape) so the Hamming re-verify is an inline
     # XOR on the joined rows — no join-back-by-id, no third signature
     # scan (the original three-scans-of-one-unmaterialized-cache shape
     # re-decoded every payload per scan and measured 3-5x slower).
-    sig = _scoped_cache(
-        image_dhash(media, decoder).select("media_id", packed.alias("h")),
-        "image_dhash_sig",
-    )
+    sig = _scoped_cache(packed_dhash(media, decoder), "image_dhash_sig")
     posting = sig.select(
         "media_id",
         "h",
@@ -358,22 +446,13 @@ def video_near_dups(
 
     Output: (media_id_a, media_id_b, min_hamming), a < b.
     """
-    from functools import reduce
-
     from .dedup import _cap_posting_buckets, _scoped_cache, hamming_band_keys
 
     if not 0 <= max_dist <= 7:
         raise ValueError("max_dist must be in [0, 7] (64-bit hash, >= bands needed)")
-    packed = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.shiftleft(F.element_at("bands", i + 1).cast("long"), 8 * i)
-        ),
-        range(8),
-        F.lit(0).cast("long"),
-    )
     sig = _scoped_cache(
         video_frame_dhash(media, every_ms, decoder).select(
-            "media_id", packed.alias("h")
+            "media_id", _packed_dhash_col().alias("h")
         ),
         "video_dhash_sig",
     )

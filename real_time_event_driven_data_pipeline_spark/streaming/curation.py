@@ -44,6 +44,10 @@ from pyspark.sql import types as T
 
 from ..operators.decontam import contaminated_ids, eval_shingle_set
 from ..operators.dedup import doc_postings, incremental_near_dup_pairs_indexed
+from ..operators.multimodal import (
+    image_dhash_postings,
+    incremental_image_near_dup_pairs,
+)
 from ..operators.text import fingerprint, quality_filter
 from ..sources.readers import read_stream_csv
 from .epochs import commit_epoch, epoch_committed, publish_epoch, read_epoch_dir
@@ -73,6 +77,9 @@ class CorpusCurationPipeline:
         decontam_k: int = 3,
         decontam_min_hits: int = 1,
         reliable_checkpoints: bool = False,
+        image_gate: bool = False,
+        image_max_dist: int = 3,
+        image_max_bucket_df: int | None = 10_000,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -110,8 +117,25 @@ class CorpusCurationPipeline:
         # to the (replicated) checkpoint dir and survive executor loss
         # at the cost of one fs round-trip per pin.
         self.reliable_checkpoints = reliable_checkpoints
+        # optional multimodal gate (r5 verdict item 3): arrivals whose
+        # IMAGE payload is perceptually near-identical (banded dHash,
+        # Hamming <= image_max_dist) to anything accepted so far — or to
+        # a lower-id arrival in the same batch — are quarantined.  The
+        # accepted history is touched only through an append-only
+        # band-posting sidecar (image_dhash_postings; deterministic per
+        # payload), the incremental_near_dups shape on hamming_band_keys
+        # output.  Payloads follow the repo's opaque-payload convention:
+        # the document's UTF-8 bytes (a real deployment reads a binary
+        # column off the arrival schema instead — swap _image_media).
+        # image_max_bucket_df caps pathological probe buckets (a stream
+        # of black frames) at the cost of missing pairs whose every
+        # shared key is over-cap.
+        self.image_gate = image_gate
+        self.image_max_dist = image_max_dist
+        self.image_max_bucket_df = image_max_bucket_df
         self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
         self.post_index_dir = f"{corpus_dir.rstrip('/')}_postidx"
+        self.dhash_index_dir = f"{corpus_dir.rstrip('/')}_dhashidx"
         self.epoch_marker_dir = f"{corpus_dir.rstrip('/')}_epochs"
         self.stats: list[dict] = []
 
@@ -143,6 +167,17 @@ class CorpusCurationPipeline:
     def _quarantine(self, rows: DataFrame, reason: str) -> None:
         self._pending_quarantine.append(
             rows.withColumn("reject_reason", F.lit(reason))
+        )
+
+    def _image_media(self, docs: DataFrame) -> DataFrame:
+        """Docs -> opaque-payload media rows for the image gate (the
+        batch queries' convention: UTF-8 bytes stand in for image
+        payloads; swap this for a binary arrival column in a real
+        deployment)."""
+        return docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
         )
 
     # -- the gate --------------------------------------------------------
@@ -234,6 +269,42 @@ class CorpusCurationPipeline:
             fresh.drop("fp").join(drop, "doc_id", "left_semi"), "near_dup"
         )
         survivors = self._pin(fresh.join(drop, "doc_id", "left_anti"))
+
+        # 3.5 image near-dup gate (optional): banded dHash of each
+        # survivor's payload vs the accepted-history posting sidecar +
+        # within batch; drops the NEW side of every pair (same rule as
+        # the text gate, so the accepted corpus never changes
+        # retroactively)
+        if self.image_gate:
+            iposts = self._read_or_none(self.dhash_index_dir, epoch_id)
+            if iposts is None:
+                iposts = self.spark.createDataFrame(
+                    [], "media_id long, band int, val long, h long"
+                )
+            ipairs = incremental_image_near_dup_pairs(
+                iposts,
+                self._image_media(survivors),
+                max_dist=self.image_max_dist,
+                max_bucket_df=self.image_max_bucket_df,
+            ).select(
+                F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
+            )
+            new_ids_i = survivors.select(F.col("doc_id").alias("nid"))
+            dropi = (
+                ipairs.join(new_ids_i, ipairs.id_b == F.col("nid"), "left_semi")
+                .select(F.col("id_b").alias("doc_id"))
+                .unionByName(
+                    ipairs.join(
+                        new_ids_i, ipairs.id_b == F.col("nid"), "left_anti"
+                    ).select(F.col("id_a").alias("doc_id"))
+                )
+                .dropDuplicates()
+            )
+            self._quarantine(
+                survivors.drop("fp").join(dropi, "doc_id", "left_semi"),
+                "image_near_dup",
+            )
+            survivors = self._pin(survivors.join(dropi, "doc_id", "left_anti"))
         n_accepted = survivors.count()
 
         # 4. publish: corpus rows + both sidecars (accepted only) +
@@ -247,6 +318,14 @@ class CorpusCurationPipeline:
             self.post_index_dir,
             epoch_id,
         )
+        if self.image_gate:
+            publish_epoch(
+                image_dhash_postings(
+                    self._image_media(survivors), max_dist=self.image_max_dist
+                ),
+                self.dhash_index_dir,
+                epoch_id,
+            )
         rejects = self._pending_quarantine[0]
         for extra in self._pending_quarantine[1:]:
             rejects = rejects.unionByName(extra)

@@ -5,6 +5,7 @@ retroactively, rejects carry reasons."""
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_event_driven_data_pipeline_spark.streaming.curation import (
     CorpusCurationPipeline,
@@ -192,3 +193,75 @@ def test_decontamination_gate_quarantines_eval_overlap(spark, tmp_path):
         for r in spark.read.parquet(pipe.quarantine_dir).collect()
     }
     assert reasons == {2: "contaminated"}
+
+
+def test_image_gate_quarantines_perceptual_dups(spark, tmp_path):
+    """r5 verdict item 3: the optional image gate rejects arrivals whose
+    dHash is within image_max_dist of accepted history (or a lower-id
+    batchmate), carries the reject reason, and the stream-accepted set
+    equals the batch image_near_dups greedy (arrival-order keep-first)
+    filter."""
+    from real_time_event_driven_data_pipeline_spark.operators import multimodal
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pipe = CorpusCurationPipeline(
+        spark,
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        # text near-dup gate effectively off so the IMAGE gate does the
+        # work (the planted pairs share ~85% of their text shingles)
+        near_dup_threshold=0.99,
+        image_gate=True,
+        image_max_dist=3,
+    )
+    rng = random.Random(13)
+    base = {i: _doc(rng) for i in (1, 2, 3, 4)}
+
+    def image_dup_of(text):
+        # flip one character BEYOND the stub grid (byte index >= side^2):
+        # the dHash is identical (Hamming 0) while the fingerprint and
+        # shingle set differ -> only the image gate can catch it
+        side = max(1, int(len(text) ** 0.5))
+        assert side * side < len(text)
+        i = side * side
+        return text[:i] + ("x" if text[i] != "x" else "y") + text[i + 1 :]
+
+    rows1 = [(i, t, "src") for i, t in base.items()] + [
+        (10, image_dup_of(base[1]), "src")
+    ]
+    _write(rows1, f"{landing}/batch1.csv")
+    pipe.run_available_now()
+    assert pipe.stats[-1]["accepted"] == 4
+
+    fresh = _doc(rng)
+    rows2 = [(20, image_dup_of(base[2]), "src"), (21, fresh, "src")]
+    _write(rows2, f"{landing}/batch2.csv")
+    pipe.run_available_now()
+
+    corpus = {r.doc_id for r in spark.read.parquet(pipe.corpus_dir).collect()}
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    assert reasons == {10: "image_near_dup", 20: "image_near_dup"}
+
+    # stream == batch pin: greedy arrival-order filter over the batch
+    # operator's pairs on the full arrival set
+    all_rows = [(i, t) for i, t, _ in rows1] + [(i, t) for i, t, _ in rows2]
+    media = spark.createDataFrame(all_rows, "media_id long, text string").select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    pairs = {
+        (r.media_id_a, r.media_id_b)
+        for r in multimodal.image_near_dups(media, max_dist=3).collect()
+    }
+    accepted = []
+    for i, _ in all_rows:  # arrival order == listing order
+        if not any((min(a, i), max(a, i)) in pairs for a in accepted):
+            accepted.append(i)
+    assert corpus == set(accepted) == {1, 2, 3, 4, 21}
