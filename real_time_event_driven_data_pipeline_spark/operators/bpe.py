@@ -91,9 +91,14 @@ def bpe_fit(
     id_col: str = "doc_id",
     text_col: str = "text",
     rematerialize_every: int = 64,
+    on_step=None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(step, left, right, pair_count), ...]``.
+
+    ``on_step(step, seconds)``, if given, is called after each merge
+    with that step's wall time — ops/probe hook only, no effect on the
+    trajectory.
 
     Each step costs one aggregate over the cached word relation and a
     one-row driver collect.  Stops early if no pair remains.
@@ -122,9 +127,12 @@ def bpe_fit(
     base = words.select(_symbolized(F.col("word")).alias("s"), "cnt").persist()
     merges: list[tuple[int, str, str, int]] = []
     try:
+        import time as _time
+
         sym = base
         pending = 0  # replaces applied since the last materialization
         for step in range(1, n_merges + 1):
+            _t0 = _time.perf_counter()
             top = (
                 _pair_counts(sym)
                 .orderBy(F.col("n").desc(), "l", "r")
@@ -147,6 +155,8 @@ def bpe_fit(
             if pending >= rematerialize_every:
                 sym = sym.localCheckpoint(eager=True)
                 pending = 0
+            if on_step is not None:
+                on_step(step, _time.perf_counter() - _t0)
     finally:
         try:
             base.unpersist()
