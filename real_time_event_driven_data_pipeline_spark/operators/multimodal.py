@@ -282,6 +282,48 @@ def incremental_image_near_dup_pairs(
     )
 
 
+def _banded_hamming_pairs(
+    sig: DataFrame,
+    max_dist: int,
+    max_bucket_df: int | None,
+    id_a: str = "media_id_a",
+    id_b: str = "media_id_b",
+    dist_col: str = "hamming_dist",
+) -> DataFrame:
+    """Shared banded-LSH pair core over a (media_id, h) signature
+    relation: probe-key postings (hash riding along), capped buckets,
+    equality self-join, inline XOR re-verify.  Lossless for
+    ``hamming_band_keys``-compatible distances; callers pin ``sig``
+    (both join sides scan it)."""
+    from .dedup import _cap_posting_buckets, hamming_band_keys
+
+    posting = sig.select(
+        "media_id",
+        "h",
+        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
+    )
+    posting = _cap_posting_buckets(posting, max_bucket_df, ("band", "val"))
+    left = posting.select(
+        F.col("media_id").alias(id_a), F.col("h").alias("_ha"), "band", "val"
+    )
+    right = posting.select(
+        F.col("media_id").alias(id_b), F.col("h").alias("_hb"), "band", "val"
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col(id_a) < F.col(id_b))
+        .select(
+            id_a,
+            id_b,
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("long")
+            .alias(dist_col),
+        )
+        .dropDuplicates([id_a, id_b])
+        .filter(F.col(dist_col) <= max_dist)
+    )
+
+
 def image_near_dups(
     media: DataFrame,
     max_dist: int = 7,
@@ -318,7 +360,7 @@ def image_near_dups(
 
     Output: (media_id_a, media_id_b, hamming_dist), a < b.
     """
-    from .dedup import _cap_posting_buckets, _scoped_cache, hamming_band_keys
+    from .dedup import _scoped_cache
 
     if not 0 <= max_dist <= 7:
         raise ValueError("max_dist must be in [0, 7] (64-bit hash, >= bands needed)")
@@ -329,31 +371,7 @@ def image_near_dups(
     # scan (the original three-scans-of-one-unmaterialized-cache shape
     # re-decoded every payload per scan and measured 3-5x slower).
     sig = _scoped_cache(packed_dhash(media, decoder), "image_dhash_sig")
-    posting = sig.select(
-        "media_id",
-        "h",
-        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
-    )
-    posting = _cap_posting_buckets(posting, max_bucket_df, ("band", "val"))
-    left = posting.select(
-        F.col("media_id").alias("media_id_a"), F.col("h").alias("_ha"), "band", "val"
-    )
-    right = posting.select(
-        F.col("media_id").alias("media_id_b"), F.col("h").alias("_hb"), "band", "val"
-    )
-    return (
-        left.join(right, ["band", "val"])
-        .filter(F.col("media_id_a") < F.col("media_id_b"))
-        .select(
-            "media_id_a",
-            "media_id_b",
-            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-            .cast("long")
-            .alias("hamming_dist"),
-        )
-        .dropDuplicates(["media_id_a", "media_id_b"])
-        .filter(F.col("hamming_dist") <= max_dist)
-    )
+    return _banded_hamming_pairs(sig, max_dist, max_bucket_df)
 
 
 def media_repartition(media: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
@@ -498,3 +516,81 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
         )
     )
+
+
+# --- audio fingerprint family -----------------------------------------
+
+AUDIO_WINDOWS = 8  # time windows over the waveform
+AUDIO_BANDS = 8  # stub "filterbank" bands per window -> 64 bits total
+
+
+def audio_fingerprint_bands(payload: bytes) -> list[int]:
+    """64-bit spectral-stub audio fingerprint, packed as 8 byte-bands
+    (the Chromaprint/echoprint SHAPE with the DSP stubbed): the payload
+    bytes stand in for the waveform, split into 8 time windows
+    (nearest-neighbor boundaries (w*n)//8, like dHash's grid); band
+    energy E(w,b) = sum of window bytes at stride-8 offset b (a fake
+    8-band filterbank — a real impl substitutes decoded PCM + FFT band
+    energies and NOTHING downstream changes); bit(w,b) =
+    E(w,b) < E(w,(b+1) mod 8); band w = sum_b bit << b.
+
+    Integer sums and comparisons only, so the fingerprint is exactly
+    mirrorable in SQL — the property that lets the brute-force oracle
+    certify the banded near-dup plan, same as dHash."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = len(arr)
+    out = []
+    for w in range(AUDIO_WINDOWS):
+        start, end = (w * n) // AUDIO_WINDOWS, ((w + 1) * n) // AUDIO_WINDOWS
+        e = [int(arr[start + b : end : AUDIO_BANDS].sum()) for b in range(AUDIO_BANDS)]
+        out.append(
+            sum(
+                1 << b
+                for b in range(AUDIO_BANDS)
+                if e[b] < e[(b + 1) % AUDIO_BANDS]
+            )
+        )
+    return out
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """(media_id, bands array<int> len 8): banded spectral-stub
+    fingerprint per audio payload, Arrow-batched — the audio analogue
+    of ``image_dhash``."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_ids, out_bands = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out_ids.append(media_id)
+                out_bands.append(audio_fingerprint_bands(payload))
+            yield pd.DataFrame({"media_id": out_ids, "bands": out_bands})
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        _hash, schema=DHASH_BANDS_SCHEMA
+    )
+
+
+def audio_near_dups(
+    media: DataFrame,
+    max_dist: int = 3,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicates: pairs of audio payloads whose spectral-
+    stub fingerprints are within ``max_dist`` Hamming bits — completes
+    the dedup x {text, image, video, AUDIO} family over the shared
+    banded machinery (``_banded_hamming_pairs``: block-triple probe
+    keys at d <= 3, bucket cap, inline XOR re-verify; lossless, so the
+    brute-force oracle is exact).
+    Output: (media_id_a, media_id_b, hamming_dist), a < b."""
+    from .dedup import _scoped_cache
+
+    if not 0 <= max_dist <= 7:
+        raise ValueError("max_dist must be in [0, 7] (64-bit hash, >= bands needed)")
+    sig = _scoped_cache(
+        audio_fingerprint(media).select("media_id", _packed_dhash_col().alias("h")),
+        "audio_fp_sig",
+    )
+    return _banded_hamming_pairs(sig, max_dist, max_bucket_df)

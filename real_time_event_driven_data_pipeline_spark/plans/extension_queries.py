@@ -2639,3 +2639,123 @@ def q_video_near_dups(spark, sf_dir):
     return multimodal.video_near_dups(
         media, every_ms=1000, max_dist=_DHASH_MAX_DIST
     ).orderBy("media_id_a", "media_id_b")
+
+
+# --- audio near-dup: banded spectral-stub fingerprints --------------
+# Completes dedup x {text, image, video, AUDIO}.  Payloads follow the
+# opaque-byte convention (UTF-8 text bytes stand in for waveforms);
+# the fingerprint is integer window/band energy comparisons
+# (operators/multimodal.py::audio_fingerprint_bands), so the
+# brute-force oracle replays it exactly: E(w,b) = sum of bytes at
+# stride-8 offset b inside window w, bit = E(w,b) < E(w,(b+1)%8).
+
+def _audio_near_dups_sql(max_dist: int) -> str:
+    ham = " + ".join(f"bit_count(xor(a.b{w}, b.b{w}))" for w in range(8))
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN w = {w} THEN band END) AS b{w}" for w in range(8)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents
+), eb AS (
+  SELECT media_id, w, b,
+         CAST(coalesce(list_sum(list_transform(
+             range((w*n)//8 + b, ((w+1)*n)//8, 8), i -> ord(text[i+1])
+         )), 0) AS BIGINT) AS e
+  FROM m, unnest(generate_series(0, 7)) AS uw(w),
+          unnest(generate_series(0, 7)) AS ub(b)
+), bits AS (
+  SELECT a.media_id, a.w,
+         SUM(CASE WHEN a.e < c.e THEN 1 << a.b ELSE 0 END) AS band
+  FROM eb a JOIN eb c
+    ON a.media_id = c.media_id AND a.w = c.w AND c.b = (a.b + 1) % 8
+  GROUP BY 1, 2
+), h AS (
+  SELECT media_id,
+         {pivots}
+  FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+       CAST({ham} AS BIGINT) AS hamming_dist
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE {ham} <= {max_dist}
+ORDER BY media_id_a, media_id_b"""
+
+
+@register(
+    "audio_near_dups",
+    _audio_near_dups_sql(_DHASH_MAX_DIST),
+    "ext: audio near-dup (banded spectral-stub fingerprint LSH)",
+)
+def q_audio_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return multimodal.audio_near_dups(media, max_dist=_DHASH_MAX_DIST).orderBy(
+        "media_id_a", "media_id_b"
+    )
+
+
+# --- per-modality corpus dashboard ----------------------------------
+# The source_profile idea at modality grain: one row per modality with
+# volume, token, and exact-dup statistics — the at-a-glance health
+# check a multimodal curation pipeline reads before spending dedup
+# compute.  Modalities synthesized by doc_id % 4 (the testdata carries
+# no modality column); all aggregates exact and linear.
+
+MODALITY_PROFILE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+              WHEN 2 THEN 'audio' ELSE 'video' END AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+         md5(text) AS fp
+  FROM documents
+)
+SELECT modality,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_payloads,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS exact_dup_items,
+       CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes
+FROM m GROUP BY modality ORDER BY modality
+"""
+
+
+@register(
+    "modality_profile",
+    MODALITY_PROFILE_SQL,
+    "ext: per-modality corpus dashboard (volume/tokens/exact-dup stats)",
+)
+def q_modality_profile(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    m = docs.select(
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        ).alias("modality"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+        F.md5("text").alias("fp"),
+    )
+    return (
+        m.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.count_distinct("fp").cast("long").alias("distinct_payloads"),
+            (F.count(F.lit(1)) - F.count_distinct("fp"))
+            .cast("long")
+            .alias("exact_dup_items"),
+            (F.sum("n_bytes").cast("double") / F.count(F.lit(1))).alias("avg_bytes"),
+        )
+        .orderBy("modality")
+    )

@@ -953,3 +953,45 @@ def test_video_near_dups_banded_equals_brute_force(spark):
         }
         assert got == brute(max_dist), f"max_dist={max_dist}"
         assert got[(0, 8)] == 0  # the planted shifted copy, at frame offset
+
+
+def test_audio_near_dups_banded_equals_brute_force(spark):
+    """Audio spectral-stub near-dup: the banded pipeline must equal the
+    brute-force all-pairs Hamming scan, including a planted payload
+    with two bytes perturbed (small energy shift -> few flipped bits)
+    and an exact copy."""
+    import numpy as np
+
+    from real_time_event_driven_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(17)
+    payloads = [bytes(rng.integers(0, 256, 320).astype(np.uint8)) for _ in range(15)]
+    near = bytearray(payloads[0])
+    near[7] = (near[7] + 3) % 256
+    near[100] = (near[100] + 2) % 256
+    payloads.append(bytes(near))  # id 15 ~ id 0
+    payloads.append(payloads[1])  # id 16 == id 1
+    rows = [
+        (i, "audio", p, None, None, None, None) for i, p in enumerate(payloads)
+    ] + [(99, "image", b"\x00" * 64, None, None, None, None)]  # filtered out
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    fps = {i: multimodal.audio_fingerprint_bands(p) for i, p in enumerate(payloads)}
+
+    def brute(max_dist):
+        want = {}
+        for a in range(len(payloads)):
+            for b in range(a + 1, len(payloads)):
+                d = sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+                if d <= max_dist:
+                    want[(a, b)] = d
+        return want
+
+    for max_dist in (7, 3):
+        got = {
+            (r.media_id_a, r.media_id_b): r.hamming_dist
+            for r in multimodal.audio_near_dups(media, max_dist=max_dist).collect()
+        }
+        assert got == brute(max_dist), f"max_dist={max_dist}"
+        assert got[(1, 16)] == 0  # exact copy
+    assert (0, 15) in brute(7)  # the perturbed copy is within radius

@@ -47,6 +47,7 @@ QUADRATIC_ORACLES = {
     "multimodal_dup_clusters",
     "simhash_near_pairs",
     "video_near_dups",
+    "audio_near_dups",
 }
 
 
