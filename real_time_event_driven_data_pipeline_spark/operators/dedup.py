@@ -719,7 +719,14 @@ def exact_substring_dedup(
     [int/int double], cleaned_text = surviving tokens joined by a single
     space — a tokenized normalization, like every text op here).
     Fully deterministic (md5 grams, integer positions) -> DuckDB-oracle
-    exact."""
+    exact.
+
+    The cleaned-text rebuild filters the token array against the
+    covered-position set in-row (O(n_tokens · n_covered) per doc —
+    fine at web-document lengths; a corpus of book-length docs should
+    swap the final join+filter for explode -> anti-join on (id, pos)
+    -> re-aggregate, which is linear at the cost of one more
+    shuffle)."""
     k = min_tokens
     toked = _scoped_cache(
         df.select(F.col(id_col), tokens_expr(text_col).alias("_toks")), "substr_toked"
