@@ -697,6 +697,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     min_tokens: int = 5,
     min_doc_freq: int = 2,
+    rebuild: str = "inrow",
 ) -> DataFrame:
     """Exact duplicated-SPAN removal (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): a token position is
@@ -728,12 +729,18 @@ def exact_substring_dedup(
     Fully deterministic (md5 grams, integer positions) -> DuckDB-oracle
     exact.
 
-    The cleaned-text rebuild filters the token array against the
-    covered-position set in-row (O(n_tokens · n_covered) per doc —
-    fine at web-document lengths; a corpus of book-length docs should
-    swap the final join+filter for explode -> anti-join on (id, pos)
-    -> re-aggregate, which is linear at the cost of one more
-    shuffle)."""
+    The cleaned-text rebuild has two equivalent modes
+    (``rebuild=``, bit-identical output — pytest-pinned):
+    - ``"inrow"`` (default): filter the token array against the
+      covered-position set in-row — O(n_tokens · n_covered) per doc,
+      zero extra shuffle; right for web-document lengths.
+    - ``"exploded"``: explode tokens with positions, ANTI join covered
+      positions on (id, pos), re-aggregate in position order — linear
+      in tokens at the cost of one more shuffle; right for book-length
+      documents where a heavily-covered doc would make the in-row
+      filter quadratic."""
+    if rebuild not in ("inrow", "exploded"):
+        raise ValueError("rebuild must be 'inrow' or 'exploded'")
     k = min_tokens
     toked = _scoped_cache(
         df.select(F.col(id_col), tokens_expr(text_col).alias("_toks")), "substr_toked"
@@ -755,15 +762,44 @@ def exact_substring_dedup(
         .filter(F.col("_df") >= min_doc_freq)
         .select("g")
     )
-    cov = (
-        posting.join(dup_g, "g", "left_semi")
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cp"),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("cp").alias("_cov"))
+    cov_pos = posting.join(dup_g, "g", "left_semi").select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cp"),
     )
+    if rebuild == "exploded":
+        n_cov = cov_pos.dropDuplicates([id_col, "cp"]).groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("_ncov")
+        )
+        toks_pos = toked.select(
+            F.col(id_col), F.posexplode("_toks").alias("_p0", "_tok")
+        ).select(F.col(id_col), (F.col("_p0") + 1).cast("int").alias("pos"), "_tok")
+        kept = toks_pos.join(
+            cov_pos.withColumnRenamed("cp", "pos"), [id_col, "pos"], "left_anti"
+        )
+        cleaned = kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                    lambda x: x["_tok"],
+                ),
+                " ",
+            ).alias("_cleaned")
+        )
+        ncov = F.coalesce(F.col("_ncov"), F.lit(0).cast("long"))
+        return (
+            toked.join(n_cov, id_col, "left")
+            .join(cleaned, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.size("_toks").cast("long").alias("n_tokens"),
+                ncov.alias("n_dup_tokens"),
+                F.when(F.size("_toks") > 0, ncov / F.size("_toks"))
+                .otherwise(F.lit(0.0))
+                .alias("dup_token_ratio"),
+                F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
+            )
+        )
+    cov = cov_pos.groupBy(id_col).agg(F.collect_set("cp").alias("_cov"))
     covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     return toked.join(cov, id_col, "left").select(
         F.col(id_col),

@@ -995,3 +995,25 @@ def test_audio_near_dups_banded_equals_brute_force(spark):
         assert got == brute(max_dist), f"max_dist={max_dist}"
         assert got[(1, 16)] == 0  # exact copy
     assert (0, 15) in brute(7)  # the perturbed copy is within radius
+
+
+def test_exact_substring_rebuild_modes_identical(spark, docs):
+    """The exploded (book-length) rebuild must be bit-identical to the
+    in-row default — same counts, ratios, and cleaned text — on the
+    real corpus and on a fully-covered document."""
+    a = {r.doc_id: tuple(r) for r in dedup.exact_substring_dedup(docs).collect()}
+    b = {
+        r.doc_id: tuple(r)
+        for r in dedup.exact_substring_dedup(docs, rebuild="exploded").collect()
+    }
+    assert a == b and len(a) > 0
+
+    full = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    fa = {r.doc_id: tuple(r) for r in dedup.exact_substring_dedup(full).collect()}
+    fb = {
+        r.doc_id: tuple(r)
+        for r in dedup.exact_substring_dedup(full, rebuild="exploded").collect()
+    }
+    assert fa == fb and fa[1][-1] == ""  # fully covered -> empty cleaned text
