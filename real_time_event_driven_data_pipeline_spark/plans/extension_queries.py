@@ -2759,3 +2759,143 @@ def q_modality_profile(spark, sf_dir):
         )
         .orderBy("modality")
     )
+
+
+# --- cross-modal duplicate clusters: ALL FOUR dedup families composed.
+# Every record carries four modality renditions (text itself, plus
+# image/audio/video payloads derived from its bytes under the repo's
+# opaque-payload convention); a pair is duplicate-linked if ANY
+# modality matches — text MinHash-LSH Jaccard >= 0.5, image dHash <= 3,
+# audio spectral-stub <= 3, or video min-frame dHash <= 3 — and
+# clusters are connected components over the union edge set.  Each
+# edge generator is its banded (never all-pairs) scale path; all four
+# are lossless at these thresholds, so the brute-force union recursive
+# CTE is exact.
+
+def _crossmodal_dup_clusters_sql(max_dist: int) -> str:
+    ibands = ",\n         ".join(f"({_dhash_band_sql(r)}) AS b{r}" for r in range(8))
+    iham = " + ".join(f"bit_count(xor(a.b{r}, b.b{r}))" for r in range(8))
+    vbands = ",\n         ".join(
+        f"({_dhash_band_sql(r, off='idx + ')}) AS b{r}" for r in range(8)
+    )
+    apivots = ",\n         ".join(
+        f"MAX(CASE WHEN w = {w} THEN band END) AS b{w}" for w in range(8)
+    )
+    return f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [] END AS s
+    FROM toks
+), tpairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+), m AS (
+    SELECT doc_id AS media_id, text,
+           greatest(1, CAST(floor(sqrt(octet_length(encode(text)))) AS INT)) AS side
+    FROM documents
+), h AS (
+    SELECT media_id,
+           {ibands}
+    FROM m
+), ipairs AS (
+    SELECT a.media_id AS id_a, b.media_id AS id_b
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE {iham} <= {max_dist}
+), am AS (
+    SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+    FROM documents
+), eb AS (
+    SELECT media_id, w, b,
+           CAST(coalesce(list_sum(list_transform(
+               range((w*n)//8 + b, ((w+1)*n)//8, 8), i -> ord(text[i+1])
+           )), 0) AS BIGINT) AS e
+    FROM am, unnest(generate_series(0, 7)) AS uw(w),
+             unnest(generate_series(0, 7)) AS ub(b)
+), abits AS (
+    SELECT a.media_id, a.w,
+           SUM(CASE WHEN a.e < c.e THEN 1 << a.b ELSE 0 END) AS band
+    FROM eb a JOIN eb c
+      ON a.media_id = c.media_id AND a.w = c.w AND c.b = (a.b + 1) % 8
+    GROUP BY 1, 2
+), ah AS (
+    SELECT media_id,
+           {apivots}
+    FROM abits GROUP BY media_id
+), apairs AS (
+    SELECT a.media_id AS id_a, b.media_id AS id_b
+    FROM ah a JOIN ah b ON a.media_id < b.media_id
+    WHERE {iham} <= {max_dist}
+), vm AS (
+    SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n_bytes,
+           CAST(doc_id % 4 AS INT) AS last_idx
+    FROM documents
+), fr AS (
+    SELECT media_id, text, idx,
+           greatest(1, CAST(floor(sqrt(greatest(0, n_bytes - idx))) AS INT)) AS side
+    FROM vm, unnest(generate_series(0, last_idx)) AS u(idx)
+), vh AS (
+    SELECT media_id, idx,
+           {vbands}
+    FROM fr
+), vpairs AS (
+    SELECT media_id_a AS id_a, media_id_b AS id_b FROM (
+      SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+             MIN({iham}) AS mh
+      FROM vh a JOIN vh b ON a.media_id < b.media_id
+      GROUP BY 1, 2
+    ) WHERE mh <= {max_dist}
+), pairs AS (
+    SELECT id_a, id_b FROM tpairs UNION SELECT id_a, id_b FROM ipairs
+    UNION SELECT id_a, id_b FROM apairs UNION SELECT id_a, id_b FROM vpairs
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(id, comp) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+), comps AS (
+    SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comps ORDER BY doc_id"""
+
+
+@register(
+    "crossmodal_dup_clusters",
+    _crossmodal_dup_clusters_sql(_DHASH_MAX_DIST),
+    "ext: 4-modality duplicate clusters (text|image|audio|video edges -> CC)",
+)
+def q_crossmodal_dup_clusters(spark, sf_dir):
+    from ..operators import components
+
+    docs = _docs(spark, sf_dir)
+    tpairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+
+    def media(kind, with_duration=False):
+        cols = [
+            F.col("doc_id").alias("media_id"),
+            F.lit(kind).alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+        ]
+        if with_duration:
+            cols.append(((F.col("doc_id") % 4) * 1000).cast("long").alias("duration_ms"))
+        return docs.select(*cols)
+
+    ipairs = multimodal.image_near_dups(media("image"), max_dist=_DHASH_MAX_DIST).select(
+        F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
+    )
+    apairs = multimodal.audio_near_dups(media("audio"), max_dist=_DHASH_MAX_DIST).select(
+        F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
+    )
+    vpairs = multimodal.video_near_dups(
+        media("video", with_duration=True), every_ms=1000, max_dist=_DHASH_MAX_DIST
+    ).select(F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b"))
+    edges = tpairs.unionByName(ipairs).unionByName(apairs).unionByName(vpairs)
+    return components.near_dup_clusters(edges).orderBy("doc_id")

@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
         "exact_substring_dedup",  # duplicated-span removal (Lee et al. shape)
         "video_near_dups",  # per-frame dHash banding -> video-grain pairs
         "audio_near_dups",  # banded spectral-stub fingerprint near-dup
+        "crossmodal_dup_clusters",  # 4-modality dup edges -> CC
         "modality_profile",  # per-modality corpus dashboard
         # (b) fanout-affected, last hashed r4 or earlier
         "quality_classifier_scores",

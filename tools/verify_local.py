@@ -48,6 +48,7 @@ QUADRATIC_ORACLES = {
     "simhash_near_pairs",
     "video_near_dups",
     "audio_near_dups",
+    "crossmodal_dup_clusters",
 }
 
 
