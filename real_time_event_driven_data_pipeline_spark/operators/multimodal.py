@@ -437,7 +437,16 @@ def video_frame_dhash(
     — the property that lets the brute-force DuckDB oracle certify the
     banded plan, same as ``image_near_dups``.  Frames sampled at
     ``ts = 0, every_ms, ... <= duration_ms`` (the frame_sample_stub
-    cadence)."""
+    cadence), CLAMPED to the payload length: suffix ``i >= n_bytes``
+    is empty, so every frame past byte ``n_bytes - 1`` would hash the
+    identical 1x1 black grid — a metadata-only long duration on a tiny
+    payload must not emit thousands of degenerate rows (the oracle SQL
+    applies the same ``least(last_idx, n_bytes - 1)``).
+
+    The payload crosses the loop as zero-copy ``memoryview`` suffix
+    slices (``payload[i:]`` on bytes would copy the remaining suffix
+    per frame — O(n_frames x payload_bytes) churn per row on the scale
+    path); both decoder branches accept any buffer."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -447,11 +456,13 @@ def video_frame_dhash(
             for media_id, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                mv = memoryview(payload)
                 last = 0 if pd.isna(dur) else int(dur) // every_ms
+                last = min(last, max(len(mv) - 1, 0))
                 for i in range(last + 1):
                     ids.append(media_id)
                     idxs.append(i)
-                    bands.append(dhash_bands(decoder(payload[i:])))
+                    bands.append(dhash_bands(decoder(mv[i:])))
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "bands": bands})
 
     return media.filter(F.col("kind") == "video").mapInPandas(

@@ -2426,8 +2426,11 @@ def q_source_token_budget_cut(spark, sf_dir):
 # shape: captions get paraphrased while the image is re-encoded, or the
 # image is re-cropped while the caption survives verbatim — either link
 # alone must pull the pair into one cluster.  Both edge generators are
-# the banded (never all-pairs) scale paths, both lossless at these
-# thresholds, so the brute-force recursive-CTE oracle is exact.
+# the banded (never all-pairs) scale paths; the image edges are
+# lossless (Hamming pigeonhole) and the text edges near-lossless
+# (MinHash banding recall ~0.9999 at Jaccard exactly 0.5), so the
+# brute-force recursive-CTE oracle is exact on corpora free of
+# boundary pairs — which the driver corpora are verified to be.
 
 def _multimodal_dup_clusters_sql(max_dist: int) -> str:
     bands = ",\n         ".join(
@@ -2602,7 +2605,9 @@ def _video_near_dups_sql(max_dist: int) -> str:
     return f"""
 WITH m AS (
   SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n_bytes,
-         CAST(doc_id % 4 AS INT) AS last_idx
+         CAST(least(doc_id % 4,
+                    greatest(octet_length(encode(text)) - 1, 0)) AS INT)
+             AS last_idx
   FROM documents
 ), fr AS (
   SELECT media_id, text, idx,
@@ -2768,9 +2773,14 @@ def q_modality_profile(spark, sf_dir):
 # modality matches — text MinHash-LSH Jaccard >= 0.5, image dHash <= 3,
 # audio spectral-stub <= 3, or video min-frame dHash <= 3 — and
 # clusters are connected components over the union edge set.  Each
-# edge generator is its banded (never all-pairs) scale path; all four
-# are lossless at these thresholds, so the brute-force union recursive
-# CTE is exact.
+# edge generator is its banded (never all-pairs) scale path.  The
+# image/audio/video edges are genuinely lossless (Hamming pigeonhole);
+# the text edges come from MinHash banding, whose recall at Jaccard
+# exactly 0.5 is ~0.9999, not 1 — so the brute-force exact-Jaccard
+# oracle can in principle disagree on a borderline pair (P(miss)
+# ~1e-4 at the boundary; same pre-existing caveat as
+# multimodal_dup_clusters).  The driver corpora are verified free of
+# boundary pairs, which is what makes the recursive CTE exact here.
 
 def _crossmodal_dup_clusters_sql(max_dist: int) -> str:
     ibands = ",\n         ".join(f"({_dhash_band_sql(r)}) AS b{r}" for r in range(8))
@@ -2833,7 +2843,9 @@ WITH RECURSIVE toks AS (
     WHERE {iham} <= {max_dist}
 ), vm AS (
     SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n_bytes,
-           CAST(doc_id % 4 AS INT) AS last_idx
+           CAST(least(doc_id % 4,
+                      greatest(octet_length(encode(text)) - 1, 0)) AS INT)
+               AS last_idx
     FROM documents
 ), fr AS (
     SELECT media_id, text, idx,

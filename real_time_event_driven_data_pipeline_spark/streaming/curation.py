@@ -127,9 +127,22 @@ class CorpusCurationPipeline:
         # output.  Payloads follow the repo's opaque-payload convention:
         # the document's UTF-8 bytes (a real deployment reads a binary
         # column off the arrival schema instead — swap _image_media).
+        #
         # image_max_bucket_df caps pathological probe buckets (a stream
         # of black frames) at the cost of missing pairs whose every
-        # shared key is over-cap.
+        # shared key is over-cap.  NOTE the default DIFFERS from the
+        # batch operators: every batch near-dup operator defaults
+        # max_bucket_df=None (lossless, oracle parity), but an unattended
+        # stream must bound per-activation latency even when a burst of
+        # constant images lands, so the gate ships with the cap ON
+        # (10_000).  Pass image_max_bucket_df=None for strict parity
+        # with the batch image_near_dups filter.
+        #
+        # Enabling image_gate on a pipeline that already accepted epochs
+        # starts from whatever dHash sidecar exists — history accepted
+        # BEFORE the flag was turned on was never indexed and would
+        # silently never match.  Run backfill_image_dhash_index() once
+        # after enabling the flag to index that pre-gate history.
         self.image_gate = image_gate
         self.image_max_dist = image_max_dist
         self.image_max_bucket_df = image_max_bucket_df
@@ -179,6 +192,50 @@ class CorpusCurationPipeline:
             F.lit("image").alias("kind"),
             F.encode("text", "UTF-8").alias("payload"),
         )
+
+    # reserved epoch id for backfill publishes: streaming epoch ids are
+    # >= 0, so "epoch-1-*" files can never collide with a real epoch
+    BACKFILL_EPOCH = -1
+
+    def backfill_image_dhash_index(self) -> int:
+        """Index pre-gate history into the image gate's dHash sidecar.
+
+        The sidecar is appended per accepted epoch, so corpus rows
+        accepted BEFORE ``image_gate`` was enabled are invisible to the
+        gate (a dup of them streams straight through).  This helper
+        hashes exactly the corpus docs with no sidecar rows from a
+        committed streaming epoch and publishes their postings under the
+        reserved ``BACKFILL_EPOCH``.
+
+        Idempotent AND cumulative: the missing set is recomputed against
+        the streaming-published sidecar rows only (the previous
+        backfill's own ``epoch-1-*`` files are excluded from the diff),
+        so a re-run republishes the full pre-gate set rather than
+        diffing against — and then clobbering — its own earlier output.
+        Returns the number of docs (re)indexed.
+        """
+        corpus = read_epoch_dir(self.spark, self.corpus_dir)
+        if corpus is None:
+            return 0
+        media = self._image_media(corpus)
+        streamed = read_epoch_dir(
+            self.spark, self.dhash_index_dir, exclude_epoch=self.BACKFILL_EPOCH
+        )
+        if streamed is not None:
+            media = media.join(
+                streamed.select("media_id").dropDuplicates(),
+                "media_id",
+                "left_anti",
+            )
+        media = self._pin(media)  # counted AND hashed — one materialization
+        n_docs = media.count()
+        if n_docs:
+            publish_epoch(
+                image_dhash_postings(media, max_dist=self.image_max_dist),
+                self.dhash_index_dir,
+                self.BACKFILL_EPOCH,
+            )
+        return n_docs
 
     # -- the gate --------------------------------------------------------
 

@@ -200,7 +200,12 @@ def test_image_gate_quarantines_perceptual_dups(spark, tmp_path):
     dHash is within image_max_dist of accepted history (or a lower-id
     batchmate), carries the reject reason, and the stream-accepted set
     equals the batch image_near_dups greedy (arrival-order keep-first)
-    filter."""
+    filter ON THIS FIXTURE.  The equivalence is fixture-specific: the
+    gate drops any new doc paired with a lower-id batchmate even when
+    that batchmate is itself quarantined, so on a within-batch CHAIN
+    (A-history, B~A, C~B but C!~A) it over-drops C where greedy keeps
+    it — conservative transitive drop, same rule as the text gate;
+    pinned in test_image_gate_within_batch_chain_drops_conservatively."""
     from real_time_event_driven_data_pipeline_spark.operators import multimodal
 
     landing = tmp_path / "landing"
@@ -265,3 +270,144 @@ def test_image_gate_quarantines_perceptual_dups(spark, tmp_path):
         if not any((min(a, i), max(a, i)) in pairs for a in accepted):
             accepted.append(i)
     assert corpus == set(accepted) == {1, 2, 3, 4, 21}
+
+
+def _dhash_of(text):
+    from real_time_event_driven_data_pipeline_spark.operators import multimodal
+
+    return multimodal.dhash_bands(
+        multimodal.decode_image(text.encode("utf-8"))
+    )
+
+
+def _hamming(a, b):
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def _grid_positions(text):
+    """Byte indexes the dHash 8x9 grid actually samples for this text."""
+    side = max(1, int(len(text.encode("utf-8")) ** 0.5))
+    rs = [(r * side) // 8 for r in range(8)]
+    cs = [(c * side) // 9 for c in range(9)]
+    return [(r, rs[r] * side + cs[c]) for r in range(8) for c in range(9)]
+
+
+def _mutate_for_distance(text, lo, hi, rows_used=()):
+    """First single-char grid mutation with dHash distance in [lo, hi],
+    restricted to grid rows not in ``rows_used`` (edits in distinct rows
+    flip disjoint bit positions, so chain distances add)."""
+    base = _dhash_of(text)
+    for row, pos in _grid_positions(text):
+        if row in rows_used:
+            continue
+        for ch in "zqjkvxw":
+            if text[pos] == ch:
+                continue
+            cand = text[:pos] + ch + text[pos + 1 :]
+            d = _hamming(base, _dhash_of(cand))
+            if lo <= d <= hi:
+                return cand, row, d
+    raise AssertionError("no grid mutation found in the distance window")
+
+
+def test_image_gate_within_batch_chain_drops_conservatively(spark, tmp_path):
+    """Pins the gate's CHAIN semantics (round-6 ADVICE): for a
+    within-batch chain A(history) ~ B ~ C with C !~ A, the gate drops
+    BOTH B and C — C pairs with its lower-id batchmate B even though B
+    is itself quarantined via the history pair.  A greedy arrival-order
+    filter would keep C; the gate is deliberately conservative
+    (transitive over-drop, the same rule as the text near-dup gate:
+    dropping only against KEPT docs would need an in-batch sequential
+    pass, serializing the batch)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pipe = CorpusCurationPipeline(
+        spark,
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        near_dup_threshold=0.99,  # text gate effectively off
+        image_gate=True,
+        image_max_dist=3,
+    )
+    rng = random.Random(29)
+    a = _doc(rng)
+    # b: 2-3 bits from a; c: 2-3 bits from b in a DIFFERENT grid row, so
+    # d(a, c) = d(a, b) + d(b, c) >= 4 > image_max_dist
+    b, row_ab, d_ab = _mutate_for_distance(a, 2, 3)
+    c, _, d_bc = _mutate_for_distance(b, 2, 3, rows_used=(row_ab,))
+    assert d_ab + d_bc >= 4
+    assert _hamming(_dhash_of(a), _dhash_of(c)) == d_ab + d_bc
+
+    _write([(1, a, "src")], f"{landing}/batch1.csv")
+    pipe.run_available_now()
+    assert pipe.stats[-1]["accepted"] == 1
+
+    _write([(10, b, "src"), (11, c, "src")], f"{landing}/batch2.csv")
+    pipe.run_available_now()
+
+    corpus = {r.doc_id for r in spark.read.parquet(pipe.corpus_dir).collect()}
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    # conservative: 11 (~10 only) dropped too, though greedy would keep it
+    assert corpus == {1}
+    assert reasons == {10: "image_near_dup", 11: "image_near_dup"}
+
+
+def test_image_gate_backfill_indexes_pregate_history(spark, tmp_path):
+    """Enabling image_gate on a pipeline with accepted epochs starts
+    from an empty dHash sidecar — history predating the flag is never
+    matched (round-6 ADVICE).  backfill_image_dhash_index() closes the
+    gap: it indexes exactly the corpus docs missing from the sidecar,
+    is idempotent, and afterwards a perceptual dup of PRE-GATE history
+    is quarantined."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dirs = dict(
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        near_dup_threshold=0.99,
+    )
+    rng = random.Random(31)
+    base = {1: _doc(rng), 2: _doc(rng)}
+
+    # phase 1: gate OFF — two docs accepted, dhash sidecar never written
+    pipe_off = CorpusCurationPipeline(spark, **dirs)
+    _write([(i, t, "src") for i, t in base.items()], f"{landing}/batch1.csv")
+    pipe_off.run_available_now()
+    assert pipe_off.stats[-1]["accepted"] == 2
+
+    # phase 2: gate ON (same dirs/checkpoint).  Backfill indexes the 2
+    # pre-gate docs; a second run re-publishes the same set (idempotent)
+    pipe_on = CorpusCurationPipeline(spark, image_gate=True, image_max_dist=3, **dirs)
+    assert pipe_on.backfill_image_dhash_index() == 2
+    assert pipe_on.backfill_image_dhash_index() == 2
+
+    # dup of PRE-GATE doc 1: identical dHash, different fingerprint and
+    # shingle set (flip one char beyond the stub grid) -> only the image
+    # gate can catch it, and only because of the backfill
+    t1 = base[1]
+    side = max(1, int(len(t1.encode("utf-8")) ** 0.5))
+    i = side * side
+    assert i < len(t1)
+    dup = t1[:i] + ("x" if t1[i] != "x" else "y") + t1[i + 1 :]
+    fresh = _doc(rng)
+    _write([(20, dup, "src"), (21, fresh, "src")], f"{landing}/batch2.csv")
+    pipe_on.run_available_now()
+
+    corpus = {r.doc_id for r in spark.read.parquet(pipe_on.corpus_dir).collect()}
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe_on.quarantine_dir).collect()
+    }
+    assert corpus == {1, 2, 21}
+    assert reasons == {20: "image_near_dup"}
+
+    # backfill after a gated epoch: 21's postings came from the epoch
+    # publish, so the pre-gate set is still exactly the original 2 docs
+    assert pipe_on.backfill_image_dhash_index() == 2

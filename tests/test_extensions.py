@@ -955,6 +955,28 @@ def test_video_near_dups_banded_equals_brute_force(spark):
         assert got[(0, 8)] == 0  # the planted shifted copy, at frame offset
 
 
+def test_video_frame_dhash_clamps_to_payload_length(spark):
+    """Duration alone must not drive frame count: suffix i >= n_bytes is
+    empty, so every frame past byte n_bytes-1 would hash the identical
+    1x1 black grid — a metadata-only long duration on a tiny payload
+    emits at most n_bytes rows, and a zero-byte payload exactly one."""
+    from real_time_event_driven_data_pipeline_spark.operators import multimodal
+
+    rows = [
+        (0, "video", b"\x01\x02\x03", None, None, None, 3_600_000),  # 1h "video"
+        (1, "video", b"", None, None, None, 5_000),
+        (2, "video", bytes(range(64)), None, None, None, 2_000),  # unclamped
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.video_frame_dhash(media, every_ms=1000).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert sorted(by_id[0]) == [0, 1, 2]  # not 3601 degenerate rows
+    assert sorted(by_id[1]) == [0]
+    assert sorted(by_id[2]) == [0, 1, 2]  # duration-driven when payload is long
+
+
 def test_audio_near_dups_banded_equals_brute_force(spark):
     """Audio spectral-stub near-dup: the banded pipeline must equal the
     brute-force all-pairs Hamming scan, including a planted payload
