@@ -30,6 +30,52 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _components_local(e: DataFrame) -> DataFrame:
+    """Union-find on a collected edge list — the small-graph fast path.
+
+    The duplicate graph is orders of magnitude smaller than its corpus
+    (512 edges at sf0.1; a few hundred million at 100 TB under realistic
+    dup rates), and each distributed min-label round costs a fixed
+    join + agg + checkpoint + convergence-collect regardless of size —
+    measured ~6.5 s of pure round overhead on a 500-edge graph.  Below
+    the threshold this is the same design call as a broadcast hash join:
+    the small side fits a bounded driver budget, so ship it once and use
+    the cheap local algorithm (path-compressed union-find, O(E α(E)))
+    instead of shuffling per round.  Output contract and labels are
+    identical to the distributed loop: (id, comp), comp = min reachable
+    id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by label: the smaller id becomes the root, so the
+            # root IS the component minimum when all unions are done
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    id_type = e.schema[0].dataType
+    out_schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("comp", id_type)]
+    )
+    return e.sparkSession.createDataFrame(rows, out_schema)
 
 
 def connected_components(
@@ -37,12 +83,21 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    small_graph_threshold: int | None = 1_000_000,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
     Returns (id, component) for every vertex incident to an edge, where
     ``component`` is the minimum vertex id reachable from ``id`` —  a
     deterministic, engine-independent canonical representative.
+
+    Edge lists at or below ``small_graph_threshold`` rows (after
+    symmetrization/dedup; default 1M ~ 16 MB on the driver, the same
+    order as a broadcast-join build side) take the collected union-find
+    fast path — identical output, none of the per-round shuffle/job
+    overhead that dominates small graphs.  Larger graphs run the
+    distributed min-label loop; pass ``None`` to force it always
+    (property tests do, so the loop stays exercised).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = (
@@ -54,6 +109,8 @@ def connected_components(
     # duplicate graph is orders of magnitude smaller than its corpus, and
     # per-round task overhead dominates when partitions outnumber rows.
     n_edges = e.count()  # free: e is materialized by the checkpoint
+    if small_graph_threshold is not None and n_edges <= small_graph_threshold:
+        return _components_local(e)
     nparts = max(1, min(200, n_edges // 1_000_000 + 1))
     e = e.repartition(nparts, "dst")
     labels = (

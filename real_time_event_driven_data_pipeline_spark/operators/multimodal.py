@@ -470,6 +470,43 @@ def video_frame_dhash(
     )
 
 
+def _video_grain_pairs(
+    sig: DataFrame, max_dist: int, max_bucket_df: int | None
+) -> DataFrame:
+    """Video-grain MIN-Hamming pairs over a per-frame (media_id, h)
+    signature relation — the post-signature tail of ``video_near_dups``,
+    factored out so a fused multi-signature pass
+    (``multimodal_signatures``) can reuse it.  Callers pin ``sig``."""
+    from .dedup import _cap_posting_buckets, hamming_band_keys
+
+    posting = sig.select(
+        "media_id",
+        "h",
+        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
+    )
+    posting = _cap_posting_buckets(posting, max_bucket_df, ("band", "val"))
+    left = posting.select(
+        F.col("media_id").alias("media_id_a"), F.col("h").alias("_ha"), "band", "val"
+    )
+    right = posting.select(
+        F.col("media_id").alias("media_id_b"), F.col("h").alias("_hb"), "band", "val"
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select(
+            "media_id_a",
+            "media_id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("long")
+            .alias("_d"),
+        )
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.min("_d").alias("min_hamming"))
+        .filter(F.col("min_hamming") <= max_dist)
+    )
+
+
 def video_near_dups(
     media: DataFrame,
     every_ms: int = 1000,
@@ -499,7 +536,7 @@ def video_near_dups(
 
     Output: (media_id_a, media_id_b, min_hamming), a < b.
     """
-    from .dedup import _cap_posting_buckets, _scoped_cache, hamming_band_keys
+    from .dedup import _scoped_cache
 
     if not 0 <= max_dist <= 7:
         raise ValueError("max_dist must be in [0, 7] (64-bit hash, >= bands needed)")
@@ -509,32 +546,7 @@ def video_near_dups(
         ),
         "video_dhash_sig",
     )
-    posting = sig.select(
-        "media_id",
-        "h",
-        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
-    )
-    posting = _cap_posting_buckets(posting, max_bucket_df, ("band", "val"))
-    left = posting.select(
-        F.col("media_id").alias("media_id_a"), F.col("h").alias("_ha"), "band", "val"
-    )
-    right = posting.select(
-        F.col("media_id").alias("media_id_b"), F.col("h").alias("_hb"), "band", "val"
-    )
-    return (
-        left.join(right, ["band", "val"])
-        .filter(F.col("media_id_a") < F.col("media_id_b"))
-        .select(
-            "media_id_a",
-            "media_id_b",
-            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-            .cast("long")
-            .alias("_d"),
-        )
-        .groupBy("media_id_a", "media_id_b")
-        .agg(F.min("_d").alias("min_hamming"))
-        .filter(F.col("min_hamming") <= max_dist)
-    )
+    return _video_grain_pairs(sig, max_dist, max_bucket_df)
 
 
 def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -629,3 +641,100 @@ def audio_near_dups(
         "audio_fp_sig",
     )
     return _banded_hamming_pairs(sig, max_dist, max_bucket_df)
+
+
+# --- fused multi-signature pass ----------------------------------------
+
+MULTIMODAL_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("image_h", T.LongType(), False),
+        T.StructField("audio_h", T.LongType(), False),
+        T.StructField("video_hs", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+
+def _pack64(bands: list[int]) -> int:
+    """8 byte-bands -> one packed 64-bit value, bit-identical to the JVM
+    ``_packed_dhash_col`` (band 7 may set the sign bit: two's
+    complement, so the Python int matches the Spark LongType value)."""
+    v = 0
+    for i, b in enumerate(bands):
+        v |= int(b) << (8 * i)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def multimodal_signatures(
+    media: DataFrame,
+    every_ms: int = 1000,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """Image dHash + audio fingerprint + per-frame video dHashes in ONE
+    Arrow pass over (media_id, payload, duration_ms).
+
+    For records that carry several modality renditions of the same
+    payload (the cross-modal dedup shape), running the three signature
+    operators separately decodes every payload three-plus times — three
+    full Python crossings of the corpus' dominant bytes.  Here the
+    payload crosses once and every signature is emitted from that one
+    visit; each hash is bit-identical to its standalone operator
+    (``packed_dhash``, ``audio_fingerprint``, ``video_frame_dhash`` +
+    packing), so downstream banded joins and their oracles are
+    unchanged.  Video frame 0 is the whole-payload suffix, i.e. exactly
+    the image hash — reused, not recomputed.  Kind-agnostic: callers
+    pass the joint-rendition relation directly.
+    """
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, img_h, aud_h, vid_hs = [], [], [], []
+            for media_id, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                mv = memoryview(payload)
+                ih = _pack64(dhash_bands(decoder(mv)))
+                ids.append(media_id)
+                img_h.append(ih)
+                aud_h.append(_pack64(audio_fingerprint_bands(payload)))
+                last = 0 if pd.isna(dur) else int(dur) // every_ms
+                last = min(last, max(len(mv) - 1, 0))
+                vid_hs.append(
+                    [ih]
+                    + [
+                        _pack64(dhash_bands(decoder(mv[i:])))
+                        for i in range(1, last + 1)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "image_h": img_h,
+                    "audio_h": aud_h,
+                    "video_hs": vid_hs,
+                }
+            )
+
+    return media.mapInPandas(_sig, schema=MULTIMODAL_SIG_SCHEMA)
+
+
+def hamming_near_dups_from_sig(
+    sig: DataFrame, max_dist: int = 3, max_bucket_df: int | None = None
+) -> DataFrame:
+    """Banded Hamming near-dup pairs over a precomputed (media_id, h)
+    packed-signature relation — the image/audio pair core for callers
+    that computed signatures through a fused pass.  Callers pin ``sig``
+    (both join sides scan it)."""
+    return _banded_hamming_pairs(sig, max_dist, max_bucket_df)
+
+
+def video_near_dups_from_sig(
+    sig: DataFrame, max_dist: int = 3, max_bucket_df: int | None = None
+) -> DataFrame:
+    """Video-grain MIN-Hamming pairs over a precomputed per-frame
+    (media_id, h) relation (one row per sampled frame) — the
+    ``video_near_dups`` tail for fused-pass callers.  Callers pin
+    ``sig``."""
+    return _video_grain_pairs(sig, max_dist, max_bucket_df)

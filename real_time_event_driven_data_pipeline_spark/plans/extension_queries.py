@@ -2886,28 +2886,44 @@ FROM comps ORDER BY doc_id"""
 )
 def q_crossmodal_dup_clusters(spark, sf_dir):
     from ..operators import components
+    from ..operators.dedup import _scoped_cache
 
     docs = _docs(spark, sf_dir)
     tpairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
 
-    def media(kind, with_duration=False):
-        cols = [
-            F.col("doc_id").alias("media_id"),
-            F.lit(kind).alias("kind"),
-            F.encode("text", "UTF-8").alias("payload"),
-        ]
-        if with_duration:
-            cols.append(((F.col("doc_id") % 4) * 1000).cast("long").alias("duration_ms"))
-        return docs.select(*cols)
+    # image/audio/video signatures from ONE fused Arrow pass (each
+    # record's renditions share the payload bytes, so running the three
+    # standalone operators would decode every payload 3+ times); the
+    # hashes are bit-identical to the standalone operators, so the
+    # oracle SQL below is untouched
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        ((F.col("doc_id") % 4) * 1000).cast("long").alias("duration_ms"),
+    )
+    sig = _scoped_cache(
+        multimodal.multimodal_signatures(media, every_ms=1000), "crossmodal_sig"
+    )
 
-    ipairs = multimodal.image_near_dups(media("image"), max_dist=_DHASH_MAX_DIST).select(
-        F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
+    def _edges(pairs):
+        return pairs.select(
+            F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
+        )
+
+    ipairs = _edges(
+        multimodal.hamming_near_dups_from_sig(
+            sig.select("media_id", F.col("image_h").alias("h")), _DHASH_MAX_DIST
+        )
     )
-    apairs = multimodal.audio_near_dups(media("audio"), max_dist=_DHASH_MAX_DIST).select(
-        F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
+    apairs = _edges(
+        multimodal.hamming_near_dups_from_sig(
+            sig.select("media_id", F.col("audio_h").alias("h")), _DHASH_MAX_DIST
+        )
     )
-    vpairs = multimodal.video_near_dups(
-        media("video", with_duration=True), every_ms=1000, max_dist=_DHASH_MAX_DIST
-    ).select(F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b"))
+    vpairs = _edges(
+        multimodal.video_near_dups_from_sig(
+            sig.select("media_id", F.explode("video_hs").alias("h")), _DHASH_MAX_DIST
+        )
+    )
     edges = tpairs.unionByName(ipairs).unionByName(apairs).unionByName(vpairs)
     return components.near_dup_clusters(edges).orderBy("doc_id")

@@ -14,16 +14,23 @@ from real_time_event_driven_data_pipeline_spark.operators.components import (
 )
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, small_graph_threshold=1_000_000):
+    """threshold default -> union-find fast path; None -> the
+    distributed min-label loop (kept exercised explicitly below)."""
     df = spark.createDataFrame(edges, "src long, dst long")
-    rows = connected_components(df).collect()
+    rows = connected_components(
+        df, small_graph_threshold=small_graph_threshold
+    ).collect()
     return {r["id"]: r["comp"] for r in rows}
 
 
 def test_chain_collapses_to_min(spark):
-    # 1-2, 2-3, 3-4, 4-5: diameter 4, exercises multiple propagation rounds
-    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    # 1-2, 2-3, 3-4, 4-5: diameter 4, exercises multiple propagation
+    # rounds on the distributed path; fast path must agree exactly
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert _cc(spark, edges) == want
+    assert _cc(spark, edges, small_graph_threshold=None) == want
 
 
 def test_disjoint_components(spark):
@@ -93,8 +100,13 @@ def _union_find(edges):
 )
 @given(edges=_edges)
 def test_cc_matches_union_find(spark, edges):
-    got = _cc(spark, [(int(a), int(b)) for a, b in edges])
-    assert got == _union_find(edges)
+    """Both the distributed min-label loop (threshold=None) and the
+    small-graph union-find fast path must match the reference — the
+    fast path IS a union-find, so the load-bearing comparison here is
+    the distributed loop's."""
+    e = [(int(a), int(b)) for a, b in edges]
+    assert _cc(spark, e, small_graph_threshold=None) == _union_find(edges)
+    assert _cc(spark, e) == _union_find(edges)
 
 
 # --- large-star/small-star: same answers, diameter-independent rounds ---

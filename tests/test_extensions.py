@@ -977,6 +977,59 @@ def test_video_frame_dhash_clamps_to_payload_length(spark):
     assert sorted(by_id[2]) == [0, 1, 2]  # duration-driven when payload is long
 
 
+def test_multimodal_signatures_match_standalone_operators(spark):
+    """The fused one-Arrow-pass signature operator must emit hashes
+    bit-identical to the three standalone operators (packed image
+    dHash, packed audio fingerprint, per-frame video dHashes in frame
+    order) — that identity is what keeps the crossmodal oracle SQL
+    valid after the query switched to the fused pass."""
+    import numpy as np
+
+    from pyspark.sql import functions as SF
+
+    from real_time_event_driven_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(11)
+    payloads = [
+        bytes(rng.integers(0, 256, n).astype(np.uint8)) for n in (300, 80, 5, 1)
+    ] + [b""]
+    rows = [(i, p, (i % 4) * 1000) for i, p in enumerate(payloads)]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, duration_ms long"
+    )
+    fused = {r.media_id: r for r in multimodal.multimodal_signatures(media).collect()}
+    assert set(fused) == set(range(len(payloads)))
+
+    def kinded(kind, dur=False):
+        cols = [
+            "media_id",
+            SF.lit(kind).alias("kind"),
+            "payload",
+        ] + (["duration_ms"] if dur else [])
+        return media.select(*cols)
+
+    img = {r.media_id: r.h for r in multimodal.packed_dhash(kinded("image")).collect()}
+    aud = {
+        r.media_id: r.h
+        for r in multimodal.audio_fingerprint(kinded("audio"))
+        .select("media_id", multimodal._packed_dhash_col().alias("h"))
+        .collect()
+    }
+    vid: dict[int, dict[int, int]] = {}
+    for r in (
+        multimodal.video_frame_dhash(kinded("video", dur=True), every_ms=1000)
+        .select("media_id", "frame_idx", multimodal._packed_dhash_col().alias("h"))
+        .collect()
+    ):
+        vid.setdefault(r.media_id, {})[r.frame_idx] = r.h
+
+    for mid, row in fused.items():
+        assert row.image_h == img[mid], mid
+        assert row.audio_h == aud[mid], mid
+        want_frames = [vid[mid][i] for i in sorted(vid[mid])]
+        assert list(row.video_hs) == want_frames, mid
+
+
 def test_audio_near_dups_banded_equals_brute_force(spark):
     """Audio spectral-stub near-dup: the banded pipeline must equal the
     brute-force all-pairs Hamming scan, including a planted payload
