@@ -261,3 +261,43 @@ def connected_components_star(
     # converged 2-vertex component where the root edge is the only one
     roots = vertices.join(comp, "id", "left_anti").withColumn("comp", F.col("id"))
     return comp.unionByName(roots)
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Pick the surviving document per duplicate cluster by QUALITY,
+    not by id — the retention policy step between cluster assembly and
+    corpus rewrite (near_dup_clusters keeps min-id as a *canonical
+    label*; a curation pipeline keeps the highest-quality member).
+
+    ``clusters`` is ``near_dup_clusters`` output (id, component,
+    cluster_size); ``scores`` maps id -> an orderable score.  Winner =
+    max score, ties broken by MIN id (deterministic, engine-independent).
+
+    Plan shape: one equality join on the id key + one hash aggregate on
+    ``component`` using max-of-struct — (score, -id) compares
+    lexicographically, so the argmax needs NO window over components
+    and NO second join-back; partial aggregation runs map-side.  At
+    100 TB the relation entering the agg is |docs in any cluster|, a
+    small fraction of the corpus.
+
+    Output: (component, cluster_size, kept_<id>, kept_<score>).
+    """
+    joined = clusters.join(scores, id_col)
+    best = F.max(
+        F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid"))
+    ).alias("_b")
+    return (
+        joined.groupBy("component")
+        .agg(F.max("cluster_size").alias("cluster_size"), best)
+        .select(
+            "component",
+            "cluster_size",
+            (-F.col("_b.nid")).alias(f"kept_{id_col}"),
+            F.col("_b.s").alias(f"kept_{score_col}"),
+        )
+    )

@@ -930,3 +930,65 @@ def incremental_near_dup_pairs_indexed(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def source_shingle_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-source content overlap matrix: for every pair of sources
+    sharing at least one distinct k-gram shingle, the shared-shingle
+    count and a containment score — the corpus-composition audit run
+    before mixing sources (a feed that is 90%-contained in another is a
+    re-crawl, not new data; also the source-grain view of what
+    eval_contamination does at doc grain).
+
+    Scale shape: the unit of work is the DISTINCT (source, shingle)
+    relation — one hash agg over exploded shingles, corpus-linear.  The
+    overlap self-join is keyed on the shingle; a shingle present in s
+    sources contributes C(s,2) pair rows, and s is bounded by the
+    SOURCE count (hundreds, not documents), so per-key fanout is
+    bounded by construction — no stop-key cap needed, unlike doc-grain
+    posting joins where a boilerplate shingle fans out per DOCUMENT.
+
+    containment_bp = round_half_up(10000 * overlap / min(|A|, |B|)),
+    exact via integer DIV (the money.py pattern), so the driver hash is
+    engine-independent.  Output: (source_a, source_b, n_sh_a, n_sh_b,
+    overlap, containment_bp), a < b lexicographically.
+    """
+    sh = with_shingles(df.select(group_col, text_col), id_col=group_col, k=k)
+    ssh = sh.select(
+        F.col(group_col), F.explode("shingles").alias("_sh")
+    ).dropDuplicates()
+    sizes = ssh.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = ssh.select(F.col(group_col).alias("source_a"), "_sh")
+    b = ssh.select(F.col(group_col).alias("source_b"), "_sh")
+    ov = (
+        a.join(b, "_sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    return (
+        ov.join(
+            F.broadcast(sizes.select(F.col(group_col).alias("source_a"),
+                                     F.col("n_sh").alias("n_sh_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(group_col).alias("source_b"),
+                                     F.col("n_sh").alias("n_sh_b"))),
+            "source_b",
+        )
+        .withColumn("_m", F.least("n_sh_a", "n_sh_b"))
+        .withColumn(
+            "containment_bp",
+            F.expr("(overlap * 20000 + _m) div (2 * _m)").cast("long"),
+        )
+        .select(
+            "source_a", "source_b", "n_sh_a", "n_sh_b", "overlap", "containment_bp"
+        )
+        .orderBy("source_a", "source_b")
+    )

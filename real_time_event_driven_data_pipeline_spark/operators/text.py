@@ -890,3 +890,48 @@ def dsir_select_by_budget(
         ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < token_budget)
         .select(id_col, "n_tokens", "cum_tokens", "avg_importance")
     )
+
+
+def sqrt_temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): per-source sample
+    targets proportional to sqrt(count) — the standard multilingual /
+    multi-source rebalance (sampling p_s ~ c_s^alpha flattens the head
+    so low-resource sources are not drowned; alpha 0.5 is the classic
+    mBERT/XLM-R setting).
+
+    Every number is EXACT integer arithmetic so the result is
+    engine-independent: weight_s = floor(sqrt(c_s)) (IEEE sqrt is
+    correctly rounded, so floor(sqrt) of a BIGINT < 2^53 is identical
+    in every engine) and target_s = (total_docs * weight_s) DIV
+    total_weight — integer division, never a double quotient whose
+    product could exceed 2^53 at corpus scale.  Targets therefore sum
+    to <= total_docs (floor rounding); the deficit is the usual
+    largest-remainder follow-up a sampler applies downstream.
+
+    Plan: one hash agg on ``group_col`` (map-side partial), then a
+    1-row broadcast of the two totals — no second pass over the corpus,
+    no window.  Output: (group, n_docs, weight, sample_target), sorted.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    counts = counts.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").cast("long").alias("_total_docs"),
+        F.sum("weight").cast("long").alias("_total_w"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .withColumn(
+            "sample_target",
+            F.expr("(_total_docs * weight) div _total_w").cast("long"),
+        )
+        .select(group_col, "n_docs", "weight", "sample_target")
+        .orderBy(group_col)
+    )

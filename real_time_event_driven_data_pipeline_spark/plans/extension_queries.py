@@ -2927,3 +2927,150 @@ def q_crossmodal_dup_clusters(spark, sf_dir):
     )
     edges = tpairs.unionByName(ipairs).unionByName(apairs).unionByName(vpairs)
     return components.near_dup_clusters(edges).orderBy("doc_id")
+
+
+# --- duplicate-cluster representatives: keep-best-per-cluster --------
+# The retention step a curation pipeline runs AFTER cluster assembly:
+# near_dup_clusters labels groups by min id; the corpus rewrite keeps
+# the highest-QUALITY member instead (quality here = alpha-character
+# count, an exact BIGINT so the driver hash is engine-independent;
+# swap any score relation in the operator).  Ties break to min id.
+
+DUP_REPS_SQL = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [] END AS s
+    FROM toks
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(id, comp) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+), comps AS (
+    SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+), qual AS (
+    SELECT c.doc_id, c.component,
+           CAST(length(d.text)
+                - length(regexp_replace(d.text, '[a-zA-Z]', '', 'g'))
+             AS BIGINT) AS quality
+    FROM comps c JOIN documents d USING (doc_id)
+), ranked AS (
+    SELECT component, doc_id, quality,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY quality DESC, doc_id) AS rn
+    FROM qual
+)
+SELECT component, cluster_size, doc_id AS kept_doc_id, quality AS kept_quality
+FROM ranked WHERE rn = 1 ORDER BY component
+"""
+
+
+@register(
+    "dup_cluster_representatives",
+    DUP_REPS_SQL,
+    "ext: keep-best-per-cluster retention (clusters x quality argmax)",
+)
+def q_dup_cluster_representatives(spark, sf_dir):
+    from ..operators import components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = components.near_dup_clusters(pairs)
+    qual = docs.select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[a-zA-Z]", ""))
+        )
+        .cast("long")
+        .alias("quality"),
+    )
+    return components.cluster_representatives(clusters, qual).orderBy("component")
+
+
+# --- temperature-based source mixing (alpha = 0.5) --------------------
+# Per-source sampling targets ~ sqrt(count): the standard multilingual
+# rebalance.  All-integer arithmetic (floor(sqrt) + integer DIV), so
+# the targets hash identically across engines and never ride a double
+# quotient whose product overflows 2^53 at corpus scale.
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+), w AS (
+    SELECT source, n_docs,
+           CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight
+    FROM counts
+), tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+           CAST(SUM(weight) AS BIGINT) AS total_w
+    FROM w
+)
+SELECT source, n_docs, weight,
+       CAST((total_docs * weight) // total_w AS BIGINT) AS sample_target
+FROM w, tot ORDER BY source
+"""
+
+
+@register(
+    "temperature_source_mixture",
+    TEMPERATURE_MIXTURE_SQL,
+    "ext: sqrt-temperature source rebalance (integer-exact targets)",
+)
+def q_temperature_source_mixture(spark, sf_dir):
+    return text.sqrt_temperature_mixture(_docs(spark, sf_dir))
+
+
+# --- cross-source shingle overlap matrix -------------------------------
+# Source-grain containment audit before mixing: shared distinct 3-gram
+# count per source pair + containment in basis points (exact integer
+# rounding, money.py pattern).  The self-join is keyed on the shingle;
+# per-key fanout is bounded by the SOURCE count, so no stop-key cap is
+# needed (unlike doc-grain posting joins).
+
+SOURCE_OVERLAP_SQL = """
+WITH toks AS (
+    SELECT source, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), persh AS (
+    SELECT source, unnest(CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [] END) AS s
+    FROM toks
+), ssh AS (
+    SELECT DISTINCT source, s FROM persh
+), sizes AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ssh GROUP BY source
+), ov AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM ssh a JOIN ssh b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT o.source_a, o.source_b, sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b, o.overlap,
+       CAST((o.overlap * 20000 + least(sa.n_sh, sb.n_sh))
+            // (2 * least(sa.n_sh, sb.n_sh)) AS BIGINT) AS containment_bp
+FROM ov o JOIN sizes sa ON sa.source = o.source_a
+          JOIN sizes sb ON sb.source = o.source_b
+ORDER BY o.source_a, o.source_b
+"""
+
+
+@register(
+    "source_overlap_matrix",
+    SOURCE_OVERLAP_SQL,
+    "ext: cross-source shingle containment matrix (composition audit)",
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    return dedup.source_shingle_overlap(_docs(spark, sf_dir))

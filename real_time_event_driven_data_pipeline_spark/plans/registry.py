@@ -77,45 +77,25 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
 
-    # round 6 sampling prefix (the r5 verdict's item 1): (a) queries NEW
-    # this round, then (b) the 15 extension queries whose LOAD PLAN the
-    # r5 centralized small-input fanout (sources/readers.py::_fanout_small)
-    # rewrote but which the driver last hashed in r4 or earlier — a
-    # repartition cannot change values (builder's full sf0.01 sweep is
-    # green post-change), but the certification should be fresh.  (c)
-    # queries whose code path changed this round follow; the rest keep
-    # their order behind them.
+    # round 7 sampling prefix: (a) queries NEW this round, then (b)
+    # queries whose code path changed this round — the connected-
+    # components consumers (CC gained the small-graph union-find fast
+    # path; crossmodal additionally switched to the fused one-pass
+    # multimodal_signatures operator) and the video family (frame-count
+    # clamp + zero-copy suffix views, oracle updated in lockstep).  The
+    # rest keep their round-6 order behind them (that entire prefix was
+    # driver-hashed green in CORRECTNESS_r06).
     _prioritize(
-        # (a) new in round 6
-        "exact_substring_dedup",  # duplicated-span removal (Lee et al. shape)
-        "video_near_dups",  # per-frame dHash banding -> video-grain pairs
-        "audio_near_dups",  # banded spectral-stub fingerprint near-dup
-        "crossmodal_dup_clusters",  # 4-modality dup edges -> CC
-        "modality_profile",  # per-modality corpus dashboard
-        # (b) fanout-affected, last hashed r4 or earlier
-        "quality_classifier_scores",
-        "hybrid_rrf_search",
-        "search_rerank_topk",
-        "dsir_importance_scores",
-        "dsir_resampled_mixture",
-        "cms_heavy_hitters",
-        "boilerplate_free_docs",
-        "doc_bigram_familiarity",
-        "context_packing",
-        "near_dup_clusters",
-        "pii_scrubbed_docs",
-        "train_split_counts",
-        "source_profile",
-        "top_tokens",
-        "embedding_centroids",
-        # (c) code path changed in round 6 (bucket-cap param threading;
-        # grouped-window null-safe joins)
-        "image_near_dups",
-        "simhash_near_pairs",
-        "multimodal_dup_clusters",
-        "source_length_deciles",
-        "source_token_budget_cut",
-        "margin_curriculum_cut",
+        # (a) new in round 7
+        "dup_cluster_representatives",  # keep-best-per-cluster retention
+        "temperature_source_mixture",  # sqrt-temperature source rebalance
+        "source_overlap_matrix",  # cross-source containment audit
+        # (b) code path changed in round 7
+        "crossmodal_dup_clusters",  # fused signatures + CC fast path
+        "near_dup_clusters",  # CC fast path
+        "multimodal_dup_clusters",  # CC fast path
+        "semantic_dedup_clusters",  # CC fast path
+        "video_near_dups",  # frame clamp + zero-copy (oracle in lockstep)
         after=0,
     )
 

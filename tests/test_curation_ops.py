@@ -419,3 +419,74 @@ def test_hybrid_rrf_partitioning_independent(spark):
     b = search.hybrid_rrf_topk(docs.repartition(7), qs, k=5).collect()
     key = lambda r: tuple((v if v is not None else -1) for v in r)  # noqa: E731
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+# --- round-7: cluster representatives / temperature mixture / overlap ---
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    from real_time_event_driven_data_pipeline_spark.operators import components
+
+    # clusters: {1,2,3} (component 1), {7,8} (component 7)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    clusters = components.near_dup_clusters(pairs)
+    # quality: 2 wins cluster 1 outright; 7 and 8 TIE -> min id 7 wins
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (7, 4), (8, 4)], "doc_id long, quality long"
+    )
+    got = {
+        r.component: (r.cluster_size, r.kept_doc_id, r.kept_quality)
+        for r in components.cluster_representatives(clusters, scores).collect()
+    }
+    assert got == {1: (3, 2, 9), 7: (2, 7, 4)}
+
+
+def test_sqrt_temperature_mixture_integer_exact(spark):
+    from real_time_event_driven_data_pipeline_spark.operators import text as t
+
+    # counts: a=16 (w=4), b=15 (w=3: floor boundary), c=1 (w=1)
+    rows = (
+        [(i, "x", "a") for i in range(16)]
+        + [(100 + i, "x", "b") for i in range(15)]
+        + [(200, "x", "c")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: (r.n_docs, r.weight, r.sample_target)
+        for r in t.sqrt_temperature_mixture(df).collect()
+    }
+    # total_docs=32, total_w=8: targets 32*4//8=16, 32*3//8=12, 32*1//8=4
+    assert got == {"a": (16, 4, 16), "b": (15, 3, 12), "c": (1, 1, 4)}
+    # head flattened: b oversampled (12 > 15*? no - targets rebalance
+    # toward c: c gets 4 from 1 doc), and floor targets never exceed total
+    assert sum(v[2] for v in got.values()) <= 32
+
+
+def test_source_shingle_overlap_counts_and_rounding(spark):
+    from real_time_event_driven_data_pipeline_spark.operators import dedup as dd
+
+    rows = [
+        # source A: shingles {a b c, b c d} (2 distinct)
+        (1, "a b c d", "A"),
+        # source B: {a b c, b c d, c d e} (3 distinct; full containment of A)
+        (2, "a b c d e", "B"),
+        # source C: {x y z} — no overlap with A; one shared with B? no.
+        (3, "x y z", "C"),
+        # source D: {b c d, q r s} -> overlap 1 with A (min size 2 -> 50.00%)
+        (4, "b c d", "D"),
+        (5, "q r s", "D"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): (r.n_sh_a, r.n_sh_b, r.overlap, r.containment_bp)
+        for r in dd.source_shingle_overlap(df).collect()
+    }
+    # A fully contained in B: 2/2 -> 10000 bp; A-D: 1/min(2,2) -> 5000 bp;
+    # B-D: {b c d}/min(3,2) -> 5000 bp; C pairs absent (zero overlap)
+    assert got == {
+        ("A", "B"): (2, 3, 2, 10000),
+        ("A", "D"): (2, 2, 1, 5000),
+        ("B", "D"): (3, 2, 1, 5000),
+    }

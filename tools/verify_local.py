@@ -49,6 +49,7 @@ QUADRATIC_ORACLES = {
     "video_near_dups",
     "audio_near_dups",
     "crossmodal_dup_clusters",
+    "dup_cluster_representatives",
 }
 
 
