@@ -935,3 +935,55 @@ def sqrt_temperature_mixture(
         .select(group_col, "n_docs", "weight", "sample_target")
         .orderBy(group_col)
     )
+
+
+def training_export_manifest(
+    df: DataFrame,
+    shard_token_budget: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """END-TO-END training-data export in one composition: quality gate
+    -> exact dedup (keep-min-id) -> deterministic hash training order
+    -> greedy token-budget sharding -> per-shard manifest.  This is the
+    deliverable a data team hands to the training job: which shard
+    holds how many documents and tokens, stable across re-runs.
+
+    Every stage is an existing audited operator: ``quality_filter``
+    (C4/Gopher thresholds), ``dedup.dedup_exact`` (md5 fingerprint,
+    keep-min-id), the md5 ``'shuf:'`` hash-permutation convention of
+    ``shuffle_shards`` (RNG-free, so resumed/re-run exports agree), and
+    ``windows.with_global_running_sum`` for the ordered token prefix sum
+    — hierarchical (range partitions + broadcast offsets), never an
+    Exchange SinglePartition, so the global order costs one range
+    shuffle at 100 TB.  shard_id = exclusive_prefix DIV budget: greedy
+    sequential fill in integer arithmetic, so a shard ends only after
+    the doc that crosses its budget (no empty shards, engine-exact).
+
+    Output: (shard_id, n_docs, shard_tokens), ordered.
+    """
+    from . import windows
+    from .dedup import dedup_exact
+
+    kept = dedup_exact(quality_filter(df, id_col, text_col), id_col, text_col)
+    toks = kept.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("shuf:"), F.col(id_col).cast("string"))).alias("_k"),
+    )
+    cum = windows.with_global_running_sum(
+        toks, ["_k", id_col], "n_tokens", "cum_tokens"
+    )
+    budget = int(shard_token_budget)
+    sharded = cum.withColumn(
+        "shard_id",
+        F.expr(f"(cum_tokens - n_tokens) div CAST({budget} AS BIGINT)").cast("long"),
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+        .orderBy("shard_id")
+    )

@@ -3074,3 +3074,64 @@ ORDER BY o.source_a, o.source_b
 )
 def q_source_overlap_matrix(spark, sf_dir):
     return dedup.source_shingle_overlap(_docs(spark, sf_dir))
+
+
+# --- end-to-end training export manifest -------------------------------
+# The whole curation-to-training handoff in ONE deterministic
+# composition: quality gate -> exact dedup keep-min -> md5 'shuf:'
+# training order -> greedy token-budget sharding -> per-shard manifest.
+# Every stage is an already-audited operator and every number is
+# integer/md5-exact, so the full pipeline replay hashes identically.
+
+TRAINING_EXPORT_SQL = """
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+), stats AS (
+    SELECT doc_id, len(t) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+             / length(text) AS alpha_ratio,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','and','of','to','in','is','it','that','for'], lower(x))))::DOUBLE
+             / len(t) AS stopword_ratio
+    FROM toks
+), gated AS (
+    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
+    FROM stats s
+    WHERE s.n_tokens >= 20 AND s.n_tokens <= 100000
+      AND s.alpha_ratio >= 0.5
+      AND s.stopword_ratio >= 0.01 AND s.stopword_ratio <= 0.60
+), fp AS (
+    SELECT g.doc_id, g.n_tokens,
+           md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+    FROM gated g JOIN documents d USING (doc_id)
+), kept AS (
+    SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp
+    ) WHERE rn = 1
+), cum AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (
+               ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM kept
+), sharded AS (
+    SELECT CAST((cum_tokens - n_tokens) // 5000 AS BIGINT) AS shard_id, n_tokens
+    FROM cum
+)
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM sharded GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+@register(
+    "training_export_manifest",
+    TRAINING_EXPORT_SQL,
+    "ext: end-to-end export (gate -> dedup -> order -> shard manifest)",
+)
+def q_training_export_manifest(spark, sf_dir):
+    return text.training_export_manifest(
+        _docs(spark, sf_dir), shard_token_budget=5_000
+    )

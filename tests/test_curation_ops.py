@@ -490,3 +490,41 @@ def test_source_shingle_overlap_counts_and_rounding(spark):
         ("A", "D"): (2, 2, 1, 5000),
         ("B", "D"): (3, 2, 1, 5000),
     }
+
+
+def test_training_export_manifest_greedy_fill(spark, docs):
+    from real_time_event_driven_data_pipeline_spark.operators import text as t
+
+    budget = 500
+    rows = sorted(
+        t.training_export_manifest(docs, shard_token_budget=budget).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert rows, "manifest empty"
+    # shard ids contiguous from 0 (greedy sequential fill: no gaps)
+    assert [r.shard_id for r in rows] == list(range(len(rows)))
+    # a shard closes only AFTER the doc that crosses its budget, so the
+    # cumulative token count through shard k covers (k+1) budgets for
+    # every shard except possibly the last
+    cum = 0
+    for r in rows[:-1]:
+        cum += r.shard_tokens
+        assert cum >= (r.shard_id + 1) * budget, r
+    # conservation: every kept doc's tokens land in exactly one shard
+    total_docs = sum(r.n_docs for r in rows)
+    from real_time_event_driven_data_pipeline_spark.operators.dedup import dedup_exact
+    import pyspark.sql.functions as SF
+
+    kept = dedup_exact(t.quality_filter(docs))
+    want_docs = kept.count()
+    want_tokens = kept.select(
+        SF.sum(SF.size(t.tokens_expr("text"))).cast("long")
+    ).collect()[0][0]
+    assert total_docs == want_docs
+    assert sum(r.shard_tokens for r in rows) == want_tokens
+    # determinism: a second run is byte-identical
+    again = sorted(
+        t.training_export_manifest(docs, shard_token_budget=budget).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert rows == again
