@@ -959,9 +959,14 @@ def source_shingle_overlap(
     overlap, containment_bp), a < b lexicographically.
     """
     sh = with_shingles(df.select(group_col, text_col), id_col=group_col, k=k)
-    ssh = sh.select(
-        F.col(group_col), F.explode("shingles").alias("_sh")
-    ).dropDuplicates()
+    # pinned: the distinct (source, shingle) relation feeds BOTH sides
+    # of the overlap self-join AND the per-source sizes — unpinned, the
+    # physical plan re-runs the corpus explode+distinct three times
+    ssh = _scoped_cache(
+        sh.select(F.col(group_col), F.explode("shingles").alias("_sh"))
+        .dropDuplicates(),
+        "source_overlap_ssh",
+    )
     sizes = ssh.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = ssh.select(F.col(group_col).alias("source_a"), "_sh")
     b = ssh.select(F.col(group_col).alias("source_b"), "_sh")

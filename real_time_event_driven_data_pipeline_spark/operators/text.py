@@ -912,15 +912,20 @@ def sqrt_temperature_mixture(
     to <= total_docs (floor rounding); the deficit is the usual
     largest-remainder follow-up a sampler applies downstream.
 
-    Plan: one hash agg on ``group_col`` (map-side partial), then a
-    1-row broadcast of the two totals — no second pass over the corpus,
-    no window.  Output: (group, n_docs, weight, sample_target), sorted.
+    Plan: one hash agg on ``group_col`` (map-side partial) — the
+    |groups|-row count relation is PINNED so the totals derive from it
+    rather than re-aggregating the corpus (unpinned, the physical plan
+    scans the source twice) — then a 1-row broadcast of the two totals.
+    No window.  Output: (group, n_docs, weight, sample_target), sorted.
     """
+    from .dedup import _scoped_cache
+
     counts = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    counts = counts.withColumn(
-        "weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    counts = _scoped_cache(
+        counts.withColumn("weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long")),
+        "temp_mixture_counts",
     )
     totals = counts.agg(
         F.sum("n_docs").cast("long").alias("_total_docs"),
@@ -960,19 +965,58 @@ def training_export_manifest(
     sequential fill in integer arithmetic, so a shard ends only after
     the doc that crosses its budget (no empty shards, engine-exact).
 
+    Plan shape: the corpus text is scanned ONCE — the gate features,
+    dedup fingerprint, and shuffle key are all projected in a single
+    pass (same expressions as ``quality_filter``/``fingerprint``/
+    ``shuffle_shards``, semantics identical), and the keep-min-id dedup
+    is a min-of-struct hash aggregate on the fingerprint (doc_id leads
+    the struct, so the lexicographic MIN selects the min-id row's
+    fields) — no semi-join back, so text is never re-derived.  After
+    that one scan + one fp shuffle, everything is narrow (id, n_tokens,
+    _k) through the range exchange of the prefix sum.  Composing the
+    stage operators naively instead re-reads the corpus per stage.
+
     Output: (shard_id, n_docs, shard_tokens), ordered.
     """
     from . import windows
-    from .dedup import dedup_exact
 
-    kept = dedup_exact(quality_filter(df, id_col, text_col), id_col, text_col)
-    toks = kept.select(
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_alpha = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z]", ""))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS["en"]))
+    ).cast("long")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    feats = df.select(
         F.col(id_col),
-        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+        F.md5(normalized).alias("fp"),
         F.md5(F.concat(F.lit("shuf:"), F.col(id_col).cast("string"))).alias("_k"),
     )
+    # quality_filter's default thresholds, replayed on the fused columns
+    gated = feats.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("alpha_ratio") >= 0.5)
+        & (F.col("stopword_ratio") >= 0.01)
+        & (F.col("stopword_ratio") <= 0.60)
+    ).select(id_col, "n_tokens", "fp", "_k")
+    kept = (
+        gated.groupBy("fp")
+        .agg(F.min(F.struct(id_col, "n_tokens", "_k")).alias("_m"))
+        .select(
+            F.col(f"_m.{id_col}").alias(id_col),
+            F.col("_m.n_tokens").alias("n_tokens"),
+            F.col("_m._k").alias("_k"),
+        )
+    )
     cum = windows.with_global_running_sum(
-        toks, ["_k", id_col], "n_tokens", "cum_tokens"
+        kept, ["_k", id_col], "n_tokens", "cum_tokens"
     )
     budget = int(shard_token_budget)
     sharded = cum.withColumn(
