@@ -155,3 +155,81 @@ def decontaminate(
         .select(id_col)
     )
     return train_docs.join(flagged, id_col, "left_anti")
+
+
+def eval_span_scrub(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-grain decontamination: REMOVE eval-verbatim spans from
+    training documents instead of dropping the documents.
+
+    ``contaminated_ids`` flags whole docs for the drop policy; this is
+    the salvage policy — a long, otherwise-clean document that quotes
+    one benchmark answer keeps everything except the leaked span.
+    Mechanically it is the Lee et al. exact-substring machinery
+    (``dedup.exact_substring_dedup``) pointed at a REFERENCE corpus:
+    a train token position is contaminated if it lies inside any
+    k-token run whose exact text occurs anywhere in the eval suite;
+    contaminated positions are cut and the document rebuilt from the
+    survivors.
+
+    Scale shape (same contract as the rest of this module): the eval
+    suite's distinct k-gram md5 set is small and static -> broadcast
+    left-semi against the train gram posting, so the training corpus
+    is filtered map-side with ZERO train-side shuffle; covered
+    positions aggregate per doc (hash agg on the id) and the rebuild
+    is an in-row array filter.
+
+    Output: (id, n_tokens, n_contaminated_tokens, contaminated_ratio,
+    cleaned_text) — one row per TRAIN doc, clean docs pass through
+    with ratio 0.  Deterministic (md5 grams, integer positions) ->
+    DuckDB-oracle exact.
+    """
+    from .dedup import _scoped_cache
+    from .text import tokens_expr
+
+    def _grams(n):
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    etoked = eval_docs.select(tokens_expr(text_col).alias("_toks"))
+    egrams = (
+        etoked.select(F.explode(_grams(F.size("_toks"))).alias("g")).dropDuplicates()
+    )
+    toked = _scoped_cache(
+        train.select(F.col(id_col), tokens_expr(text_col).alias("_toks")),
+        "span_scrub_toked",
+    )
+    posting = toked.select(
+        F.col(id_col), F.posexplode(_grams(F.size("_toks"))).alias("_p0", "g")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "g")
+    cov_pos = posting.join(broadcast(egrams), "g", "left_semi").select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cp"),
+    )
+    cov = cov_pos.groupBy(id_col).agg(F.collect_set("cp").alias("_cov"))
+    covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    return toked.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(covered).cast("long").alias("n_contaminated_tokens"),
+        F.when(F.size("_toks") > 0, F.size(covered) / F.size("_toks"))
+        .otherwise(F.lit(0.0))
+        .alias("contaminated_ratio"),
+        F.array_join(
+            F.filter(
+                F.col("_toks"),
+                lambda x, i: ~F.array_contains(covered, (i + 1).cast("int")),
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

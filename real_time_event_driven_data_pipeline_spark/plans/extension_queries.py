@@ -3135,3 +3135,65 @@ def q_training_export_manifest(spark, sf_dir):
     return text.training_export_manifest(
         _docs(spark, sf_dir), shard_token_budget=5_000
     )
+
+
+# --- span-grain decontamination: scrub eval spans, keep the doc -------
+# eval_contamination flags/drops whole docs; this SALVAGES them — the
+# exact-substring machinery pointed at the eval suite: train token
+# positions inside any verbatim 5-token eval run are cut and the doc
+# rebuilt.  Train/test assignment is the deterministic md5 split rule
+# (train_split), so the oracle replays the whole composition.
+
+EVAL_SPAN_SCRUB_SQL = """
+WITH split AS (
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+), toks AS (
+    SELECT d.doc_id, s.split, regexp_split_to_array(trim(d.text), '\\s+') AS t
+    FROM documents d JOIN split s USING (doc_id)
+), egrams AS (
+    SELECT DISTINCT array_to_string(t[pos:pos + 4], ' ') AS g
+    FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(pos)
+    WHERE split = 'test' AND len(t) >= 5
+), tgrams AS (
+    SELECT doc_id, pos, array_to_string(t[pos:pos + 4], ' ') AS g
+    FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(pos)
+    WHERE split = 'train' AND len(t) >= 5
+), cov AS (
+    SELECT DISTINCT doc_id, pos + off AS cp
+    FROM tgrams JOIN egrams USING (g),
+         unnest(generate_series(0, 4)) AS o(off)
+), covagg AS (
+    SELECT doc_id, list(cp) AS cps, COUNT(*) AS nc FROM cov GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nc, 0) AS BIGINT) AS n_contaminated_tokens,
+       CASE WHEN len(t) > 0
+            THEN CAST(coalesce(nc, 0) AS DOUBLE) / len(t)
+            ELSE 0.0 END AS contaminated_ratio,
+       coalesce(array_to_string(
+         list_filter(t, (x, i) -> NOT coalesce(list_contains(cps, i), FALSE)),
+         ' '), '') AS cleaned_text
+FROM toks LEFT JOIN covagg USING (doc_id)
+WHERE split = 'train'
+ORDER BY toks.doc_id
+"""
+
+
+@register(
+    "eval_span_scrub",
+    EVAL_SPAN_SCRUB_SQL,
+    "ext: span-grain decontamination (scrub eval spans, keep the doc)",
+)
+def q_eval_span_scrub(spark, sf_dir):
+    from ..operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    split = text.train_split(docs)
+    train = docs.join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
+    ev = docs.join(split.filter(F.col("split") == "test"), "doc_id", "left_semi")
+    return decontam.eval_span_scrub(train, ev, k=5).orderBy("doc_id")

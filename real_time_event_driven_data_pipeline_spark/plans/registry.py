@@ -91,6 +91,7 @@ def _ensure_loaded() -> None:
         "temperature_source_mixture",  # sqrt-temperature source rebalance
         "source_overlap_matrix",  # cross-source containment audit
         "training_export_manifest",  # end-to-end export composition
+        "eval_span_scrub",  # span-grain decontamination
         # (b) code path changed in round 7
         "crossmodal_dup_clusters",  # fused signatures + CC fast path
         "near_dup_clusters",  # CC fast path

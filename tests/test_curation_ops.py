@@ -528,3 +528,42 @@ def test_training_export_manifest_greedy_fill(spark, docs):
         key=lambda r: r.shard_id,
     )
     assert rows == again
+
+
+def test_eval_span_scrub_removes_exact_spans(spark):
+    from real_time_event_driven_data_pipeline_spark.operators import decontam
+
+    eval_docs = _mkdocs(
+        spark, [(100, "alpha beta gamma delta epsilon zeta")]
+    )
+    train = _mkdocs(
+        spark,
+        [
+            # embeds a 5-token eval run mid-document
+            (1, "aa bb alpha beta gamma delta epsilon cc dd"),
+            # clean doc: passes through untouched, ratio 0
+            (2, "xx yy zz ww vv uu"),
+            # 4-token overlap only (below k=5): NOT scrubbed
+            (3, "beta gamma delta epsilon qq rr ss tt"),
+            # the span at the very start (boundary)
+            (4, "beta gamma delta epsilon zeta mm nn oo pp"),
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in decontam.eval_span_scrub(train, eval_docs, k=5).collect()
+    }
+    assert got[1].n_contaminated_tokens == 5
+    assert got[1].cleaned_text == "aa bb cc dd"
+    assert got[2].n_contaminated_tokens == 0
+    assert got[2].cleaned_text == "xx yy zz ww vv uu"
+    assert got[3].n_contaminated_tokens == 0
+    assert got[4].n_contaminated_tokens == 5
+    assert got[4].cleaned_text == "mm nn oo pp"
+    # overlapping eval runs cover the union of positions, not 2x
+    train2 = _mkdocs(
+        spark, [(9, "alpha beta gamma delta epsilon zeta tail1 tail2")]
+    )
+    got2 = decontam.eval_span_scrub(train2, eval_docs, k=5).collect()[0]
+    assert got2.n_contaminated_tokens == 6  # two overlapping runs, union
+    assert got2.cleaned_text == "tail1 tail2"
