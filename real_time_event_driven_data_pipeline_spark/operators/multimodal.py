@@ -205,25 +205,32 @@ def packed_dhash(
     )
 
 
+def hamming_postings(sig: DataFrame, max_dist: int = 3) -> DataFrame:
+    """(media_id, band, val, h) Hamming probe-key posting rows from ANY
+    packed-signature relation — the appendable Hamming-dedup index (the
+    banded analogue of ``dedup.doc_postings``), shared by every
+    modality: image dHash, audio fingerprints, per-frame video hashes.
+    Deterministic per payload, so an accepted record's rows never
+    change: the index is append-only alongside the corpus and the
+    arrival-time gate (``incremental_hamming_near_dup_pairs``) reads it
+    instead of re-deriving history."""
+    from .dedup import hamming_band_keys
+
+    return sig.select(
+        "media_id",
+        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
+        "h",
+    )
+
+
 def image_dhash_postings(
     media: DataFrame,
     max_dist: int = 3,
     decoder: Callable[[bytes], np.ndarray] = decode_image,
 ) -> DataFrame:
-    """(media_id, band, val, h) Hamming probe-key posting rows — the
-    appendable image-dedup index (the dHash analogue of
-    ``dedup.doc_postings``).  Deterministic per payload, so an accepted
-    image's rows never change: the index is append-only alongside the
-    corpus and the arrival-time gate
-    (``incremental_image_near_dup_pairs``) reads it instead of
-    re-decoding history."""
-    from .dedup import hamming_band_keys
-
-    return packed_dhash(media, decoder).select(
-        "media_id",
-        F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),
-        "h",
-    )
+    """``hamming_postings`` over the packed image dHash — the image
+    instance of the appendable Hamming index."""
+    return hamming_postings(packed_dhash(media, decoder), max_dist)
 
 
 def incremental_image_near_dup_pairs(
@@ -233,29 +240,56 @@ def incremental_image_near_dup_pairs(
     decoder: Callable[[bytes], np.ndarray] = decode_image,
     max_bucket_df: int | None = None,
 ) -> DataFrame:
-    """Arrival-time image near-dup gate: all Hamming <= ``max_dist``
-    pairs that involve at least one NEW image — (new, existing) and
-    (new, new) — without re-decoding or re-hashing the accepted corpus
-    (the ``incremental_near_dup_pairs_indexed`` shape on
-    ``hamming_band_keys`` output; r5 verdict item 3).
+    """Arrival-time IMAGE near-dup gate — ``incremental_hamming_near_
+    dup_pairs`` with the packed-dHash signature (r5 verdict item 3).
+    See that function for the plan-shape contract."""
+    return incremental_hamming_near_dup_pairs(
+        existing_posting,
+        packed_dhash(new_media, decoder),
+        max_dist=max_dist,
+        max_bucket_df=max_bucket_df,
+        cache_slot="inc_image_sig",
+    )
 
-    ``existing_posting`` is ``image_dhash_postings`` rows accumulated
-    over accepted batches; history costs ONE narrow index scan per
-    activation (the build side of the candidate join — with the cap on,
-    one more scan feeding a partial-aggregated bucket count whose
-    shuffle is distinct-buckets-sized, not posting-sized).  The probe
-    side is built from the NEW batch's postings directly — never by
-    filtering the combined relation, which would re-scan history — so
-    probe work scales with |new| x bucket overlap, never |corpus|²;
-    the packed hash rides the postings, so re-verification is an
-    inline XOR.  ``max_bucket_df`` caps pathological buckets by
-    COMBINED (history + new) membership, dropping them from both
-    sides.  Ids must be unique across both inputs.
+
+def incremental_hamming_near_dup_pairs(
+    existing_posting: DataFrame,
+    new_sig: DataFrame,
+    max_dist: int = 3,
+    max_bucket_df: int | None = None,
+    cache_slot: str = "inc_hamming_sig",
+) -> DataFrame:
+    """Arrival-time Hamming near-dup gate over ANY packed-signature
+    modality: all Hamming <= ``max_dist`` pairs involving at least one
+    NEW record — (new, existing) and (new, new) — without re-decoding
+    or re-hashing the accepted corpus (the
+    ``incremental_near_dup_pairs_indexed`` shape on
+    ``hamming_band_keys`` output).
+
+    ``new_sig`` is a (media_id, h) packed 64-bit signature relation —
+    ``packed_dhash`` for images, ``audio_fingerprint`` + packing for
+    audio, exploded ``video_frame_dhash`` packings for video (any-frame
+    semantics; pairs then carry frame grain, dedup to media grain
+    downstream), or one column of ``multimodal_signatures``.
+
+    ``existing_posting`` is ``hamming_postings``-shaped rows
+    (media_id, band, val, h) accumulated over accepted batches; history
+    costs ONE narrow index scan per activation (the build side of the
+    candidate join — with the cap on, one more scan feeding a
+    partial-aggregated bucket count whose shuffle is
+    distinct-buckets-sized, not posting-sized).  The probe side is
+    built from the NEW batch's postings directly — never by filtering
+    the combined relation, which would re-scan history — so probe work
+    scales with |new| x bucket overlap, never |corpus|²; the packed
+    hash rides the postings, so re-verification is an inline XOR.
+    ``max_bucket_df`` caps pathological buckets by COMBINED
+    (history + new) membership, dropping them from both sides.  Ids
+    must be unique across both inputs.
     Output: (media_id_a, media_id_b, hamming_dist), a < b.
     """
     from .dedup import _scoped_cache, hamming_band_keys
 
-    sig_new = _scoped_cache(packed_dhash(new_media, decoder), "inc_image_sig")
+    sig_new = _scoped_cache(new_sig, cache_slot)
     post_new = sig_new.select(
         "media_id",
         F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias("band", "val"),

@@ -927,6 +927,10 @@ def sqrt_temperature_mixture(
         counts.withColumn("weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long")),
         "temp_mixture_counts",
     )
+    # the 1-row totals aggregate broadcast into the |groups|-row counts
+    # relation is a (free) BroadcastNestedLoopJoin by construction — the
+    # same allowlisted shape as keyword_search_topk's corpus-count scalar
+    # (tests/test_plans.py CROSS_OK)
     totals = counts.agg(
         F.sum("n_docs").cast("long").alias("_total_docs"),
         F.sum("weight").cast("long").alias("_total_w"),

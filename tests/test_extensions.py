@@ -1092,3 +1092,61 @@ def test_exact_substring_rebuild_modes_identical(spark, docs):
         for r in dedup.exact_substring_dedup(full, rebuild="exploded").collect()
     }
     assert fa == fb and fa[1][-1] == ""  # fully covered -> empty cleaned text
+
+
+def test_incremental_hamming_gate_generalizes_to_audio(spark):
+    """The generalized arrival-time gate (round 7) must find exactly
+    the batch audio near-dup pairs that involve a new record, reading
+    history only through the hamming_postings sidecar — the same
+    contract the image gate pins, demonstrated on a second modality."""
+    import numpy as np
+
+    from real_time_event_driven_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(23)
+    payloads = [bytes(rng.integers(0, 256, 320).astype(np.uint8)) for _ in range(10)]
+    near = bytearray(payloads[0])
+    near[7] = (near[7] + 3) % 256  # small energy shift -> few flipped bits
+    new_payloads = [
+        bytes(near),  # near-dup of history id 0
+        payloads[1],  # exact dup of history id 1
+        bytes(rng.integers(0, 256, 320).astype(np.uint8)),  # fresh
+    ]
+
+    def media(rows):
+        return spark.createDataFrame(
+            [(i, "audio", p, None, None, None, None) for i, p in rows],
+            multimodal.MEDIA_SCHEMA,
+        )
+
+    def packed(rows):
+        return multimodal.audio_fingerprint(media(rows)).select(
+            "media_id", multimodal._packed_dhash_col().alias("h")
+        )
+
+    hist_rows = list(enumerate(payloads))
+    new_rows = [(100 + j, p) for j, p in enumerate(new_payloads)]
+    posting = multimodal.hamming_postings(packed(hist_rows), max_dist=3)
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming_dist
+        for r in multimodal.incremental_hamming_near_dup_pairs(
+            posting, packed(new_rows), max_dist=3
+        ).collect()
+    }
+
+    fps = {i: multimodal.audio_fingerprint_bands(p) for i, p in hist_rows + new_rows}
+    new_ids = {i for i, _ in new_rows}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+
+    want = {
+        (a, b): ham(a, b)
+        for a in fps
+        for b in fps
+        if a < b and (a in new_ids or b in new_ids) and ham(a, b) <= 3
+    }
+    assert got == want
+    assert (0, 100) in want and (1, 101) in want  # planted pairs exercised
+    # history-history pairs are NOT re-reported (0 and its own history)
+    assert all(a in new_ids or b in new_ids for a, b in got)

@@ -34,6 +34,9 @@ CROSS_OK = {
     # corpus-count scalar (1-row aggregate) cross-joined into the tiny
     # per-term idf relation — same free 1-row broadcast shape
     "keyword_search_topk",
+    # 1-row (total_docs, total_weight) aggregate broadcast into the
+    # |sources|-row pinned counts relation — same free 1-row broadcast
+    "temperature_source_mixture",
     # stage 1 of the two-stage retrieval IS keyword_search_topk, so its
     # plan inherits the same 1-row n_docs broadcast cross
     "search_rerank_topk",
@@ -46,6 +49,9 @@ CROSS_OK = {
     "context_packing",
     # DSIR budget cut uses the same hierarchical-window offset join
     "dsir_resampled_mixture",
+    # export manifest's ordered token prefix sum is the same
+    # hierarchical-window triangular offsets join
+    "training_export_manifest",
     # RRF fusion's lexical arm IS keyword_search_topk, so its plan
     # inherits the same free 1-row n_docs broadcast cross
     "hybrid_rrf_search",

@@ -220,10 +220,21 @@ re-verify on candidates only.  Pigeonhole makes the banding lossless,
 so this banded plan is certified exactly by the brute-force oracle.""",
     "multimodal_dup_clusters": """The two dedup families composed (r5):
 text MinHash-LSH verified pairs UNION image dHash banded pairs feed
-iterative min-label propagation; per round the plan is edge-join +
-partial/final min-aggregate over the (tiny) duplicate graph, with
-localCheckpoint truncating lineage between rounds and a scalar
-SUM(comp) convergence probe.""",
+connected components; below the 1M-edge threshold (r7) the collected
+union-find replaces the per-round join/agg/checkpoint loop — the
+duplicate graph is broadcast-build-side sized, so the fast path is the
+same design call as a broadcast join.""",
+    "training_export_manifest": """End-to-end export composition (r7):
+gate features, dedup fingerprint, and the md5 shuffle key project in
+ONE pass over the corpus text; keep-min-id dedup is a min-of-struct
+hash aggregate (no semi-join back); the ordered token prefix sum is
+the hierarchical range-exchange shape (never Exchange SinglePartition)
+and the shard assignment is pure integer projection on top.""",
+    "source_overlap_matrix": """Cross-source containment audit (r7):
+one explode+distinct pass pinned in memory feeds both sides of the
+shingle-keyed self-join AND the per-source sizes; per-key fanout is
+bounded by the SOURCE count (not documents), so the join cannot skew;
+sizes join back via two broadcasts.""",
 }
 
 

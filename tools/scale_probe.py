@@ -57,6 +57,13 @@ SPARSE_QUERIES = [
     "minhash_lsh_near_dups",
     "near_dup_clusters",
     "curated_corpus",
+    # round-7 additions: the new curation deliverables, probed on the
+    # same realistic-vocabulary corpus
+    "dup_cluster_representatives",
+    "temperature_source_mixture",
+    "source_overlap_matrix",
+    "training_export_manifest",
+    "eval_span_scrub",
 ]
 SATURATED_QUERIES = [
     "exact_duplicate_groups",
