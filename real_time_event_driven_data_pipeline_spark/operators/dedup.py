@@ -698,6 +698,7 @@ def exact_substring_dedup(
     min_tokens: int = 5,
     min_doc_freq: int = 2,
     rebuild: str = "inrow",
+    scope: str = "corpus",
 ) -> DataFrame:
     """Exact duplicated-SPAN removal (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): a token position is
@@ -738,9 +739,23 @@ def exact_substring_dedup(
       positions on (id, pos), re-aggregate in position order — linear
       in tokens at the cost of one more shuffle; right for book-length
       documents where a heavily-covered doc would make the in-row
-      filter quadratic."""
+      filter quadratic.
+
+    ``scope`` selects the duplication test:
+    - ``"corpus"`` (default, the Lee et al. semantics above): a k-run
+      is duplicated if it occurs in >= ``min_doc_freq`` DISTINCT
+      documents; ALL its positions are removed everywhere.
+    - ``"doc"`` — INTRA-document repeated-span removal (the scraped-
+      page boilerplate case: a nav block or footer repeated inside one
+      page): a k-run repeated >= ``min_doc_freq`` times within the
+      SAME document keeps its FIRST occurrence and loses the rest.
+      The gram aggregate is keyed on (id, gram) instead of gram, so
+      the whole plan stays one hash shuffle; keep-first falls out of a
+      MIN(pos) carried on the same aggregate — no extra pass."""
     if rebuild not in ("inrow", "exploded"):
         raise ValueError("rebuild must be 'inrow' or 'exploded'")
+    if scope not in ("corpus", "doc"):
+        raise ValueError("scope must be 'corpus' or 'doc'")
     k = min_tokens
     toked = _scoped_cache(
         df.select(F.col(id_col), tokens_expr(text_col).alias("_toks")), "substr_toked"
@@ -756,13 +771,27 @@ def exact_substring_dedup(
     posting = toked.select(
         F.col(id_col), F.posexplode(grams).alias("_p0", "g")
     ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "g")
-    dup_g = (
-        posting.groupBy("g")
-        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
-        .filter(F.col("_df") >= min_doc_freq)
-        .select("g")
-    )
-    cov_pos = posting.join(dup_g, "g", "left_semi").select(
+    if scope == "doc":
+        rep = (
+            posting.groupBy(id_col, "g")
+            .agg(F.min("pos").alias("_minpos"), F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_doc_freq)
+            .select(id_col, "g", "_minpos")
+        )
+        cov_src = (
+            posting.join(rep, [id_col, "g"])
+            .filter(F.col("pos") != F.col("_minpos"))
+            .select(id_col, "pos")
+        )
+    else:
+        dup_g = (
+            posting.groupBy("g")
+            .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+            .filter(F.col("_df") >= min_doc_freq)
+            .select("g")
+        )
+        cov_src = posting.join(dup_g, "g", "left_semi")
+    cov_pos = cov_src.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cp"),
     )

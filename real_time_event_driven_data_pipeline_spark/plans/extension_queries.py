@@ -3197,3 +3197,53 @@ def q_eval_span_scrub(spark, sf_dir):
     train = docs.join(split.filter(F.col("split") == "train"), "doc_id", "left_semi")
     ev = docs.join(split.filter(F.col("split") == "test"), "doc_id", "left_semi")
     return decontam.eval_span_scrub(train, ev, k=5).orderBy("doc_id")
+
+
+# --- intra-document repeated-span removal ------------------------------
+# The within-page boilerplate case (nav blocks, footers repeated inside
+# ONE scraped page): a 5-token run repeated >= 2 times in the SAME
+# document keeps its first occurrence and loses the rest — the
+# exact-substring machinery with the gram aggregate keyed on
+# (doc, gram) and keep-first from a MIN(pos) on the same aggregate.
+
+INTRA_DOC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, pos, md5(array_to_string(t[pos:pos + {_SUBSTR_K - 1}], ' ')) AS g
+  FROM toks, unnest(generate_series(1, len(t) - {_SUBSTR_K - 1})) AS u(pos)
+  WHERE len(t) >= {_SUBSTR_K}
+), rep AS (
+  SELECT doc_id, g, MIN(pos) AS minpos
+  FROM grams GROUP BY doc_id, g HAVING COUNT(*) >= 2
+), cov AS (
+  SELECT DISTINCT grams.doc_id, grams.pos + off AS cp
+  FROM grams JOIN rep USING (doc_id, g),
+       unnest(generate_series(0, {_SUBSTR_K - 1})) AS o(off)
+  WHERE grams.pos <> rep.minpos
+), covagg AS (
+  SELECT doc_id, list(cp) AS cps, COUNT(*) AS nd FROM cov GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_tokens,
+       CASE WHEN len(t) > 0
+            THEN CAST(coalesce(nd, 0) AS DOUBLE) / len(t)
+            ELSE 0.0 END AS dup_token_ratio,
+       coalesce(array_to_string(
+         list_filter(t, (x, i) -> NOT coalesce(list_contains(cps, i), FALSE)),
+         ' '), '') AS cleaned_text
+FROM toks LEFT JOIN covagg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "intra_doc_dedup",
+    INTRA_DOC_SQL,
+    "ext: intra-document repeated-span removal (keep-first)",
+)
+def q_intra_doc_dedup(spark, sf_dir):
+    return dedup.exact_substring_dedup(
+        _docs(spark, sf_dir), min_tokens=_SUBSTR_K, scope="doc"
+    ).orderBy("doc_id")

@@ -92,6 +92,8 @@ def _ensure_loaded() -> None:
         "source_overlap_matrix",  # cross-source containment audit
         "training_export_manifest",  # end-to-end export composition
         "eval_span_scrub",  # span-grain decontamination
+        "intra_doc_dedup",  # within-page repeated-span removal
+        "event_volume_anomalies",  # integer-exact 2-sigma flags
         # (b) code path changed in round 7
         "crossmodal_dup_clusters",  # fused signatures + CC fast path
         "near_dup_clusters",  # CC fast path

@@ -461,3 +461,69 @@ def q_value_histogram_quantiles(spark, sf_dir):
     return sketches.histogram_quantiles(
         events, "value", "event_type", buckets=128, percents=(50, 95, 99)
     )
+
+
+# --- integer-exact volume anomaly flags (observability) ---------------
+# Daily event-volume spikes/dips per event type, flagged at 2 sigma
+# WITHOUT any floating-point sigma: |x - mu| > 2*sigma is equivalent to
+# (n*x - S)^2 > 4*(n*Q - S^2) for integer day-counts (S = sum, Q = sum
+# of squares over the type's n days) — every quantity BIGINT, so the
+# flag hashes identically in any engine.  (Bound: |n*x - S| must stay
+# under ~3e9 for the square to fit int64 — comfortable for day-grain
+# counts; at extreme scales promote to DECIMAL.)  Two hash aggregates,
+# the per-type stats relation is |types|-rows and broadcast back.
+
+VOLUME_ANOMALY_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n_events) AS BIGINT) AS s,
+           CAST(SUM(n_events * n_events) AS BIGINT) AS q
+    FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n_events, st.n_days,
+       CAST(st.n_days * d.n_events - st.s AS BIGINT) AS dev_num,
+       CAST(CASE WHEN (st.n_days * d.n_events - st.s)
+                      * (st.n_days * d.n_events - st.s)
+                    > 4 * (st.n_days * st.q - st.s * st.s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM daily d JOIN stats st USING (event_type)
+ORDER BY d.event_type, d.day
+"""
+
+
+@register(
+    "event_volume_anomalies",
+    VOLUME_ANOMALY_SQL,
+    "event analytics: integer-exact 2-sigma volume anomaly flags",
+)
+def q_event_volume_anomalies(spark, sf_dir):
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("q"),
+    )
+    dev = F.col("n_days") * F.col("n_events") - F.col("s")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "n_days",
+            dev.cast("long").alias("dev_num"),
+            (dev * dev > 4 * (F.col("n_days") * F.col("q") - F.col("s") * F.col("s")))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

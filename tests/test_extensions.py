@@ -1150,3 +1150,96 @@ def test_incremental_hamming_gate_generalizes_to_audio(spark):
     assert (0, 100) in want and (1, 101) in want  # planted pairs exercised
     # history-history pairs are NOT re-reported (0 and its own history)
     assert all(a in new_ids or b in new_ids for a, b in got)
+
+
+def test_intra_doc_dedup_keeps_first_occurrence(spark):
+    """scope='doc': a 5-token run repeated within ONE document keeps its
+    first occurrence and loses the rest; cross-document repeats alone
+    do NOT trigger it; both rebuild modes agree."""
+    nav = "home about products contact login"
+    rows = [
+        # nav block repeated twice inside doc 1 -> second copy removed
+        (1, f"{nav} real content here truly {nav}"),
+        # doc 2 shares the nav with doc 1 but has only ONE copy -> kept
+        (2, f"{nav} different body text entirely"),
+        # doc 3: overlapping self-repeat "a a a a a a" (period 1)
+        (3, "a a a a a a tail words here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup.exact_substring_dedup(d, min_tokens=5, scope="doc").collect()
+    }
+    assert got[1].n_dup_tokens == 5
+    assert got[1].cleaned_text == f"{nav} real content here truly"
+    assert got[2].n_dup_tokens == 0
+    assert got[2].cleaned_text == rows[1][1]
+    # "a a a a a a": gram 'a a a a a' at pos 1 and 2; keep pos 1, cover
+    # 2..6 -> only position 1 survives of the six a's
+    assert got[3].cleaned_text == "a tail words here"
+    # rebuild modes bit-identical in doc scope too
+    expl = {
+        r.doc_id: r
+        for r in dedup.exact_substring_dedup(
+            d, min_tokens=5, scope="doc", rebuild="exploded"
+        ).collect()
+    }
+    for i in got:
+        assert (got[i].n_dup_tokens, got[i].cleaned_text) == (
+            expl[i].n_dup_tokens,
+            expl[i].cleaned_text,
+        )
+
+
+def test_event_volume_anomaly_integer_flag(spark):
+    """(n*x - S)^2 > 4*(n*Q - S^2) must flag exactly the |x - mu| >
+    2*sigma days — pinned on hand-computed counts."""
+    import datetime as dt
+
+    import __spark_entry__ as ent
+
+    from .conftest import SF_DIR
+
+    # hand case: k identical baseline days + one outlier give the
+    # outlier z^2 = (n*x-S)^2 / (n*Q-S^2) = k*(k+1-2)/(k+1-1)... with
+    # k=4 the outlier lands at EXACTLY 2 sigma (boundary, strict > not
+    # flagged — verified by hand: (nx-S)^2 = 41616 = 4*(nQ-S^2)); with
+    # k=5 baseline [10 x5, 61]: n=6, S=111, Q=4221, nx-S=255,
+    # 255^2=65025 > 4*(6*4221-111^2)=52020 -> FLAGGED, z ~ 2.236.
+    counts = [10, 10, 10, 10, 10, 61]
+    rows = []
+    eid = 0
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2026, 3, day, 12, 0, 0), 1, "probe", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    daily = df.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("q"),
+    )
+    dev = F.col("n_days") * F.col("n_events") - F.col("s")
+    out = (
+        daily.join(stats, "event_type")
+        .select(
+            "day",
+            "n_events",
+            (dev * dev > 4 * (F.col("n_days") * F.col("q") - F.col("s") * F.col("s")))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+        .collect()
+    )
+    flags = {r.n_events: r.is_anomaly for r in out}
+    assert flags[61] == 1 and flags[10] == 0
+    # and the registered query runs with a stable schema on driver data
+    cols = ent.queries()["event_volume_anomalies"](spark, SF_DIR).columns
+    assert cols == ["event_type", "day", "n_events", "n_days", "dev_num", "is_anomaly"]
