@@ -1035,3 +1035,92 @@ def training_export_manifest(
         )
         .orderBy("shard_id")
     )
+
+
+def quality_gate_reasons(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.01,
+    max_stopword_ratio: float = 0.60,
+) -> DataFrame:
+    """``quality_filter`` with its decision EXPLAINED: one row per doc
+    with a pass flag and the pipe-joined list of failed rules (fixed
+    rule order, so the string is engine-independent) — the
+    observability twin every production gate needs (what fraction of
+    a crawl is dropped, and WHY, per rule).
+
+    Same single-scan stats expressions as ``text_stats``; reasons
+    assemble from fixed-order CASE columns through null-skipping
+    ``concat_ws`` — no UDFs, no second pass.
+    Output: (id, n_tokens, passed [0/1 BIGINT], reasons ['' when
+    passed]).
+    """
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_alpha = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z]", ""))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS["en"]))
+    ).cast("long")
+    alpha_ratio = n_alpha / n_chars
+    stopword_ratio = n_stop / n_tokens
+    rules = [
+        F.when(n_tokens < min_tokens, F.lit("too_short")),
+        F.when(n_tokens > max_tokens, F.lit("too_long")),
+        F.when(alpha_ratio < min_alpha_ratio, F.lit("low_alpha")),
+        F.when(stopword_ratio < min_stopword_ratio, F.lit("low_stopword")),
+        F.when(stopword_ratio > max_stopword_ratio, F.lit("high_stopword")),
+    ]
+    reasons = F.concat_ws("|", *rules)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        (reasons == "").cast("long").alias("passed"),
+        reasons.alias("reasons"),
+    )
+
+
+def temperature_sampled_corpus(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXECUTE the sqrt-temperature mixture: deterministically sample
+    each source down to its ``sqrt_temperature_mixture`` target —
+    ``sample_target`` says how many docs each source contributes; this
+    picks WHICH ones (md5 hash-rank order, RNG-free, so re-runs and
+    resumed jobs select identical rows).
+
+    Per-source rank comes from the grouped HIERARCHICAL window
+    (``windows.with_grouped_row_number``) — sources are the canonical
+    few/LARGE groups, and a plain ``Window.partitionBy(source)`` would
+    move each source's entire membership into one task (the plan shape
+    the registry-wide gate bans).  Targets join back as a broadcast of
+    the |sources|-row mixture relation.
+    Output: (id, group, pick_rank), pick_rank <= the source's target.
+    """
+    from . import windows
+
+    targets = sqrt_temperature_mixture(df, group_col, id_col).select(
+        group_col, "sample_target"
+    )
+    keyed = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))).alias("_k"),
+    )
+    ranked = windows.with_grouped_row_number(
+        keyed, [group_col], [("_k", True), (id_col, True)], "pick_rank"
+    )
+    return (
+        ranked.join(F.broadcast(targets), group_col)
+        .filter(F.col("pick_rank") <= F.col("sample_target"))
+        .select(id_col, group_col, "pick_rank")
+        .orderBy(id_col)
+    )

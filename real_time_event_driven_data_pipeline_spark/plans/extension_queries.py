@@ -3247,3 +3247,92 @@ def q_intra_doc_dedup(spark, sf_dir):
     return dedup.exact_substring_dedup(
         _docs(spark, sf_dir), min_tokens=_SUBSTR_K, scope="doc"
     ).orderBy("doc_id")
+
+
+# --- reason-carrying quality gate (observability twin) ----------------
+# quality_filtered_docs says WHICH docs pass; this says WHY the rest
+# fail — pipe-joined failed-rule list in fixed rule order (null-skipping
+# concat_ws, engine-independent), the per-rule drop dashboard every
+# production crawl gate needs.
+
+QUALITY_REASONS_SQL = """
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') t
+    FROM documents
+), stats AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+             / length(text) AS alpha_ratio,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','and','of','to','in','is','it','that','for'], lower(x))))::DOUBLE
+             / len(t) AS stopword_ratio
+    FROM toks
+), r AS (
+    SELECT doc_id, n_tokens,
+           concat_ws('|',
+             CASE WHEN n_tokens < 20 THEN 'too_short' END,
+             CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+             CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha' END,
+             CASE WHEN stopword_ratio < 0.01 THEN 'low_stopword' END,
+             CASE WHEN stopword_ratio > 0.60 THEN 'high_stopword' END) AS reasons
+    FROM stats
+)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS BIGINT) AS passed,
+       reasons
+FROM r ORDER BY doc_id
+"""
+
+
+@register(
+    "quality_gate_reasons",
+    QUALITY_REASONS_SQL,
+    "ext: reason-carrying quality gate (per-rule drop observability)",
+)
+def q_quality_gate_reasons(spark, sf_dir):
+    return text.quality_gate_reasons(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# --- execute the sqrt-temperature mixture ------------------------------
+# temperature_source_mixture computes HOW MANY docs each source should
+# contribute; this picks WHICH ones — md5 hash-rank per source (RNG-
+# free) via the grouped HIERARCHICAL window (sources are the canonical
+# few/LARGE groups; a plain Window.partitionBy(source) is the funnel
+# the registry-wide plan gate bans).
+
+TEMPERATURE_SAMPLE_SQL = """
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+), w AS (
+    SELECT source, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight
+    FROM counts
+), tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+           CAST(SUM(weight) AS BIGINT) AS total_w
+    FROM w
+), tgt AS (
+    SELECT source, CAST((total_docs * weight) // total_w AS BIGINT) AS sample_target
+    FROM w, tot
+), ranked AS (
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS pick_rank
+    FROM documents
+)
+SELECT r.doc_id, r.source, r.pick_rank
+FROM ranked r JOIN tgt USING (source)
+WHERE r.pick_rank <= tgt.sample_target
+ORDER BY r.doc_id
+"""
+
+
+@register(
+    "temperature_sampled_corpus",
+    TEMPERATURE_SAMPLE_SQL,
+    "ext: execute the sqrt-temperature mixture (hash-rank pick per source)",
+)
+def q_temperature_sampled_corpus(spark, sf_dir):
+    return text.temperature_sampled_corpus(_docs(spark, sf_dir))

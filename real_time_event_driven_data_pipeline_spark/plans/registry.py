@@ -94,6 +94,8 @@ def _ensure_loaded() -> None:
         "eval_span_scrub",  # span-grain decontamination
         "intra_doc_dedup",  # within-page repeated-span removal
         "event_volume_anomalies",  # integer-exact 2-sigma flags
+        "quality_gate_reasons",  # per-rule drop observability
+        "temperature_sampled_corpus",  # execute the mixture
         # (b) code path changed in round 7
         "crossmodal_dup_clusters",  # fused signatures + CC fast path
         "near_dup_clusters",  # CC fast path

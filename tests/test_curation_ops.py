@@ -567,3 +567,44 @@ def test_eval_span_scrub_removes_exact_spans(spark):
     got2 = decontam.eval_span_scrub(train2, eval_docs, k=5).collect()[0]
     assert got2.n_contaminated_tokens == 6  # two overlapping runs, union
     assert got2.cleaned_text == "tail1 tail2"
+
+
+def test_quality_gate_reasons_consistent_with_filter(spark, docs):
+    from real_time_event_driven_data_pipeline_spark.operators import text as t
+
+    out = t.quality_gate_reasons(docs)
+    passed_ids = {r.doc_id for r in out.filter("passed = 1").collect()}
+    kept_ids = {r.doc_id for r in t.quality_filter(docs).select("doc_id").collect()}
+    assert passed_ids == kept_ids  # reasons gate == filter gate, exactly
+    # every failed row names at least one rule; passed rows name none
+    for r in out.collect():
+        assert (r.passed == 1) == (r.reasons == "")
+    # planted: short doc carries too_short
+    bad = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    row = t.quality_gate_reasons(bad).collect()[0]
+    assert row.passed == 0 and "too_short" in row.reasons
+
+
+def test_temperature_sampled_corpus_hits_targets(spark):
+    from real_time_event_driven_data_pipeline_spark.operators import text as t
+
+    # skewed mix: a=100 docs, b=25, c=4 -> weights 10/5/2, total_w=17,
+    # total=129 -> targets 129*10//17=75, 129*5//17=37, 129*2//17=15
+    # (c's target exceeds its 4 docs: a source can't contribute more
+    # than it has — the per-source pick is capped by membership)
+    rows = (
+        [(i, "x", "a") for i in range(100)]
+        + [(200 + i, "x", "b") for i in range(25)]
+        + [(300 + i, "x", "c") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = t.temperature_sampled_corpus(df).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, []).append(r.pick_rank)
+    assert len(per["a"]) == 75 and sorted(per["a"]) == list(range(1, 76))
+    assert len(per["b"]) == 25  # target 37 capped by membership
+    assert len(per["c"]) == 4
+    # deterministic: identical pick set on re-run
+    again = {(r.doc_id, r.pick_rank) for r in t.temperature_sampled_corpus(df).collect()}
+    assert again == {(r.doc_id, r.pick_rank) for r in got}

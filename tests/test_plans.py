@@ -37,6 +37,9 @@ CROSS_OK = {
     # 1-row (total_docs, total_weight) aggregate broadcast into the
     # |sources|-row pinned counts relation — same free 1-row broadcast
     "temperature_source_mixture",
+    # the mixture executor embeds temperature_source_mixture for its
+    # targets, so its plan inherits the same free 1-row broadcast
+    "temperature_sampled_corpus",
     # stage 1 of the two-stage retrieval IS keyword_search_topk, so its
     # plan inherits the same 1-row n_docs broadcast cross
     "search_rerank_topk",
