@@ -1046,6 +1046,7 @@ def quality_gate_reasons(
     min_alpha_ratio: float = 0.5,
     min_stopword_ratio: float = 0.01,
     max_stopword_ratio: float = 0.60,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``quality_filter`` with its decision EXPLAINED: one row per doc
     with a pass flag and the pipe-joined list of failed rules (fixed
@@ -1055,9 +1056,11 @@ def quality_gate_reasons(
 
     Same single-scan stats expressions as ``text_stats``; reasons
     assemble from fixed-order CASE columns through null-skipping
-    ``concat_ws`` — no UDFs, no second pass.
-    Output: (id, n_tokens, passed [0/1 BIGINT], reasons ['' when
-    passed]).
+    ``concat_ws`` — no UDFs, no second pass.  ``keep_cols`` pass
+    through untouched (e.g. ``("source",)`` for the per-source
+    profile — a passthrough column beats a corpus-sized join back).
+    Output: (id, *keep_cols, n_tokens, passed [0/1 BIGINT], reasons
+    ['' when passed]).
     """
     toks = tokens_expr(text_col)
     n_tokens = F.size(toks).cast("long")
@@ -1080,9 +1083,53 @@ def quality_gate_reasons(
     reasons = F.concat_ws("|", *rules)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_tokens.alias("n_tokens"),
         (reasons == "").cast("long").alias("passed"),
         reasons.alias("reasons"),
+    )
+
+
+def source_quality_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source quality-gate dashboard: volume, pass count, per-rule
+    failure counts, and an exact pass rate in basis points — the
+    artifact a crawl operator reads to decide which feeds to fix or
+    drop (composes ``quality_gate_reasons`` with one hash aggregate;
+    a doc failing two rules counts under both, so rule columns can sum
+    past n_docs - n_passed).
+
+    One corpus scan (the gate's single-pass expressions with
+    ``group_col`` riding through), one partial+final hash agg on the
+    source key; pass_rate_bp = round_half_up(10000 * passed / docs)
+    via integer DIV (money.py pattern), engine-exact.
+    """
+    gated = quality_gate_reasons(
+        df, id_col=id_col, text_col=text_col, keep_cols=(group_col,)
+    )
+    rule = lambda name: F.sum(  # noqa: E731
+        F.col("reasons").contains(name).cast("long")
+    ).cast("long")
+    return (
+        gated.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("passed").cast("long").alias("n_passed"),
+            rule("too_short").alias("n_too_short"),
+            rule("too_long").alias("n_too_long"),
+            rule("low_alpha").alias("n_low_alpha"),
+            rule("low_stopword").alias("n_low_stopword"),
+            rule("high_stopword").alias("n_high_stopword"),
+        )
+        .withColumn(
+            "pass_rate_bp",
+            F.expr("(n_passed * 20000 + n_docs) div (2 * n_docs)").cast("long"),
+        )
+        .orderBy(group_col)
     )
 
 

@@ -3336,3 +3336,57 @@ ORDER BY r.doc_id
 )
 def q_temperature_sampled_corpus(spark, sf_dir):
     return text.temperature_sampled_corpus(_docs(spark, sf_dir))
+
+
+# --- per-source quality-gate dashboard ---------------------------------
+# Volume, pass count, per-rule failure counts, and an exact pass rate
+# per source — the crawl-operator view of quality_gate_reasons (a doc
+# failing two rules counts under both).
+
+SOURCE_QUALITY_SQL = """
+WITH toks AS (
+    SELECT doc_id, source, text, regexp_split_to_array(trim(text), '\\s+') t
+    FROM documents
+), stats AS (
+    SELECT doc_id, source,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+             / length(text) AS alpha_ratio,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','and','of','to','in','is','it','that','for'], lower(x))))::DOUBLE
+             / len(t) AS stopword_ratio
+    FROM toks
+), flags AS (
+    SELECT source,
+           CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS f_short,
+           CASE WHEN n_tokens > 100000 THEN 1 ELSE 0 END AS f_long,
+           CASE WHEN alpha_ratio < 0.5 THEN 1 ELSE 0 END AS f_alpha,
+           CASE WHEN stopword_ratio < 0.01 THEN 1 ELSE 0 END AS f_lsw,
+           CASE WHEN stopword_ratio > 0.60 THEN 1 ELSE 0 END AS f_hsw
+    FROM stats
+), agg AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f_short + f_long + f_alpha + f_lsw + f_hsw = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+           CAST(SUM(f_short) AS BIGINT) AS n_too_short,
+           CAST(SUM(f_long) AS BIGINT) AS n_too_long,
+           CAST(SUM(f_alpha) AS BIGINT) AS n_low_alpha,
+           CAST(SUM(f_lsw) AS BIGINT) AS n_low_stopword,
+           CAST(SUM(f_hsw) AS BIGINT) AS n_high_stopword
+    FROM flags GROUP BY source
+)
+SELECT source, n_docs, n_passed, n_too_short, n_too_long, n_low_alpha,
+       n_low_stopword, n_high_stopword,
+       CAST((n_passed * 20000 + n_docs) // (2 * n_docs) AS BIGINT) AS pass_rate_bp
+FROM agg ORDER BY source
+"""
+
+
+@register(
+    "source_quality_profile",
+    SOURCE_QUALITY_SQL,
+    "ext: per-source quality-gate dashboard (rule-level drop counts)",
+)
+def q_source_quality_profile(spark, sf_dir):
+    return text.source_quality_profile(_docs(spark, sf_dir))

@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
         "event_volume_anomalies",  # integer-exact 2-sigma flags
         "quality_gate_reasons",  # per-rule drop observability
         "temperature_sampled_corpus",  # execute the mixture
+        "source_quality_profile",  # per-source gate dashboard
         # (b) code path changed in round 7
         "crossmodal_dup_clusters",  # fused signatures + CC fast path
         "near_dup_clusters",  # CC fast path

@@ -608,3 +608,26 @@ def test_temperature_sampled_corpus_hits_targets(spark):
     # deterministic: identical pick set on re-run
     again = {(r.doc_id, r.pick_rank) for r in t.temperature_sampled_corpus(df).collect()}
     assert again == {(r.doc_id, r.pick_rank) for r in got}
+
+
+def test_source_quality_profile_invariants(spark, docs):
+    from real_time_event_driven_data_pipeline_spark.operators import text as t
+
+    prof = t.source_quality_profile(docs).collect()
+    assert sum(r.n_docs for r in prof) == docs.count()
+    # per-source pass counts agree with the filter itself
+    kept = (
+        t.quality_filter(docs)
+        .join(docs.select("doc_id", "source"), "doc_id", "left_semi")
+        .count()
+    )
+    assert sum(r.n_passed for r in prof) == t.quality_filter(docs).count() == kept
+    for r in prof:
+        assert 0 <= r.n_passed <= r.n_docs
+        assert 0 <= r.pass_rate_bp <= 10000
+        # a failed doc names >= 1 rule, so rule columns cover the gap
+        assert (
+            r.n_too_short + r.n_too_long + r.n_low_alpha
+            + r.n_low_stopword + r.n_high_stopword
+            >= r.n_docs - r.n_passed
+        )
