@@ -1171,3 +1171,52 @@ def temperature_sampled_corpus(
         .select(id_col, group_col, "pick_rank")
         .orderBy(id_col)
     )
+
+
+def incremental_export_manifest(
+    docs: DataFrame,
+    start_offset_tokens: int,
+    shard_token_budget: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrival-time continuation of ``training_export_manifest``: assign
+    a batch of newly accepted documents to training shards CONTINUING a
+    global cumulative token count — the streaming export side-channel
+    (training jobs consume shards as data lands; assignments must never
+    reshuffle history).
+
+    Within the batch, order is the md5 ``'shuf:'`` hash (the batch
+    manifest's convention); across batches, order is arrival (epoch)
+    order, with ``start_offset_tokens`` = the token total of everything
+    assigned so far.  Assignment depends only on that offset plus the
+    in-batch prefix sum, so per-epoch calls compose EXACTLY: k
+    incremental calls equal one call on the epoch-ordered union
+    (pytest-pinned), and a shard that ended mid-epoch stays ended.
+
+    Output per input doc: (id, n_tokens, cum_tokens [inclusive, global],
+    shard_id).  Same hierarchical prefix-sum shape as the batch
+    manifest; the offset folds in as a literal.
+    """
+    from . import windows
+
+    start = int(start_offset_tokens)
+    budget = int(shard_token_budget)
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("shuf:"), F.col(id_col).cast("string"))).alias("_k"),
+    )
+    cum = windows.with_global_running_sum(
+        toks, ["_k", id_col], "n_tokens", "_batch_cum"
+    )
+    return cum.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("_batch_cum") + F.lit(start)).cast("long").alias("cum_tokens"),
+        F.expr(
+            f"(_batch_cum + {start} - n_tokens) div CAST({budget} AS BIGINT)"
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )

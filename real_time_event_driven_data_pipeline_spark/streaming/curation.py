@@ -48,7 +48,11 @@ from ..operators.multimodal import (
     image_dhash_postings,
     incremental_image_near_dup_pairs,
 )
-from ..operators.text import fingerprint, quality_filter
+from ..operators.text import (
+    fingerprint,
+    incremental_export_manifest,
+    quality_filter,
+)
 from ..sources.readers import read_stream_csv
 from .epochs import commit_epoch, epoch_committed, publish_epoch, read_epoch_dir
 
@@ -80,6 +84,7 @@ class CorpusCurationPipeline:
         image_gate: bool = False,
         image_max_dist: int = 3,
         image_max_bucket_df: int | None = 10_000,
+        manifest_token_budget: int | None = None,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -146,7 +151,16 @@ class CorpusCurationPipeline:
         self.image_gate = image_gate
         self.image_max_dist = image_max_dist
         self.image_max_bucket_df = image_max_bucket_df
+        # optional continuous export manifest (r7): when set, every
+        # epoch's survivors are assigned to training shards CONTINUING
+        # the global cumulative token count (incremental_export_manifest
+        # — assignments never reshuffle history; the offset is the
+        # manifest sidecar's token total, read per activation as one
+        # narrow aggregate).  Published through the same idempotent
+        # epoch protocol as the corpus, so replays never double-assign.
+        self.manifest_token_budget = manifest_token_budget
         self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
+        self.manifest_dir = f"{corpus_dir.rstrip('/')}_manifest"
         self.post_index_dir = f"{corpus_dir.rstrip('/')}_postidx"
         self.dhash_index_dir = f"{corpus_dir.rstrip('/')}_dhashidx"
         self.epoch_marker_dir = f"{corpus_dir.rstrip('/')}_epochs"
@@ -381,6 +395,20 @@ class CorpusCurationPipeline:
                     self._image_media(survivors), max_dist=self.image_max_dist
                 ),
                 self.dhash_index_dir,
+                epoch_id,
+            )
+        if self.manifest_token_budget is not None:
+            prev = self._read_or_none(self.manifest_dir, epoch_id)
+            start = 0
+            if prev is not None:
+                start = prev.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            publish_epoch(
+                incremental_export_manifest(
+                    survivors.select("doc_id", "text"),
+                    start_offset_tokens=int(start),
+                    shard_token_budget=self.manifest_token_budget,
+                ),
+                self.manifest_dir,
                 epoch_id,
             )
         rejects = self._pending_quarantine[0]

@@ -411,3 +411,68 @@ def test_image_gate_backfill_indexes_pregate_history(spark, tmp_path):
     # backfill after a gated epoch: 21's postings came from the epoch
     # publish, so the pre-gate set is still exactly the original 2 docs
     assert pipe_on.backfill_image_dhash_index() == 2
+
+
+def test_incremental_manifest_continues_across_epochs(spark, tmp_path):
+    """Continuous export manifest (round 7): each epoch's survivors are
+    assigned to training shards CONTINUING the global token count — a
+    shard that ended mid-epoch stays ended, the epoch boundary never
+    resets shard ids, and a replayed activation never double-assigns."""
+    import pyspark.sql.functions as SF
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    budget = 60  # ~40-token docs -> a shard spans ~2 docs, boundaries everywhere
+    pipe = CorpusCurationPipeline(
+        spark,
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        manifest_token_budget=budget,
+    )
+    rng = random.Random(41)
+    b1 = [(i, _doc(rng), "s") for i in range(1, 5)]
+    b2 = [(i, _doc(rng), "s") for i in range(10, 13)]
+    _write(b1, f"{landing}/b1.csv")
+    pipe.run_available_now()
+    m1 = spark.read.parquet(pipe.manifest_dir).collect()
+    total1 = sum(r.n_tokens for r in m1)
+    assert {r.doc_id for r in m1} == {1, 2, 3, 4}
+    assert max(r.cum_tokens for r in m1) == total1
+
+    _write(b2, f"{landing}/b2.csv")
+    pipe.run_available_now()
+    rows = {r.doc_id: r for r in spark.read.parquet(pipe.manifest_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4, 10, 11, 12}
+    # epoch 2 continues the global count: its smallest cum exceeds
+    # epoch 1's total by exactly its first doc's tokens
+    e2 = sorted((rows[i] for i in (10, 11, 12)), key=lambda r: r.cum_tokens)
+    assert e2[0].cum_tokens == total1 + e2[0].n_tokens
+    # shard ids never reset: epoch 2's first shard id >= epoch 1's last
+    last_e1_shard = max(rows[i].shard_id for i in (1, 2, 3, 4))
+    assert e2[0].shard_id >= last_e1_shard
+    # every row satisfies the assignment law: shard = exclusive_cum DIV budget
+    for r in rows.values():
+        assert r.shard_id == (r.cum_tokens - r.n_tokens) // budget
+    # epoch-boundary continuation: if epoch 1 ended mid-shard, epoch 2's
+    # first doc joins that SAME shard
+    if total1 % budget != 0:
+        assert e2[0].shard_id == total1 // budget
+    # re-activation with no new files: nothing double-assigned
+    pipe.run_available_now()
+    again = spark.read.parquet(pipe.manifest_dir).collect()
+    assert len(again) == len(rows)
+    # and the per-epoch assignment equals direct operator composition
+    from real_time_event_driven_data_pipeline_spark.operators.text import (
+        incremental_export_manifest,
+    )
+
+    d1 = spark.createDataFrame([(i, t) for i, t, _ in b1], "doc_id long, text string")
+    d2 = spark.createDataFrame([(i, t) for i, t, _ in b2], "doc_id long, text string")
+    want1 = {r.doc_id: (r.cum_tokens, r.shard_id)
+             for r in incremental_export_manifest(d1, 0, budget).collect()}
+    want2 = {r.doc_id: (r.cum_tokens, r.shard_id)
+             for r in incremental_export_manifest(d2, total1, budget).collect()}
+    got = {i: (rows[i].cum_tokens, rows[i].shard_id) for i in rows}
+    assert got == {**want1, **want2}
