@@ -37,17 +37,25 @@ def _components_local(e: DataFrame) -> DataFrame:
     """Union-find on a collected edge list — the small-graph fast path.
 
     The duplicate graph is orders of magnitude smaller than its corpus
-    (512 edges at sf0.1; a few hundred million at 100 TB under realistic
-    dup rates), and each distributed min-label round costs a fixed
-    join + agg + checkpoint + convergence-collect regardless of size —
-    measured ~6.5 s of pure round overhead on a 500-edge graph.  Below
-    the threshold this is the same design call as a broadcast hash join:
-    the small side fits a bounded driver budget, so ship it once and use
-    the cheap local algorithm (path-compressed union-find, O(E α(E)))
-    instead of shuffling per round.  Output contract and labels are
-    identical to the distributed loop: (id, comp), comp = min reachable
-    id."""
+    (512 edges at sf0.1), and each distributed min-label round costs a
+    fixed join + agg + checkpoint + convergence-collect regardless of
+    size — measured ~6.5 s of pure round overhead on a 500-edge graph.
+    Below the threshold this is the same design call as a broadcast
+    hash join: the small side fits a bounded driver budget, so ship it
+    once and use the cheap local algorithm (path-compressed union-find,
+    O(E α(E))) instead of shuffling per round.  Output contract and
+    labels are identical to the distributed loop: (id, comp), comp =
+    min reachable id — including the loop's NULL-id artifact: a NULL
+    vertex's label never flows OUT (the propagation equi-join on the
+    dst id never matches NULL), but NULL itself ABSORBS the minimum
+    label of its non-NULL neighbors via the src side (and SQL MIN
+    ignores its own initial NULL label).  The fast path replicates
+    that asymmetry exactly instead of raising on None comparison:
+    non-NULL unions skip NULL edges; NULL's label is the min root of
+    its neighbor set at the end (NULL when it has none)."""
     parent: dict = {}
+    null_nbrs: set = set()
+    has_null = False
 
     def find(x):
         r = x
@@ -59,6 +67,14 @@ def _components_local(e: DataFrame) -> DataFrame:
 
     for row in e.collect():
         a, b = row[0], row[1]
+        if a is None or b is None:
+            has_null = True
+            other = b if a is None else a
+            if other is not None:
+                null_nbrs.add(other)
+                if other not in parent:
+                    parent[other] = other
+            continue
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -71,6 +87,10 @@ def _components_local(e: DataFrame) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
     rows = [(x, find(x)) for x in parent]
+    if has_null:
+        rows.append(
+            (None, min((find(x) for x in null_nbrs), default=None))
+        )
     id_type = e.schema[0].dataType
     out_schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("comp", id_type)]
@@ -83,7 +103,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
-    small_graph_threshold: int | None = 1_000_000,
+    small_graph_threshold: int | None = 200_000,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
@@ -92,12 +112,17 @@ def connected_components(
     deterministic, engine-independent canonical representative.
 
     Edge lists at or below ``small_graph_threshold`` rows (after
-    symmetrization/dedup; default 1M ~ 16 MB on the driver, the same
-    order as a broadcast-join build side) take the collected union-find
-    fast path — identical output, none of the per-round shuffle/job
-    overhead that dominates small graphs.  Larger graphs run the
-    distributed min-label loop; pass ``None`` to force it always
-    (property tests do, so the loop stays exercised).
+    symmetrization/dedup) take the collected union-find fast path —
+    identical output, none of the per-round shuffle/job overhead that
+    dominates small graphs.  The default 200k rows is sized for the
+    DRIVER-OBJECT cost, not the serialized bytes: collected Rows plus
+    the union-find dict cost ~100s of bytes per edge in Python, so
+    200k edges is a few tens of MB — the same order as holding a
+    broadcast build side, safe on a default-sized driver.  (The probe
+    measured the local path handling 1M edges in ~20 s given driver
+    headroom — raise the threshold on fat-driver deployments.)  Larger
+    graphs run the distributed min-label loop; pass ``None`` to force
+    it always (property tests do, so the loop stays exercised).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = (
@@ -279,25 +304,45 @@ def cluster_representatives(
     max score, ties broken by MIN id (deterministic, engine-independent).
 
     Plan shape: one equality join on the id key + one hash aggregate on
-    ``component`` using max-of-struct — (score, -id) compares
-    lexicographically, so the argmax needs NO window over components
-    and NO second join-back; partial aggregation runs map-side.  At
-    100 TB the relation entering the agg is |docs in any cluster|, a
-    small fraction of the corpus.
+    ``component``.  For NUMERIC ids, a single max-of-struct does it —
+    (score, -id) compares lexicographically, so the argmax needs NO
+    window over components and NO second join-back; partial aggregation
+    runs map-side.  Non-numeric ids (URLs, hashes) cannot ride the
+    negation trick — unary minus on a string silently casts to NULL and
+    the tie-break goes nondeterministic — so they take a two-aggregate
+    path instead: best score per component, then MIN(id) among the
+    rows matching it (one extra broadcast-joinable step, same answer).
+    At 100 TB the relation entering the agg is |docs in any cluster|,
+    a small fraction of the corpus.
 
     Output: (component, cluster_size, kept_<id>, kept_<score>).
     """
     joined = clusters.join(scores, id_col)
-    best = F.max(
-        F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid"))
-    ).alias("_b")
+    id_type = {f.name: f.dataType for f in joined.schema.fields}[id_col]
+    if isinstance(id_type, T.NumericType):
+        best = F.max(
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid"))
+        ).alias("_b")
+        return (
+            joined.groupBy("component")
+            .agg(F.max("cluster_size").alias("cluster_size"), best)
+            .select(
+                "component",
+                "cluster_size",
+                (-F.col("_b.nid")).alias(f"kept_{id_col}"),
+                F.col("_b.s").alias(f"kept_{score_col}"),
+            )
+        )
+    best_per_comp = joined.groupBy("component").agg(
+        F.max(score_col).alias("_best")
+    )
     return (
-        joined.groupBy("component")
-        .agg(F.max("cluster_size").alias("cluster_size"), best)
-        .select(
-            "component",
-            "cluster_size",
-            (-F.col("_b.nid")).alias(f"kept_{id_col}"),
-            F.col("_b.s").alias(f"kept_{score_col}"),
+        joined.join(best_per_comp, "component")
+        .filter(F.col(score_col) == F.col("_best"))
+        .groupBy("component")
+        .agg(
+            F.max("cluster_size").alias("cluster_size"),
+            F.min(id_col).alias(f"kept_{id_col}"),
+            F.max("_best").alias(f"kept_{score_col}"),
         )
     )

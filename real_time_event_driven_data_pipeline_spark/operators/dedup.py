@@ -751,7 +751,13 @@ def exact_substring_dedup(
       SAME document keeps its FIRST occurrence and loses the rest.
       The gram aggregate is keyed on (id, gram) instead of gram, so
       the whole plan stays one hash shuffle; keep-first falls out of a
-      MIN(pos) carried on the same aggregate — no extra pass."""
+      MIN(pos) carried on the same aggregate — no extra pass.
+      Keep-first is per GRAM: when occurrences of a run OVERLAP
+      (period < k, e.g. 'a a a a a a' at k=5), a later occurrence's
+      cover span reaches back into the first occurrence's tail, so
+      only the non-overlapped prefix of the first occurrence survives
+      (pytest pins 'a' surviving from six) — positions covered by any
+      non-first occurrence are cut, wherever they sit."""
     if rebuild not in ("inrow", "exploded"):
         raise ValueError("rebuild must be 'inrow' or 'exploded'")
     if scope not in ("corpus", "doc"):
@@ -987,7 +993,9 @@ def source_shingle_overlap(
     engine-independent.  Output: (source_a, source_b, n_sh_a, n_sh_b,
     overlap, containment_bp), a < b lexicographically.
     """
-    sh = with_shingles(df.select(group_col, text_col), id_col=group_col, k=k)
+    sh = with_shingles(
+        df.select(group_col, text_col), id_col=group_col, text_col=text_col, k=k
+    )
     # pinned: the distinct (source, shingle) relation feeds BOTH sides
     # of the overlap self-join AND the per-source sizes — unpinned, the
     # physical plan re-runs the corpus explode+distinct three times

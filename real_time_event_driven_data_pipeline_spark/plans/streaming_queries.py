@@ -467,11 +467,16 @@ def q_value_histogram_quantiles(spark, sf_dir):
 # Daily event-volume spikes/dips per event type, flagged at 2 sigma
 # WITHOUT any floating-point sigma: |x - mu| > 2*sigma is equivalent to
 # (n*x - S)^2 > 4*(n*Q - S^2) for integer day-counts (S = sum, Q = sum
-# of squares over the type's n days) — every quantity BIGINT, so the
-# flag hashes identically in any engine.  (Bound: |n*x - S| must stay
-# under ~3e9 for the square to fit int64 — comfortable for day-grain
-# counts; at extreme scales promote to DECIMAL.)  Two hash aggregates,
-# the per-type stats relation is |types|-rows and broadcast back.
+# of squares over the type's n days) — all-integer arithmetic, so the
+# flag hashes identically in any engine.  The squares/products run in
+# 38-digit exact decimals (Spark DECIMAL(38,0), DuckDB HUGEINT): at
+# event-stream scale S alone can exceed 3e9, whose square overflows
+# int64 — int64 math here would silently wrap in Spark while DuckDB
+# errors, diverging the engines.  Only the comparison is promoted; the
+# emitted columns stay BIGINT (dev_num = n*x - S is bounded by
+# n_days * max daily count — promote it too if you run multi-century
+# windows).  Two hash aggregates; the per-type stats relation is
+# |types|-rows and broadcast back.
 
 VOLUME_ANOMALY_SQL = """
 WITH daily AS (
@@ -487,9 +492,10 @@ WITH daily AS (
 )
 SELECT d.event_type, d.day, d.n_events, st.n_days,
        CAST(st.n_days * d.n_events - st.s AS BIGINT) AS dev_num,
-       CAST(CASE WHEN (st.n_days * d.n_events - st.s)
-                      * (st.n_days * d.n_events - st.s)
-                    > 4 * (st.n_days * st.q - st.s * st.s)
+       CAST(CASE WHEN (CAST(st.n_days AS HUGEINT) * d.n_events - st.s)
+                      * (CAST(st.n_days AS HUGEINT) * d.n_events - st.s)
+                    > 4 * (CAST(st.n_days AS HUGEINT) * st.q
+                           - CAST(st.s AS HUGEINT) * st.s)
                  THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
 FROM daily d JOIN stats st USING (event_type)
 ORDER BY d.event_type, d.day
@@ -512,7 +518,12 @@ def q_event_volume_anomalies(spark, sf_dir):
         F.sum("n_events").cast("long").alias("s"),
         F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("q"),
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact 38-digit ints
     dev = F.col("n_days") * F.col("n_events") - F.col("s")
+    dev_d = dec(F.col("n_days")) * dec(F.col("n_events")) - dec(F.col("s"))
+    var4_d = 4 * (
+        dec(F.col("n_days")) * dec(F.col("q")) - dec(F.col("s")) * dec(F.col("s"))
+    )
     return (
         daily.join(F.broadcast(stats), "event_type")
         .select(
@@ -521,9 +532,7 @@ def q_event_volume_anomalies(spark, sf_dir):
             "n_events",
             "n_days",
             dev.cast("long").alias("dev_num"),
-            (dev * dev > 4 * (F.col("n_days") * F.col("q") - F.col("s") * F.col("s")))
-            .cast("long")
-            .alias("is_anomaly"),
+            (dev_d * dev_d > var4_d).cast("long").alias("is_anomaly"),
         )
         .orderBy("event_type", "day")
     )

@@ -158,6 +158,10 @@ class CorpusCurationPipeline:
         # manifest sidecar's token total, read per activation as one
         # narrow aggregate).  Published through the same idempotent
         # epoch protocol as the corpus, so replays never double-assign.
+        # Enabling it on a pipeline with already-accepted epochs starts
+        # the offset at 0 and leaves pre-flag history unassigned — run
+        # backfill_export_manifest() once after enabling (same gap and
+        # same remedy as the image gate's dHash sidecar).
         self.manifest_token_budget = manifest_token_budget
         self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
         self.manifest_dir = f"{corpus_dir.rstrip('/')}_manifest"
@@ -249,6 +253,62 @@ class CorpusCurationPipeline:
                 self.dhash_index_dir,
                 self.BACKFILL_EPOCH,
             )
+        return n_docs
+
+    def backfill_export_manifest(self) -> int:
+        """Assign PRE-FLAG corpus history into the export manifest.
+
+        Corpus docs accepted before ``manifest_token_budget`` was set
+        have no shard assignment.  This assigns exactly the missing
+        docs, CONTINUING the manifest's current token total, and
+        publishes under ``BACKFILL_EPOCH``.  Safe to re-run: a second
+        call finds nothing missing and publishes nothing.
+
+        Assignments must never change once written, so if a previous
+        backfill exists AND new unassigned history has appeared since
+        (the flag was disabled and re-enabled across epochs), the
+        helper REFUSES rather than overwrite the earlier backfill's
+        epoch files — avoid the disable/re-enable window, or publish
+        the gap manually under a fresh reserved epoch.
+        Returns the number of docs assigned.
+        """
+        if self.manifest_token_budget is None:
+            raise ValueError("manifest_token_budget is not set on this pipeline")
+        corpus = read_epoch_dir(self.spark, self.corpus_dir)
+        if corpus is None:
+            return 0
+        docs = corpus.select("doc_id", "text")
+        start = 0
+        existing = read_epoch_dir(self.spark, self.manifest_dir)
+        if existing is not None:
+            docs = docs.join(existing.select("doc_id"), "doc_id", "left_anti")
+            start = existing.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        docs = self._pin(docs)
+        n_docs = docs.count()
+        if n_docs == 0:
+            return 0
+        from .epochs import _fs
+
+        fs, jvm = _fs(self.spark, self.manifest_dir)
+        root = jvm.org.apache.hadoop.fs.Path(self.manifest_dir)
+        if fs.exists(root) and any(
+            st.getPath().getName().startswith(f"epoch{self.BACKFILL_EPOCH}-")
+            for st in fs.listStatus(root)
+        ):
+            raise ValueError(
+                "backfill_export_manifest: a previous backfill exists and new "
+                "unassigned history has appeared — refusing to overwrite its "
+                "epoch files (assignments are immutable once written)"
+            )
+        publish_epoch(
+            incremental_export_manifest(
+                docs,
+                start_offset_tokens=int(start),
+                shard_token_budget=self.manifest_token_budget,
+            ),
+            self.manifest_dir,
+            self.BACKFILL_EPOCH,
+        )
         return n_docs
 
     # -- the gate --------------------------------------------------------

@@ -158,3 +158,56 @@ def test_star_cc_long_chain_few_rounds(spark):
 def test_star_cc_matches_union_find(spark, edges):
     got = _cc_star(spark, [(int(a), int(b)) for a, b in edges])
     assert got == _union_find(edges)
+
+
+def test_cc_null_ids_match_between_paths(spark):
+    """NULL vertex ids: the distributed loop's propagation equi-join
+    means NULL's label never flows OUT, but NULL itself ABSORBS the min
+    label of its non-NULL neighbors (src-side join; SQL MIN ignores its
+    initial NULL).  The union-find fast path must replicate exactly
+    that asymmetry instead of raising on None comparison (round-7
+    review finding)."""
+    df = spark.createDataFrame(
+        [(None, 5), (5, 6), (None, None)], "src long, dst long"
+    )
+    fast = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    slow = {
+        r["id"]: r["comp"]
+        for r in connected_components(df, small_graph_threshold=None).collect()
+    }
+    assert fast == slow
+    assert fast[5] == 5 and fast[6] == 5
+    assert fast[None] == 5  # absorbed, not connected: 5/6 unchanged
+    # a NULL with no non-NULL neighbor stays NULL-labeled on both paths
+    lone = spark.createDataFrame([(None, None), (1, 2)], "src long, dst long")
+    f2 = {r["id"]: r["comp"] for r in connected_components(lone).collect()}
+    s2 = {
+        r["id"]: r["comp"]
+        for r in connected_components(lone, small_graph_threshold=None).collect()
+    }
+    assert f2 == s2 == {None: None, 1: 1, 2: 1}
+
+
+def test_cluster_representatives_string_ids(spark):
+    """Non-numeric ids take the two-aggregate path: ties still break to
+    the MIN id deterministically (the unary-minus trick would silently
+    cast a string to NULL — round-7 review finding)."""
+    from real_time_event_driven_data_pipeline_spark.operators.components import (
+        cluster_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [("u-b", "u-a"), ("u-a", "u-c"), ("x-2", "x-1")],
+        "id_a string, id_b string",
+    )
+    clusters = near_dup_clusters(pairs)
+    scores = spark.createDataFrame(
+        [("u-a", 5), ("u-b", 9), ("u-c", 9), ("x-1", 4), ("x-2", 4)],
+        "doc_id string, quality long",
+    )
+    got = {
+        r.component: (r.cluster_size, r.kept_doc_id, r.kept_quality)
+        for r in cluster_representatives(clusters, scores).collect()
+    }
+    # u cluster: b and c tie at 9 -> min id "u-b"; x cluster ties -> "x-1"
+    assert got == {"u-a": (3, "u-b", 9), "x-1": (2, "x-1", 4)}

@@ -476,3 +476,42 @@ def test_incremental_manifest_continues_across_epochs(spark, tmp_path):
              for r in incremental_export_manifest(d2, total1, budget).collect()}
     got = {i: (rows[i].cum_tokens, rows[i].shard_id) for i in rows}
     assert got == {**want1, **want2}
+
+
+def test_manifest_backfill_assigns_preflag_history(spark, tmp_path):
+    """Enabling manifest_token_budget on a pipeline with accepted
+    epochs leaves pre-flag history unassigned (round-7 review finding)
+    — backfill_export_manifest() assigns exactly the missing docs, is
+    a no-op when nothing is missing, and subsequent epochs continue
+    AFTER the backfilled total."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    budget = 60
+    dirs = dict(
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rng = random.Random(43)
+
+    pipe_off = CorpusCurationPipeline(spark, **dirs)
+    _write([(i, _doc(rng), "s") for i in (1, 2, 3)], f"{landing}/b1.csv")
+    pipe_off.run_available_now()
+    assert pipe_off.stats[-1]["accepted"] == 3
+
+    pipe_on = CorpusCurationPipeline(spark, manifest_token_budget=budget, **dirs)
+    assert pipe_on.backfill_export_manifest() == 3
+    assert pipe_on.backfill_export_manifest() == 0  # idempotent no-op
+    hist = spark.read.parquet(pipe_on.manifest_dir).collect()
+    total_hist = sum(r.n_tokens for r in hist)
+    assert {r.doc_id for r in hist} == {1, 2, 3}
+    assert max(r.cum_tokens for r in hist) == total_hist
+
+    _write([(10, _doc(rng), "s")], f"{landing}/b2.csv")
+    pipe_on.run_available_now()
+    rows = {r.doc_id: r for r in spark.read.parquet(pipe_on.manifest_dir).collect()}
+    assert set(rows) == {1, 2, 3, 10}
+    # epoch 2 continues after the backfilled history total
+    assert rows[10].cum_tokens == total_hist + rows[10].n_tokens
+    assert rows[10].shard_id == (rows[10].cum_tokens - rows[10].n_tokens) // budget

@@ -7,11 +7,12 @@ Records the evidence behind ``components.connected_components``'s
   symmetrized edges), the distributed min-label loop pays ~6+ s of pure
   per-round scheduling overhead while the collected union-find finishes
   in well under a second;
-- at the THRESHOLD (1M edges, ~16 MB collected — broadcast-build-side
-  order), the union-find still completes in seconds, so the cutoff is
-  conservative: the driver is never asked to hold more than a
-  broadcast-sized relation, and anything larger takes the distributed
-  loop (property-tested separately).
+- 5x PAST the default threshold (1M edges vs the 200k default — the
+  default is sized for driver-OBJECT cost on small drivers, see
+  connected_components), the union-find still completes in ~20 s on
+  this machine, showing the cutoff is conservative where driver
+  headroom exists; anything larger takes the distributed loop
+  (property-tested separately).
 
 Both paths must agree exactly on every probed graph (asserted here, not
 just in pytest).  Appends one JSON line to PROGRESS.jsonl.
@@ -53,11 +54,22 @@ def main() -> None:
     rng = random.Random(7)
     record: dict = {"probe": "cc_fastpath", "ts": time.time(), "scales": []}
 
+    # warm BOTH paths untimed on a tiny graph: the first Spark action
+    # pays JIT/session startup, which would otherwise land entirely on
+    # whichever path is timed first and skew the comparison
+    warm = spark.createDataFrame(
+        _random_cluster_graph(rng, 32), "id_a long, id_b long"
+    ).localCheckpoint()
+    components.connected_components(
+        warm, src="id_a", dst="id_b", small_graph_threshold=10_000
+    ).collect()
+    components.connected_components(
+        warm, src="id_a", dst="id_b", small_graph_threshold=None
+    ).collect()
+
     for n_edges, run_distributed in ((500, True), (1_000_000, False)):
         rows = _random_cluster_graph(rng, n_edges)
         e = spark.createDataFrame(rows, "id_a long, id_b long").localCheckpoint()
-        # warm both paths once at the small scale so JIT noise doesn't
-        # pollute the comparison
         entry: dict = {"n_edges": n_edges}
 
         t0 = time.time()
