@@ -144,11 +144,22 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    # Convergence probe: comps only ever decrease, so SUM(comp) is
-    # strictly decreasing until the fixed point — a scalar aggregate per
-    # round instead of a join-based change diff.
-    prev_sum = None
+    # Convergence probe: a changed-labels diff against the previous
+    # round — join on id, keep rows whose comp differs, short-circuit at
+    # the first one.  Type-agnostic by construction: works for string /
+    # hash / URL vertex ids and can never overflow, unlike the former
+    # SUM(comp) scalar probe which threw CAST_INVALID_INPUT on
+    # non-numeric ids (and could, in theory, overflow BIGINT under ANSI
+    # on extreme numeric ids).  Both sides are localCheckpoint'ed and
+    # the diff is a narrow equi-join on the id key, so the extra probe
+    # cost per round is one small shuffle over |V(dup graph)| — tiny
+    # next to the propagation join itself.  A NULL id never matches the
+    # equi-join so its row drops out of the diff; that is safe: NULL's
+    # label is min over its neighbors' PREVIOUS-round labels, so once no
+    # non-NULL label changed between rounds r-1 and r, NULL's label at
+    # round r is already the min over FINAL neighbor labels.
     for _ in range(max_iter):
+        prev = labels
         propagated = e.join(
             labels.select(F.col("id").alias("dst"), F.col("comp").alias("nbr_comp")),
             "dst",
@@ -159,10 +170,16 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = (
+            labels.join(
+                prev.select("id", F.col("comp").alias("_prev_comp")), "id"
+            )
+            .filter(~F.col("comp").eqNullSafe(F.col("_prev_comp")))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 
@@ -315,6 +332,16 @@ def cluster_representatives(
     At 100 TB the relation entering the agg is |docs in any cluster|,
     a small fraction of the corpus.
 
+    Contract: the id join is INNER — every cluster member is expected
+    to have a score row.  A member missing from ``scores`` is excluded
+    from the argmax while ``cluster_size`` still counts it (sizes come
+    from cluster assembly, not from the scored subset); a component
+    whose members are ALL unscored disappears from the output.  NULL
+    scores sort below every non-NULL score on both paths; a component
+    whose scores are all NULL is kept with kept_score NULL and kept_id
+    = min id (the non-numeric path uses a null-safe tie-back so the
+    two paths agree).
+
     Output: (component, cluster_size, kept_<id>, kept_<score>).
     """
     joined = clusters.join(scores, id_col)
@@ -338,7 +365,11 @@ def cluster_representatives(
     )
     return (
         joined.join(best_per_comp, "component")
-        .filter(F.col(score_col) == F.col("_best"))
+        # null-safe: when a component's scores are all NULL, _best is
+        # NULL and a plain == would drop the component entirely while
+        # the numeric max-of-struct path keeps it — eqNullSafe keeps
+        # the two paths in agreement (kept_id = min id, score NULL)
+        .filter(F.col(score_col).eqNullSafe(F.col("_best")))
         .groupBy("component")
         .agg(
             F.max("cluster_size").alias("cluster_size"),

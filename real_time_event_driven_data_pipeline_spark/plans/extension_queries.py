@@ -1193,6 +1193,68 @@ def q_semantic_dedup_clusters(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+# The 100 TB semantic-dedup path (r7 verdict item 2): LSH-bucketed
+# candidates -> exact cosine verify -> CC.  The md5-derived hyperplanes
+# are engine-independent, so the ORACLE replicates the full LSH
+# composition — bucket bits, candidate join, verification, clustering —
+# and the comparison is exact, not rows-only.  16 tables x 3 planes is
+# the TEST-SCALE recall setting (theoretical recall 0.995 even for the
+# hardest pairs at cos == threshold; probed 1.0 at sf0.01, 263/264
+# clustered vectors at sf0.1 — PROGRESS.jsonl `lsh_dedup_probe`).  At
+# production density raise n_planes ~ log2(corpus / target bucket size)
+# so candidate volume tracks true near-dup volume, not corpus^2.
+SEMANTIC_DEDUP_LSH_SQL = """
+WITH RECURSIVE e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planes AS (
+    SELECT t.t, p.p,
+           list((CAST(('0x' || substr(md5(t.t::VARCHAR || '-' || p.p::VARCHAR
+                                       || '-' || d.d::VARCHAR), 1, 8)) AS BIGINT)
+                 % 2001 - 1000) / 1000.0 ORDER BY d.d) AS pv
+    FROM generate_series(0, 15) t(t), generate_series(0, 2) p(p),
+         generate_series(0, 63) d(d)
+    GROUP BY t.t, p.p
+), buckets AS (
+    SELECT e.vec_id,
+           pl.t * 8 + CAST(SUM(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+                                    THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+    FROM e, planes pl
+    GROUP BY e.vec_id, pl.t
+), cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+    WHERE list_dot_product(ea.v, eb.v)
+            / sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v))
+          >= 0.45
+), edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(id, comp) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT ed.d, r.comp FROM reach r JOIN edges ed ON ed.s = r.id
+), comps AS (
+    SELECT id AS vec_id, MIN(comp) AS component FROM reach GROUP BY id
+)
+SELECT vec_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM comps ORDER BY vec_id
+"""
+
+
+@register(
+    "semantic_dedup_clusters_lsh",
+    SEMANTIC_DEDUP_LSH_SQL,
+    "ext: LSH-bucketed semantic dedup (the 100 TB path: postings, not all-pairs)",
+)
+def q_semantic_dedup_clusters_lsh(spark, sf_dir):
+    return similarity.semantic_dedup_clusters_lsh(
+        _emb(spark, sf_dir), dim=64, threshold=0.45, n_tables=16, n_planes=3
+    ).orderBy("vec_id")
+
+
 REPETITION_SQL = """
 WITH base AS (
     SELECT doc_id,

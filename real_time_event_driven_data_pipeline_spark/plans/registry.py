@@ -77,32 +77,69 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
 
-    # round 7 sampling prefix: (a) queries NEW this round, then (b)
-    # queries whose code path changed this round — the connected-
-    # components consumers (CC gained the small-graph union-find fast
-    # path; crossmodal additionally switched to the fused one-pass
-    # multimodal_signatures operator) and the video family (frame-count
-    # clamp + zero-copy suffix views, oracle updated in lockstep).  The
-    # rest keep their round-6 order behind them (that entire prefix was
-    # driver-hashed green in CORRECTNESS_r06).
+    # round 8 sampling prefix (driver samples ~50): (a) NEW this round;
+    # (b) code paths changed this round — the CC distributed-loop
+    # convergence probe went type-agnostic, the representatives tie-back
+    # went null-safe, span-scrub gained the exploded rebuild, and
+    # exact-substring renamed its frequency knob (defaults unchanged,
+    # but certification should postdate the edits); (c) the round-7
+    # late-fix queries whose paths commit b3abfab touched AFTER the r7
+    # driver run (r7 verdict item 3); (d) the oldest-certified tail —
+    # queries last driver-hashed in r1/r2 rotate forward so no query's
+    # record goes stale (r7 verdict item 6; the remainder rotates in r9).
     _prioritize(
-        # (a) new in round 7
-        "dup_cluster_representatives",  # keep-best-per-cluster retention
-        "temperature_source_mixture",  # sqrt-temperature source rebalance
-        "source_overlap_matrix",  # cross-source containment audit
-        "training_export_manifest",  # end-to-end export composition
-        "eval_span_scrub",  # span-grain decontamination
-        "intra_doc_dedup",  # within-page repeated-span removal
-        "event_volume_anomalies",  # integer-exact 2-sigma flags
-        "quality_gate_reasons",  # per-rule drop observability
-        "temperature_sampled_corpus",  # execute the mixture
-        "source_quality_profile",  # per-source gate dashboard
-        # (b) code path changed in round 7
-        "crossmodal_dup_clusters",  # fused signatures + CC fast path
-        "near_dup_clusters",  # CC fast path
-        "multimodal_dup_clusters",  # CC fast path
-        "semantic_dedup_clusters",  # CC fast path
-        "video_near_dups",  # frame clamp + zero-copy (oracle in lockstep)
+        # (a) new in round 8
+        "semantic_dedup_clusters_lsh",  # the 100 TB semantic-dedup path
+        # (b) code path changed in round 8
+        "dup_cluster_representatives",  # null-safe tie-back
+        "near_dup_clusters",  # CC convergence probe
+        "multimodal_dup_clusters",  # CC convergence probe
+        "semantic_dedup_clusters",  # CC convergence probe
+        "crossmodal_dup_clusters",  # CC convergence probe
+        "eval_span_scrub",  # rebuild param added
+        "exact_substring_dedup",  # min_freq rename
+        "intra_doc_dedup",  # min_freq rename
+        # (c) round-7 late-fix recertification
+        "event_volume_anomalies",
+        "source_overlap_matrix",
+        "training_export_manifest",
+        "temperature_source_mixture",
+        "temperature_sampled_corpus",
+        "quality_gate_reasons",
+        "source_quality_profile",
+        # (d) r1/r2-era certification rotation (oldest first)
+        "pricing_summary",
+        "discount_revenue_opportunity",
+        "promo_revenue_share",
+        "large_quantity_orders",
+        "top_loss_customers",
+        "revenue_cube",
+        "latest_event_per_user",
+        "part_name_features",
+        "late_shipment_priorities",
+        "idle_rich_customers",
+        "part_supplier_variety",
+        "revenue_grouping_sets",
+        "top_unshipped_orders",
+        "order_count_distribution",
+        "important_part_stock",
+        "small_quantity_revenue",
+        "disjunctive_promo_revenue",
+        "waiting_suppliers",
+        "daily_revenue_dod",
+        "min_cost_suppliers",
+        "nation_trade_volume",
+        "nation_profit",
+        "excess_stock_suppliers",
+        "events_null_props",
+        "repeat_customers",
+        "order_point_lookup",
+        "lineitem_projection",
+        "customers_without_orders",
+        "orders_with_big_items",
+        "nation_customer_counts",
+        "lineitem_summary_stats",
+        "top_orders_by_value",
         after=0,
     )
 

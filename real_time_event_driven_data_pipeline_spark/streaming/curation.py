@@ -270,6 +270,15 @@ class CorpusCurationPipeline:
         helper REFUSES rather than overwrite the earlier backfill's
         epoch files — avoid the disable/re-enable window, or publish
         the gap manually under a fresh reserved epoch.
+
+        CONCURRENCY: run with the stream STOPPED (or no epoch in
+        flight).  The start offset is a sum over the manifest sidecar
+        read at entry; a gate epoch publishing between that read and
+        this publish would be assigned the SAME offset, giving two
+        shards overlapping global token ranges.  As a backstop the
+        helper re-lists the manifest dir immediately before publishing
+        and REFUSES if any manifest file appeared or vanished since the
+        offset read — same spirit as the immutability refusal above.
         Returns the number of docs assigned.
         """
         if self.manifest_token_budget is None:
@@ -277,6 +286,19 @@ class CorpusCurationPipeline:
         corpus = read_epoch_dir(self.spark, self.corpus_dir)
         if corpus is None:
             return 0
+        from .epochs import _fs
+
+        fs, jvm = _fs(self.spark, self.manifest_dir)
+        root = jvm.org.apache.hadoop.fs.Path(self.manifest_dir)
+
+        def _manifest_files() -> frozenset:
+            if not fs.exists(root):
+                return frozenset()
+            return frozenset(
+                st.getPath().getName() for st in fs.listStatus(root)
+            )
+
+        seen_at_read = _manifest_files()
         docs = corpus.select("doc_id", "text")
         start = 0
         existing = read_epoch_dir(self.spark, self.manifest_dir)
@@ -287,18 +309,20 @@ class CorpusCurationPipeline:
         n_docs = docs.count()
         if n_docs == 0:
             return 0
-        from .epochs import _fs
-
-        fs, jvm = _fs(self.spark, self.manifest_dir)
-        root = jvm.org.apache.hadoop.fs.Path(self.manifest_dir)
-        if fs.exists(root) and any(
-            st.getPath().getName().startswith(f"epoch{self.BACKFILL_EPOCH}-")
-            for st in fs.listStatus(root)
+        if any(
+            name.startswith(f"epoch{self.BACKFILL_EPOCH}-") for name in seen_at_read
         ):
             raise ValueError(
                 "backfill_export_manifest: a previous backfill exists and new "
                 "unassigned history has appeared — refusing to overwrite its "
                 "epoch files (assignments are immutable once written)"
+            )
+        if _manifest_files() != seen_at_read:
+            raise ValueError(
+                "backfill_export_manifest: the manifest changed between the "
+                "offset read and the publish (a stream epoch is in flight?) — "
+                "refusing: the computed start offset would overlap the "
+                "concurrent epoch's token range.  Stop the stream and re-run."
             )
         publish_epoch(
             incremental_export_manifest(

@@ -211,3 +211,89 @@ def test_cluster_representatives_string_ids(spark):
     }
     # u cluster: b and c tie at 9 -> min id "u-b"; x cluster ties -> "x-1"
     assert got == {"u-a": (3, "u-b", 9), "x-1": (2, "x-1", 4)}
+
+
+def _cc_str(spark, edges, small_graph_threshold=1_000_000):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = connected_components(
+        df, small_graph_threshold=small_graph_threshold
+    ).collect()
+    return {r["id"]: r["comp"] for r in rows}
+
+
+def test_cc_string_ids_distributed_loop(spark):
+    """Round-7 verdict finding: the distributed loop's old SUM(comp)
+    convergence probe threw CAST_INVALID_INPUT on string vertex ids
+    (md5 fingerprints, URLs) under ANSI — making the 100 TB path of
+    every cluster query numeric-id-only.  The changed-labels probe is
+    type-agnostic; both paths must agree on a multi-round string chain."""
+    edges = [("d-b", "d-c"), ("d-a", "d-b"), ("d-c", "d-d"), ("x-9", "x-8")]
+    want = {"d-a": "d-a", "d-b": "d-a", "d-c": "d-a", "d-d": "d-a",
+            "x-8": "x-8", "x-9": "x-8"}
+    assert _cc_str(spark, edges, small_graph_threshold=None) == want
+    assert _cc_str(spark, edges) == want
+
+
+_str_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_str_edges)
+def test_cc_string_ids_match_union_find(spark, edges):
+    """Property: random graphs re-labeled as zero-padded strings (so
+    string order == numeric order) agree with the union-find reference
+    on BOTH the distributed loop and the fast path, and with the star
+    variant."""
+    sedges = [(f"v{a:02d}", f"v{b:02d}") for a, b in edges]
+    want = {f"v{v:02d}": f"v{c:02d}" for v, c in _union_find(edges).items()}
+    assert _cc_str(spark, sedges, small_graph_threshold=None) == want
+    assert _cc_str(spark, sedges) == want
+    df = spark.createDataFrame(sedges, "src string, dst string")
+    got_star = {r["id"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert got_star == want
+
+
+def test_cluster_representatives_null_scores_paths_agree(spark):
+    """Advice (r7): a component whose scores are ALL NULL must survive
+    on both paths with kept_score NULL and kept_id = min id — the old
+    non-numeric path's `score == _best` dropped it (NULL never equals)."""
+    from real_time_event_driven_data_pipeline_spark.operators.components import (
+        cluster_representatives,
+    )
+
+    # numeric ids -> max-of-struct path
+    pairs_n = spark.createDataFrame([(2, 1), (1, 3), (8, 7)], "id_a long, id_b long")
+    scores_n = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (7, 4), (8, None)],
+        "doc_id long, quality int",
+    )
+    got_n = {
+        r.component: (r.cluster_size, r.kept_doc_id, r.kept_quality)
+        for r in cluster_representatives(near_dup_clusters(pairs_n), scores_n).collect()
+    }
+    assert got_n == {1: (3, 1, None), 7: (2, 7, 4)}
+
+    # string ids -> two-aggregate path; must agree shape-for-shape
+    pairs_s = spark.createDataFrame(
+        [("b", "a"), ("a", "c"), ("y", "x")], "id_a string, id_b string"
+    )
+    scores_s = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", None), ("x", 4), ("y", None)],
+        "doc_id string, quality int",
+    )
+    got_s = {
+        r.component: (r.cluster_size, r.kept_doc_id, r.kept_quality)
+        for r in cluster_representatives(near_dup_clusters(pairs_s), scores_s).collect()
+    }
+    assert got_s == {"a": (3, "a", None), "x": (2, "x", 4)}

@@ -631,3 +631,68 @@ def test_source_quality_profile_invariants(spark, docs):
             + r.n_low_stopword + r.n_high_stopword
             >= r.n_docs - r.n_passed
         )
+
+
+def test_eval_span_scrub_exploded_rebuild_matches_inrow(spark):
+    """rebuild='exploded' (the book-length linear path — round-7
+    ADVICE) must be bit-identical to the default in-row rebuild,
+    including empty-cover docs, a fully-scrubbed doc, and overlapping
+    eval runs whose covered positions union."""
+    from real_time_event_driven_data_pipeline_spark.operators import decontam
+
+    eval_docs = _mkdocs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    train = _mkdocs(
+        spark,
+        [
+            (1, "aa bb alpha beta gamma delta epsilon cc dd"),
+            (2, "xx yy zz ww vv uu"),
+            (3, "beta gamma delta epsilon qq rr ss tt"),
+            (4, "beta gamma delta epsilon zeta mm nn oo pp"),
+            (5, "alpha beta gamma delta epsilon"),  # fully scrubbed
+            (6, "alpha beta gamma delta epsilon zeta tail1 tail2"),
+        ],
+    )
+    a = {
+        r.doc_id: tuple(r)
+        for r in decontam.eval_span_scrub(train, eval_docs, k=5).collect()
+    }
+    b = {
+        r.doc_id: tuple(r)
+        for r in decontam.eval_span_scrub(
+            train, eval_docs, k=5, rebuild="exploded"
+        ).collect()
+    }
+    assert a == b
+    assert a[5][4] == ""  # fully-scrubbed doc rebuilds to empty text
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inrow"):
+        decontam.eval_span_scrub(train, eval_docs, rebuild="nope")
+
+
+def test_exact_substring_dedup_min_freq_alias(spark):
+    """min_doc_freq survives as a deprecated alias of the scope-neutral
+    min_freq (round-7 ADVICE): same value by either name, same result."""
+    from real_time_event_driven_data_pipeline_spark.operators import dedup
+
+    d = _mkdocs(
+        spark,
+        [
+            (1, "p q r s t u v w"),
+            (2, "p q r s t x y z"),
+            (3, "p q r s t x y z"),
+        ],
+    )
+    via_new = {
+        r.doc_id: tuple(r)
+        for r in dedup.exact_substring_dedup(d, min_tokens=5, min_freq=3).collect()
+    }
+    via_old = {
+        r.doc_id: tuple(r)
+        for r in dedup.exact_substring_dedup(
+            d, min_tokens=5, min_doc_freq=3
+        ).collect()
+    }
+    assert via_new == via_old
+    # freq=3: the 5-run 'p q r s t' appears in all three docs -> cut
+    assert via_new[1][2] > 0

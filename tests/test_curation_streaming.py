@@ -515,3 +515,63 @@ def test_manifest_backfill_assigns_preflag_history(spark, tmp_path):
     # epoch 2 continues after the backfilled history total
     assert rows[10].cum_tokens == total_hist + rows[10].n_tokens
     assert rows[10].shard_id == (rows[10].cum_tokens - rows[10].n_tokens) // budget
+
+
+def test_manifest_backfill_refusals(spark, tmp_path):
+    """backfill_export_manifest refuses (a) to overwrite an existing
+    backfill when a disable/re-enable gap left new unassigned history,
+    and (b) to publish when the manifest changed between its offset
+    read and its publish (a stream epoch in flight would get the same
+    start offset — overlapping global token ranges; round-7 ADVICE)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dirs = dict(
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rng = random.Random(47)
+
+    # pre-flag history, then a backfill
+    pipe_off = CorpusCurationPipeline(spark, **dirs)
+    _write([(i, _doc(rng), "s") for i in (1, 2)], f"{landing}/b1.csv")
+    pipe_off.run_available_now()
+    pipe_on = CorpusCurationPipeline(spark, manifest_token_budget=60, **dirs)
+    assert pipe_on.backfill_export_manifest() == 2
+
+    # (a) disable/re-enable gap: more history lands with the flag OFF,
+    # so a second backfill would have to rewrite the epoch-1 files
+    pipe_gap = CorpusCurationPipeline(spark, **dirs)
+    _write([(5, _doc(rng), "s")], f"{landing}/b2.csv")
+    pipe_gap.run_available_now()
+    with pytest.raises(ValueError, match="immutable"):
+        pipe_on.backfill_export_manifest()
+
+    # (b) concurrent-epoch race: simulate a gate epoch publishing into
+    # the manifest between the backfill's offset read and its publish
+    # by injecting the write under _pin (which runs in that window)
+    dirs2 = dict(
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus2"),
+        quarantine_dir=str(tmp_path / "quarantine2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    pipe2_off = CorpusCurationPipeline(spark, **dirs2)
+    _write([(7, _doc(rng), "s")], f"{landing}/b3.csv")
+    pipe2_off.run_available_now()
+    pipe2 = CorpusCurationPipeline(spark, manifest_token_budget=60, **dirs2)
+
+    real_pin = pipe2._pin
+
+    def racing_pin(df):
+        import pathlib
+
+        mdir = pathlib.Path(pipe2.manifest_dir)
+        mdir.mkdir(parents=True, exist_ok=True)
+        (mdir / "epoch3-part-racer.parquet").write_bytes(b"")
+        return real_pin(df)
+
+    pipe2._pin = racing_pin
+    with pytest.raises(ValueError, match="in flight"):
+        pipe2.backfill_export_manifest()

@@ -1,7 +1,8 @@
 """Probe: connected-components small-graph fast path vs distributed loop.
 
 Records the evidence behind ``components.connected_components``'s
-``small_graph_threshold`` default (1M symmetrized edges):
+``small_graph_threshold`` default (200k symmetrized edges; 1M is the
+over-threshold stress point probed below):
 
 - at REALISTIC duplicate-graph size (the sf0.1 corpus produces ~512
   symmetrized edges), the distributed min-label loop pays ~6+ s of pure

@@ -40,6 +40,7 @@ QUADRATIC_ORACLES = {
     "minhash_lsh_near_dups",
     "near_dup_clusters",
     "semantic_dedup_clusters",
+    "semantic_dedup_clusters_lsh",
     "incremental_near_dups",
     "embedding_similar_pairs",
     "image_near_dups",
