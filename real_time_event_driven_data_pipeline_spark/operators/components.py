@@ -305,6 +305,78 @@ def connected_components_star(
     return comp.unionByName(roots)
 
 
+def incremental_connected_components(
+    labels: DataFrame | None,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    small_graph_threshold: int | None = 200_000,
+) -> DataFrame:
+    """Merge a batch of NEW edges into an existing component labeling,
+    relabeling ONLY the components the new edges touch (r7 verdict item
+    4: the streaming gates drop duplicates correctly, but cluster
+    LABELS over an evolving corpus previously required a full CC
+    recompute each epoch).
+
+    ``labels`` is a prior ``connected_components``-contract table
+    (id, comp; comp = min reachable id; pass ``None`` for the first
+    batch).  Returns the updated label rows for the AFFECTED subgraph
+    only — every vertex of ``new_edges`` plus every member of any
+    existing component they touch.  Compose the full table with
+    ``merged_labels`` (or last-writer-wins over an epoch sidecar, as
+    the curation pipeline does).
+
+    Why it is exact: an existing component is connectivity-equivalent
+    to its STAR — one (member, comp) edge per member, since ``comp`` is
+    itself a member (the minimum id).  So CC over (stars of touched
+    components) UNION (new edges) yields, on the affected subgraph,
+    exactly the components of (all historical edges) UNION (new edges),
+    with the same min-id labels; untouched components cannot change
+    because no new edge is incident to them.  Property-tested: any edge
+    sequence folded incrementally in chunks equals batch CC over the
+    union.
+
+    Scale shape: per-epoch cost is bounded by |new edges| + |members of
+    touched components| — NEVER corpus size.  Three narrow shuffles
+    build the reduced graph (vertex distinct, touched-comp semi-join,
+    member semi-join), then the reduced CC runs on a graph of
+    affected-subgraph size, taking the union-find fast path whenever it
+    fits the driver budget (near-dup epochs are small graphs by
+    construction).  NULL vertex ids are not supported here: the
+    star-edge reduction would silently disconnect them (the batch
+    loop's documented NULL-absorption artifact has no incremental
+    analogue) — filter them upstream.
+    """
+    e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if labels is None:
+        return connected_components(
+            e, small_graph_threshold=small_graph_threshold
+        )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    touched = labels.join(verts, "id", "left_semi").select("comp").dropDuplicates()
+    members = labels.join(touched, "comp", "left_semi")
+    star = members.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("src"), F.col("comp").alias("dst")
+    )
+    reduced = e.unionByName(star)
+    return connected_components(
+        reduced, small_graph_threshold=small_graph_threshold
+    )
+
+
+def merged_labels(labels: DataFrame | None, updated: DataFrame) -> DataFrame:
+    """Full label table after an incremental update: the untouched
+    remainder of ``labels`` plus the ``updated`` rows (which win on
+    overlap)."""
+    if labels is None:
+        return updated
+    return labels.join(updated, "id", "left_anti").unionByName(updated)
+
+
 def cluster_representatives(
     clusters: DataFrame,
     scores: DataFrame,

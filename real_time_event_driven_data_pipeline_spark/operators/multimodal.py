@@ -689,6 +689,46 @@ MULTIMODAL_SIG_SCHEMA = T.StructType(
 )
 
 
+def modality_profile(
+    media: DataFrame,
+    source_col: str = "source",
+    kind_col: str = "kind",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-source x per-modality corpus composition dashboard — the
+    joint view completing the curation observability set
+    (``source_quality_profile`` covers text rules per source;
+    ``source_overlap_matrix`` covers cross-source containment; this
+    covers WHAT each source actually ships per modality).
+
+    Output per (source, kind): item count, total payload bytes,
+    distinct payload count (via md5 so only 32-char digests — not the
+    payloads — ride the distinct aggregate at 100 TB), exact-dup item
+    count (n_items - distinct), and mean payload size (raw int/int
+    double — deterministic cross-engine).
+
+    Plan shape: ONE pass over the media relation, one partial+final
+    hash aggregate on (source, kind) — cardinality |sources| x
+    |modalities|, trivially broadcastable downstream.  No joins, no
+    windows, no UDFs.
+    """
+    return (
+        media.groupBy(source_col, kind_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.length(payload_col)).cast("long").alias("total_bytes"),
+            F.count_distinct(F.md5(payload_col))
+            .cast("long")
+            .alias("distinct_payloads"),
+        )
+        .withColumn(
+            "n_exact_dups",
+            (F.col("n_items") - F.col("distinct_payloads")).cast("long"),
+        )
+        .withColumn("avg_bytes", F.col("total_bytes") / F.col("n_items"))
+    )
+
+
 def _pack64(bands: list[int]) -> int:
     """8 byte-bands -> one packed 64-bit value, bit-identical to the JVM
     ``_packed_dhash_col`` (band 7 may set the sign bit: two's

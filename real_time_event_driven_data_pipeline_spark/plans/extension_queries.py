@@ -3452,3 +3452,46 @@ FROM agg ORDER BY source
 )
 def q_source_quality_profile(spark, sf_dir):
     return text.source_quality_profile(_docs(spark, sf_dir))
+
+
+# per-source x per-modality composition dashboard (r7 verdict item 7):
+# documents stand in for a mixed-modality corpus via the repo's
+# opaque-payload convention, with kind assigned deterministically
+# (doc_id % 3) so the oracle replicates the synthesis exactly.
+# count(distinct md5(payload)) == count(distinct text) because UTF-8
+# encoding is injective — the oracle uses the text form directly.
+MODALITY_PROFILE_SQL = """
+WITH m AS (
+    SELECT doc_id, source, text,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind
+    FROM documents
+)
+SELECT source, kind,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_payloads,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*) AS avg_bytes
+FROM m GROUP BY source, kind ORDER BY source, kind
+"""
+
+
+@register(
+    "modality_profile",
+    MODALITY_PROFILE_SQL,
+    "ext: per-source x per-modality composition dashboard",
+)
+def q_modality_profile(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return multimodal.modality_profile(media).orderBy("source", "kind")

@@ -85,6 +85,7 @@ class CorpusCurationPipeline:
         image_max_dist: int = 3,
         image_max_bucket_df: int | None = 10_000,
         manifest_token_budget: int | None = None,
+        cluster_labels: bool = False,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -163,6 +164,21 @@ class CorpusCurationPipeline:
         # backfill_export_manifest() once after enabling (same gap and
         # same remedy as the image gate's dHash sidecar).
         self.manifest_token_budget = manifest_token_budget
+        # optional incremental duplicate-cluster labels (r7 verdict item
+        # 4): the gates DROP new duplicates (correct for curation), but
+        # downstream retention/audit queries want cluster LABELS over
+        # the evolving dup graph.  When on, each epoch's new near-dup
+        # pair edges (text gate, plus image gate when enabled) merge
+        # into a label sidecar via incremental_connected_components —
+        # only components touched by a new edge are relabeled, so
+        # per-epoch cost is bounded by the affected-subgraph size, not
+        # the accumulated graph.  The sidecar is append-only (updated
+        # rows stamped with the epoch); the current labeling is
+        # last-writer-wins per id (``resolved_cluster_labels``) and is
+        # pytest-pinned equal to a batch CC recompute over the union of
+        # every epoch's edges.
+        self.cluster_labels = cluster_labels
+        self.cc_label_dir = f"{corpus_dir.rstrip('/')}_cclabels"
         self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
         self.manifest_dir = f"{corpus_dir.rstrip('/')}_manifest"
         self.post_index_dir = f"{corpus_dir.rstrip('/')}_postidx"
@@ -462,6 +478,30 @@ class CorpusCurationPipeline:
             survivors = self._pin(survivors.join(dropi, "doc_id", "left_anti"))
         n_accepted = survivors.count()
 
+        # 3.75 incremental cluster labels (optional): fold this epoch's
+        # new pair edges into the label sidecar, relabeling only the
+        # components they touch.  Runs BEFORE publish so a replayed
+        # epoch recomputes the identical update from the identical
+        # pre-epoch history (the resolver excludes this epoch's rows).
+        n_label_updates = 0
+        if self.cluster_labels:
+            from ..operators.components import (
+                incremental_connected_components,
+            )
+
+            edges = pairs.select("id_a", "id_b")
+            if self.image_gate:
+                edges = edges.unionByName(ipairs.select("id_a", "id_b"))
+            updated = incremental_connected_components(
+                self.resolved_cluster_labels(exclude_epoch=epoch_id),
+                self._pin(edges),
+                src="id_a",
+                dst="id_b",
+            ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+            updated = self._pin(updated)
+            n_label_updates = updated.count()
+            publish_epoch(updated, self.cc_label_dir, epoch_id)
+
         # 4. publish: corpus rows + both sidecars (accepted only) +
         # quarantine, each an idempotent per-epoch publish; the commit
         # marker lands LAST, so a crash anywhere in between makes the
@@ -509,9 +549,27 @@ class CorpusCurationPipeline:
                 "after_decontam": n_decontam,
                 "after_exact": n_exact,
                 "accepted": n_accepted,
+                "label_updates": n_label_updates,
             }
         )
         # checkpointed blocks are freed when the frames are GC'd
+
+    def resolved_cluster_labels(
+        self, exclude_epoch: int | None = None
+    ) -> DataFrame | None:
+        """Current duplicate-cluster labeling: last-writer-wins per id
+        over the append-only label sidecar (one hash aggregate on the
+        id key — the sidecar holds only vertices of the dup graph, a
+        small fraction of the corpus).  ``None`` before any labels
+        exist or when the flag was never enabled."""
+        raw = read_epoch_dir(
+            self.spark, self.cc_label_dir, exclude_epoch=exclude_epoch
+        )
+        if raw is None:
+            return None
+        return raw.groupBy("id").agg(
+            F.expr("max_by(comp, epoch)").alias("comp")
+        )
 
     def run_available_now(self, listener=None) -> None:
         """One activation: drain currently landed files, then stop."""

@@ -696,3 +696,34 @@ def test_exact_substring_dedup_min_freq_alias(spark):
     assert via_new == via_old
     # freq=3: the 5-run 'p q r s t' appears in all three docs -> cut
     assert via_new[1][2] > 0
+
+
+def test_modality_profile_counts_and_dups(spark):
+    """Per-source x per-modality dashboard: one hash agg, exact-dup
+    volume = items minus distinct payloads, mean bytes int/int."""
+    from real_time_event_driven_data_pipeline_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [
+            (1, "s1", "image", b"aaaa"),
+            (2, "s1", "image", b"aaaa"),   # exact dup payload
+            (3, "s1", "audio", b"bb"),
+            (4, "s2", "image", b"cccccc"),
+        ],
+        "media_id long, source string, kind string, payload binary",
+    )
+    got = {
+        (r.source, r.kind): (
+            r.n_items,
+            r.total_bytes,
+            r.distinct_payloads,
+            r.n_exact_dups,
+            r.avg_bytes,
+        )
+        for r in multimodal.modality_profile(media).collect()
+    }
+    assert got == {
+        ("s1", "image"): (2, 8, 1, 1, 4.0),
+        ("s1", "audio"): (1, 2, 1, 0, 2.0),
+        ("s2", "image"): (1, 6, 1, 0, 6.0),
+    }
