@@ -69,8 +69,21 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # per-query shuffle/GC attribution (r7 verdict item 7): wall time
+    # alone can't separate a plan regression from co-tenant noise, but
+    # shuffle bytes are a property of the PLAN + data, not the machine.
+    # The executor-summary counters (statusStore; populated with the UI
+    # off) are monotone totals over the single local executor, so a
+    # before/after diff per query is that query's shuffle volume.
+    status_store = spark.sparkContext._jsc.sc().statusStore()
+
+    def _counters() -> tuple[int, int, int]:
+        e = status_store.executorList(True).apply(0)
+        return e.totalShuffleRead(), e.totalShuffleWrite(), e.totalGCTime()
+
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []
+    shuffle: dict[str, dict[str, int]] = {}
     for p in range(n_passes):
         if p:
             # between-pass maintenance a long-lived session would do:
@@ -81,10 +94,18 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         pass_times: dict[str, float] = {}
         for name, fn in queries_map().items():
+            r0, w0, g0 = _counters()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             pass_times[name] = round(time.perf_counter() - t0, 3)
+            if p == 0:  # shuffle volume is plan-determined; one pass suffices
+                r1, w1, g1 = _counters()
+                shuffle[name] = {
+                    "shuffle_read_bytes": r1 - r0,
+                    "shuffle_write_bytes": w1 - w0,
+                    "gc_ms": g1 - g0,
+                }
             print(
                 f"# [{p + 1}/{n_passes}] {name}: {pass_times[name]:.3f}s ({n} rows)",
                 file=sys.stderr,
@@ -107,6 +128,7 @@ def main() -> None:
                 "sf": sf,
                 "n_passes": n_passes,
                 "passes": passes,
+                "shuffle": shuffle,
             },
             indent=2,
         )

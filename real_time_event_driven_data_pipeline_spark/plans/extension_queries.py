@@ -3454,13 +3454,15 @@ def q_source_quality_profile(spark, sf_dir):
     return text.source_quality_profile(_docs(spark, sf_dir))
 
 
-# per-source x per-modality composition dashboard (r7 verdict item 7):
-# documents stand in for a mixed-modality corpus via the repo's
+# per-source x per-modality JOINT composition dashboard (r7 verdict
+# item 7: ``modality_profile`` above slices by modality only; this is
+# the two-dimensional matrix completing the curation observability
+# set).  Documents stand in for a mixed-modality corpus via the repo's
 # opaque-payload convention, with kind assigned deterministically
 # (doc_id % 3) so the oracle replicates the synthesis exactly.
 # count(distinct md5(payload)) == count(distinct text) because UTF-8
 # encoding is injective — the oracle uses the text form directly.
-MODALITY_PROFILE_SQL = """
+SOURCE_MODALITY_SQL = """
 WITH m AS (
     SELECT doc_id, source, text,
            CASE CAST(doc_id % 3 AS INT)
@@ -3479,11 +3481,11 @@ FROM m GROUP BY source, kind ORDER BY source, kind
 
 
 @register(
-    "modality_profile",
-    MODALITY_PROFILE_SQL,
-    "ext: per-source x per-modality composition dashboard",
+    "source_modality_matrix",
+    SOURCE_MODALITY_SQL,
+    "ext: per-source x per-modality joint composition dashboard",
 )
-def q_modality_profile(spark, sf_dir):
+def q_source_modality_matrix(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),

@@ -90,7 +90,7 @@ def _ensure_loaded() -> None:
     _prioritize(
         # (a) new in round 8
         "semantic_dedup_clusters_lsh",  # the 100 TB semantic-dedup path
-        "modality_profile",  # per-source x per-modality dashboard
+        "source_modality_matrix",  # per-source x per-modality dashboard
         # (b) code path changed in round 8
         "dup_cluster_representatives",  # null-safe tie-back
         "near_dup_clusters",  # CC convergence probe
