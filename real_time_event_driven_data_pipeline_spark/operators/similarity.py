@@ -504,7 +504,8 @@ def semantic_dedup_clusters_lsh(
       provably identical across summation orders — the same
       exact-emission trick as ``embedding_similar_pairs``.  (A pure
       column-expression fold would be unconditionally exact but costs
-      n_tables*n_planes codegen folds per row — measured 30x slower.)
+      n_tables*n_planes codegen folds per row — measured ~3x slower
+      end-to-end at test scale, and the gap widens with plane count.)
 
     Output: (id, component, cluster_size) for every vector in >= 1
     VERIFIED pair — identical contract to ``semantic_dedup_clusters``.
@@ -530,7 +531,15 @@ def semantic_dedup_clusters_lsh(
             out[i] = c >= thr
         return pd.Series(out)
 
-    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v"))
+    from .dedup import _scoped_cache
+
+    # pinned: the vector relation feeds BOTH verification join sides —
+    # uncached, each would re-scan the corpus (the _scoped_cache rule
+    # every dedup-family pair join follows)
+    e = _scoped_cache(
+        emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")),
+        "lsh_dedup_vecs",
+    )
     cand = lsh_dedup_candidates(
         emb,
         dim,
@@ -564,7 +573,7 @@ def lsh_dedup_candidates(
     the pair generator of ``semantic_dedup_clusters_lsh``, public so
     the recall/candidate-count probe measures the exact production
     path (same anti-drift contract as the ANN probes)."""
-    from .dedup import _cap_posting_buckets
+    from .dedup import _cap_posting_buckets, _scoped_cache
 
     planes_np = np.array(_md5_planes(n_tables, n_planes, dim))
     flat = planes_np.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
@@ -581,8 +590,17 @@ def lsh_dedup_candidates(
         return pd.Series(list((bits * weights).sum(axis=2) + table_tag))
 
     e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v"))
-    posts = e.select("_id", F.explode(sig(F.col("v"))).alias("bucket"))
-    posts = _cap_posting_buckets(posts, max_bucket_size, ("bucket",))
+    # pinned: the posting relation is BOTH sides of the candidate
+    # self-join — uncached, the signature UDF would run twice over the
+    # corpus (two full scans at 100 TB)
+    posts = _scoped_cache(
+        _cap_posting_buckets(
+            e.select("_id", F.explode(sig(F.col("v"))).alias("bucket")),
+            max_bucket_size,
+            ("bucket",),
+        ),
+        "lsh_dedup_posts",
+    )
     return (
         posts.select(F.col("_id").alias("id_a"), "bucket")
         .join(posts.select(F.col("_id").alias("id_b"), "bucket"), "bucket")

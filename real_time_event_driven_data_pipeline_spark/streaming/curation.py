@@ -423,6 +423,11 @@ class CorpusCurationPipeline:
             threshold=self.near_dup_threshold,
             max_shingle_df=self.max_shingle_df,
         )
+        if self.cluster_labels:
+            # the pair relation feeds TWO consumers when labels are on
+            # (the drop set here, the label update in 3.75) — pin it so
+            # the posting join runs once per epoch, not once per use
+            pairs = self._pin(pairs)
         new_ids = fresh.select("doc_id").withColumnRenamed("doc_id", "nid")
         # drop the NEW side of every pair: id_b when new, else id_a
         # (id_a < id_b and the pair touches >= 1 new doc by construction)
@@ -460,6 +465,8 @@ class CorpusCurationPipeline:
             ).select(
                 F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
             )
+            if self.cluster_labels:
+                ipairs = self._pin(ipairs)  # two consumers, same as pairs
             new_ids_i = survivors.select(F.col("doc_id").alias("nid"))
             dropi = (
                 ipairs.join(new_ids_i, ipairs.id_b == F.col("nid"), "left_semi")
