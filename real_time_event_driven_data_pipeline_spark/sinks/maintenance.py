@@ -261,7 +261,16 @@ def compact_unpartitioned(
         return None
     n_out = max(1, math.ceil(n_bytes / target_file_bytes))
     df = spark.read.parquet(path).coalesce(n_out).localCheckpoint()
+    replace_table(spark, path, df)
+    return n_out
 
+
+def replace_table(spark: SparkSession, path: str, df) -> None:
+    """Atomically-as-possible replace ``path``'s contents with ``df``
+    via the tmp-write + two-rename swap (see ``compact_unpartitioned``
+    for the reader-race and object-store caveats; ``df`` must already
+    be materialized — a lazy plan still reading ``path`` would race its
+    own swap)."""
     fs, root, jvm = _hadoop_fs(spark, path)
     hpath = jvm.org.apache.hadoop.fs.Path
     tmp, old = hpath(f"{path}.compact-tmp"), hpath(f"{path}.compact-old")
@@ -269,9 +278,8 @@ def compact_unpartitioned(
     fs.delete(old, True)
     df.write.mode("overwrite").parquet(f"{path}.compact-tmp")
     if not fs.rename(root, old):
-        raise OSError(f"compact_unpartitioned: cannot move {path} aside")
+        raise OSError(f"replace_table: cannot move {path} aside")
     if not fs.rename(tmp, root):
         fs.rename(old, root)  # roll back
-        raise OSError(f"compact_unpartitioned: swap failed for {path}")
+        raise OSError(f"replace_table: swap failed for {path}")
     fs.delete(old, True)
-    return n_out

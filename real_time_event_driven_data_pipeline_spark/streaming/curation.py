@@ -561,6 +561,44 @@ class CorpusCurationPipeline:
         )
         # checkpointed blocks are freed when the frames are GC'd
 
+    def compact_cluster_labels(self) -> int | None:
+        """Collapse the label sidecar to its RESOLVED rows — one
+        (id, comp, epoch) per id, keeping each id's winning epoch so
+        last-writer-wins semantics are byte-preserved for future
+        updates.  The sidecar otherwise accretes one superseded row per
+        relabel (a vertex in a long-lived hot component is rewritten
+        every epoch that touches it).
+
+        Run ONLY with the stream stopped: the swap protocol
+        (``sinks.maintenance.replace_table``) has a reader-race window,
+        and compacted rows lose their epoch-N file naming — safe for
+        committed history (a committed epoch never replays), unsafe for
+        an epoch in flight (its replay-exclusion relies on the file
+        prefix).  Returns the resolved row count, or None when no
+        labels exist."""
+        from ..sinks.maintenance import partition_file_stats, replace_table
+
+        raw = read_epoch_dir(self.spark, self.cc_label_dir)
+        if raw is None:
+            return None
+        # size the output like compact_unpartitioned: resolved bytes <=
+        # raw bytes, so the raw dir's volume is a safe file-count bound
+        stats = partition_file_stats(self.spark, self.cc_label_dir)
+        n_bytes = sum(b for _, b in stats.values())
+        n_out = max(1, -(-n_bytes // (128 * 1024 * 1024)))
+        resolved = (
+            raw.groupBy("id")
+            .agg(
+                F.expr("max_by(comp, epoch)").alias("comp"),
+                F.max("epoch").alias("epoch"),
+            )
+            .coalesce(int(n_out))
+            .localCheckpoint()  # materialized BEFORE the swap
+        )
+        n = resolved.count()
+        replace_table(self.spark, self.cc_label_dir, resolved)
+        return n
+
     def resolved_cluster_labels(
         self, exclude_epoch: int | None = None
     ) -> DataFrame | None:

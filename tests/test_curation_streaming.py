@@ -643,3 +643,24 @@ def test_cluster_label_sidecar_tracks_evolving_dup_graph(spark, tmp_path):
         r.doc_id: r.component for r in near_dup_clusters(union_edges).collect()
     }
     assert lab3 == want
+
+    # compaction collapses superseded rows (5 and 22 were each written
+    # twice) without changing the resolved labeling, and the NEXT
+    # epoch's incremental update composes on top of the compacted rows
+    import pathlib
+
+    raw_before = spark.read.parquet(pipe.cc_label_dir).count()
+    assert pipe.compact_cluster_labels() == 3
+    assert spark.read.parquet(pipe.cc_label_dir).count() == 3 < raw_before
+    assert {
+        r.id: r.comp for r in pipe.resolved_cluster_labels().collect()
+    } == lab3
+    assert len(list(pathlib.Path(pipe.cc_label_dir).glob("*.parquet"))) == 1
+
+    near5c = base[5].split()
+    near5c[30] = "sentinel3"
+    _write([(50, " ".join(near5c), "s")], f"{landing}/b4.csv")
+    pipe.run_available_now()
+    assert pipe.stats[-1]["label_updates"] == 4  # {5, 22, 30, 50}
+    lab4 = {r.id: r.comp for r in pipe.resolved_cluster_labels().collect()}
+    assert lab4 == {5: 5, 22: 5, 30: 5, 50: 5}

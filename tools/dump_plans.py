@@ -235,6 +235,19 @@ one explode+distinct pass pinned in memory feeds both sides of the
 shingle-keyed self-join AND the per-source sizes; per-key fanout is
 bounded by the SOURCE count (not documents), so the join cannot skew;
 sizes join back via two broadcasts.""",
+    "semantic_dedup_clusters_lsh": """The 100 TB semantic-dedup path (r8):
+Arrow-batched LSH signatures (md5-derived planes, oracle-replicable)
+explode to (id, bucket) postings — ids only, vectors do NOT ride the
+posting shuffle; the candidate self-join is an equi-join on the bucket
+key; verification re-joins the (cached) vector relation per side —
+both joins broadcast at test scale — and the boundary-rescored cosine
+filter feeds the CC stage.  Work is O(bucket co-occupancy), never
+O(n^2) across the corpus.""",
+    "source_modality_matrix": """Per-source x per-modality dashboard (r8):
+a single pruned scan with the modality CASE riding through, one
+partial+final HashAggregate on (source, kind) — count, byte sum, and
+a distinct-md5 count (32-char digests, not payloads, ride the distinct
+aggregate); no joins, no windows, no UDFs.""",
 }
 
 
