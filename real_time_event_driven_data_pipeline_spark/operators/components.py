@@ -179,8 +179,18 @@ def connected_components(
             .count()
         )
         if changed == 0:
-            break
-    return labels
+            return labels
+    # Exhausting max_iter means labels are STILL CHANGING — returning
+    # them would hand the caller silently-wrong components (a graph of
+    # diameter > max_iter, e.g. an adversarial chain).  Fail loud and
+    # name the remedy, matching connected_components_star's contract:
+    # min-label propagation is O(diameter) by design; long-chain graphs
+    # belong on the star variant's O(log^2 n) rounds.
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds — "
+        "the graph's diameter exceeds max_iter.  Raise max_iter, or use "
+        "connected_components_star (diameter-independent rounds)."
+    )
 
 
 def near_dup_clusters(

@@ -149,9 +149,15 @@ def _ensure_loaded() -> None:
 
 def _prioritize(*names: str, after: int) -> None:
     """Reorder QUERIES so ``names`` sit at position ``after`` onward
-    (dict insertion order is the driver's sampling order)."""
+    (dict insertion order is the driver's sampling order).  Unknown
+    names raise: a typo would otherwise silently drop a query from the
+    round's certification prefix — exactly the quiet failure the
+    rotation exists to prevent."""
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise KeyError(f"_prioritize: not registered: {unknown}")
     rest = [n for n in QUERIES if n not in names]
-    order = rest[:after] + [n for n in names if n in QUERIES] + rest[after:]
+    order = rest[:after] + list(names) + rest[after:]
     snapshot = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({n: snapshot[n] for n in order})

@@ -370,3 +370,40 @@ def test_incremental_cc_fold_equals_batch(spark, edges, cut):
     assert full_fast == want
     full_slow, _ = _fold_incremental(spark, chunks, threshold=None)
     assert full_slow == want
+
+
+def test_cc_raises_on_nonconvergence(spark):
+    """Exhausting max_iter with labels still changing must FAIL LOUD —
+    the old loop returned silently-wrong components for any graph of
+    diameter > max_iter (round-8 self-review).  A 6-vertex chain needs
+    ~4 propagation rounds; max_iter=2 must raise, and the message must
+    name the diameter-independent star remedy."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="star"):
+        connected_components(chain, max_iter=2, small_graph_threshold=None)
+    # enough rounds: converges fine
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            chain, max_iter=10, small_graph_threshold=None
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(7)}
+
+
+def test_prioritize_rejects_unknown_names():
+    """A typo in the certification prefix must raise, not silently
+    drop the query from the round's sampling order."""
+    import pytest as _pytest
+
+    from real_time_event_driven_data_pipeline_spark.plans import registry
+
+    registry._ensure_loaded()
+    with _pytest.raises(KeyError, match="not registered"):
+        registry._prioritize("no_such_query_xyz", after=0)
+    # and the real prefix still loads (no typos in it)
+    assert "semantic_dedup_clusters_lsh" in registry.QUERIES
