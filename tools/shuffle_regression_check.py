@@ -1,0 +1,92 @@
+"""Shuffle-volume regression gate (r7 verdict item 7, made actionable).
+
+Wall-clock deltas between bench recordings can't separate a plan
+regression from co-tenant noise (the r6->r7 kmeans false alarm took a
+re-run to dismiss).  Shuffle bytes are plan + data determined — on the
+same sf they are reproducible to the byte — so a shuffle-volume jump IS
+a plan change, no re-run needed.
+
+Compares the current ``BENCH_DETAIL.json`` ``shuffle`` block against a
+baseline recording (default: the latest git-committed BENCH_DETAIL that
+carries a shuffle block) and reports per-query shuffle-write deltas
+above threshold.  Queries new since the baseline are listed, not
+flagged.  Exits 1 on regressions so the check can gate a round.
+
+Usage:
+    python tools/shuffle_regression_check.py [baseline.json]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+THRESHOLD_RATIO = 1.30  # >30% more shuffle-write bytes = plan change
+MIN_BYTES = 1 << 20  # ignore sub-MiB queries (overhead noise)
+
+
+def _latest_committed_with_shuffle() -> dict | None:
+    revs = subprocess.run(
+        ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.split()
+    for rev in revs:
+        raw = subprocess.run(
+            ["git", "show", f"{rev}:BENCH_DETAIL.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout
+        try:
+            d = json.loads(raw)
+        except json.JSONDecodeError:
+            continue
+        if d.get("shuffle"):
+            return d
+    return None
+
+
+def main() -> int:
+    cur = json.loads((REPO / "BENCH_DETAIL.json").read_text())
+    if not cur.get("shuffle"):
+        print("current BENCH_DETAIL.json has no shuffle block — run bench.py")
+        return 2
+    if len(sys.argv) > 1:
+        base = json.loads(Path(sys.argv[1]).read_text())
+    else:
+        base = _latest_committed_with_shuffle()
+        if base is None:
+            print("no committed baseline with a shuffle block yet — recording only")
+            return 0
+    if base.get("sf") != cur.get("sf"):
+        print(f"sf mismatch (base {base.get('sf')} vs cur {cur.get('sf')}) — skip")
+        return 0
+    bs, cs = base["shuffle"], cur["shuffle"]
+    regressions, improved, new = [], [], sorted(set(cs) - set(bs))
+    for name in sorted(set(bs) & set(cs)):
+        b = bs[name]["shuffle_write_bytes"]
+        c = cs[name]["shuffle_write_bytes"]
+        if c > THRESHOLD_RATIO * b and c - b > MIN_BYTES:
+            regressions.append((name, b, c))
+        elif b > THRESHOLD_RATIO * c and b - c > MIN_BYTES:
+            improved.append((name, b, c))
+    for name, b, c in regressions:
+        print(f"REGRESSION {name}: shuffle_write {b:,} -> {c:,} bytes")
+    for name, b, c in improved:
+        print(f"improved   {name}: shuffle_write {b:,} -> {c:,} bytes")
+    if new:
+        print(f"new since baseline (not compared): {', '.join(new)}")
+    print(
+        f"{len(regressions)} regressions / {len(improved)} improvements "
+        f"over {len(set(bs) & set(cs))} common queries"
+    )
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
