@@ -346,16 +346,27 @@ def incremental_connected_components(
     sequence folded incrementally in chunks equals batch CC over the
     union.
 
-    Scale shape: per-epoch cost is bounded by |new edges| + |members of
-    touched components| — NEVER corpus size.  Three narrow shuffles
-    build the reduced graph (vertex distinct, touched-comp semi-join,
-    member semi-join), then the reduced CC runs on a graph of
+    Scale shape: the shuffled relations are bounded by |new edges| +
+    |members of touched components| — NEVER corpus size.  The two
+    label-table semi-joins broadcast their tiny probe side (new-edge
+    vertices; touched comps), so ``labels`` is only SCANNED map-side,
+    never shuffled; the reduced CC then runs on a graph of
     affected-subgraph size, taking the union-find fast path whenever it
     fits the driver budget (near-dup epochs are small graphs by
     construction).  NULL vertex ids are not supported here: the
     star-edge reduction would silently disconnect them (the batch
     loop's documented NULL-absorption artifact has no incremental
     analogue) — filter them upstream.
+
+    ``labels`` may carry MULTIPLE rows per id (e.g. an append-only
+    last-writer-wins sidecar read raw, skipping its resolve shuffle):
+    because edges are append-only, connectivity is monotone — a stale
+    (id, comp) row connects vertices that were co-component at some
+    past epoch and therefore still are — so superseded rows add only
+    redundant star edges, and comp values are member ids, so min-id
+    labels are unchanged.  Pytest pins raw-rows == resolved-rows
+    output.  (The monotonicity argument is load-bearing: do NOT feed
+    labelings of a graph whose edges can be retracted.)
     """
     e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if labels is None:

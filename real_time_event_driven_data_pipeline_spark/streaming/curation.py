@@ -489,7 +489,19 @@ class CorpusCurationPipeline:
         # new pair edges into the label sidecar, relabeling only the
         # components they touch.  Runs BEFORE publish so a replayed
         # epoch recomputes the identical update from the identical
-        # pre-epoch history (the resolver excludes this epoch's rows).
+        # pre-epoch history (the read excludes this epoch's rows).
+        #
+        # The update consumes the RAW sidecar rows, NOT the resolved
+        # (max_by) labeling — resolving would shuffle the whole label
+        # table every epoch.  Raw rows are safe star edges because
+        # edges are append-only, so connectivity is MONOTONE: a stale
+        # (id, comp) row connects vertices that were co-component at
+        # some epoch and therefore still are; superseded rows only add
+        # redundant edges to the reduced graph, never wrong ones, and
+        # comp labels are member ids, so the min-id contract holds.
+        # The per-epoch cost is then two broadcast semi-join SCANS of
+        # the sidecar (map-side, no label shuffle) plus CC on the
+        # affected subgraph; compact_cluster_labels() trims the scans.
         n_label_updates = 0
         if self.cluster_labels:
             from ..operators.components import (
@@ -499,8 +511,11 @@ class CorpusCurationPipeline:
             edges = pairs.select("id_a", "id_b")
             if self.image_gate:
                 edges = edges.unionByName(ipairs.select("id_a", "id_b"))
+            raw = read_epoch_dir(
+                self.spark, self.cc_label_dir, exclude_epoch=epoch_id
+            )
             updated = incremental_connected_components(
-                self.resolved_cluster_labels(exclude_epoch=epoch_id),
+                raw.select("id", "comp") if raw is not None else None,
                 self._pin(edges),
                 src="id_a",
                 dst="id_b",

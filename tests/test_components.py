@@ -407,3 +407,33 @@ def test_prioritize_rejects_unknown_names():
         registry._prioritize("no_such_query_xyz", after=0)
     # and the real prefix still loads (no typos in it)
     assert "semantic_dedup_clusters_lsh" in registry.QUERIES
+
+
+def test_incremental_cc_tolerates_stale_label_rows(spark):
+    """An append-only label sidecar read RAW has superseded rows; under
+    append-only edges connectivity is monotone, so stale (id, comp)
+    rows are valid (redundant) star edges and the update must equal
+    the resolved-input run exactly (round-8: lets the curation gate
+    skip the per-epoch resolve shuffle)."""
+    # history: e1 made {5,22}->5; e2 merged in 3 -> {3,5,22,30}->3
+    stale_plus_fresh = spark.createDataFrame(
+        [(5, 5), (22, 5), (3, 3), (5, 3), (22, 3), (30, 3), (80, 80), (81, 80)],
+        "id long, comp long",
+    )
+    resolved = spark.createDataFrame(
+        [(5, 3), (22, 3), (3, 3), (30, 3), (80, 80), (81, 80)],
+        "id long, comp long",
+    )
+    new_edges = spark.createDataFrame([(22, 4)], "src long, dst long")
+    via_raw = {
+        r["id"]: r["comp"]
+        for r in incremental_connected_components(
+            stale_plus_fresh, new_edges
+        ).collect()
+    }
+    via_resolved = {
+        r["id"]: r["comp"]
+        for r in incremental_connected_components(resolved, new_edges).collect()
+    }
+    assert via_raw == via_resolved == {3: 3, 4: 3, 5: 3, 22: 3, 30: 3}
+    # the untouched {80, 81} component appears in neither update
