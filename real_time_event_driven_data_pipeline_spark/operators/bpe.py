@@ -180,6 +180,57 @@ def bpe_merge_table(
     ).orderBy("step")
 
 
+def bpe_encode_text(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table and emit the ENCODED TOKEN STREAM —
+    the step between vocabulary learning and a training loader
+    (``bpe_encode`` stops at counts; this materializes the tokens).
+
+    Output: (id, n_words, n_symbols, encoded_text) where
+    ``encoded_text`` is every word's merged symbols, in document order,
+    joined by single spaces (one flat symbol stream, the token-ids view
+    modulo the symbol->id lookup).  Deterministic: the merge fold is
+    the same greedy literal replace as training, identical in Spark and
+    DuckDB, so the query is oracle-exact.
+
+    Plan shape: one posexplode (order key), the per-row replace fold,
+    one hash aggregate on the id with an in-group sort bounded by
+    document length — no windows, no joins, no second corpus pass.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias(
+            "pos", "word"
+        ),
+    ).filter((F.col("word") != "") & (~F.col("word").contains(SEP)))
+    s = _symbolized(F.col("word"))
+    for _, l, r, _n in merges:
+        s = F.replace(s, F.lit(f"{SEP}{l}{SEP}{r}{SEP}"), F.lit(f"{SEP}{l}{r}{SEP}"))
+    n_sym = F.size(F.split(s, SEP)) - 2
+    sym_str = F.replace(
+        F.regexp_replace(s, f"^{SEP}|{SEP}$", ""), F.lit(SEP), F.lit(" ")
+    )
+    return (
+        toks.select(F.col(id_col), "pos", sym_str.alias("_sym"), n_sym.alias("_ns"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_ns").cast("long").alias("n_symbols"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_sym"))),
+                    lambda x: x["_sym"],
+                ),
+                " ",
+            ).alias("encoded_text"),
+        )
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[int, str, str, int]],

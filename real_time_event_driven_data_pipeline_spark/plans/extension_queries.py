@@ -2182,6 +2182,49 @@ def q_bpe_token_budget(spark, sf_dir):
     return bpe.bpe_encode(docs, merges).orderBy("doc_id")
 
 
+def _bpe_encoded_oracle_sql(n_merges: int) -> str:
+    """Encode oracle: final symbolized words join back to doc tokens
+    WITH their positions (LATERAL range unnest), and the per-doc token
+    stream re-assembles via string_agg ORDER BY pos — the same greedy
+    replace chain as training, so the encoded text is engine-exact."""
+    return (
+        _bpe_cte_chain(n_merges)
+        + f""", wsymstr AS (
+    SELECT word,
+           CAST(len(string_split(trim(BOTH chr(31) FROM s), chr(31))) AS BIGINT)
+             AS n_sym,
+           replace(trim(BOTH chr(31) FROM s), chr(31), ' ') AS symstr
+    FROM s{n_merges}
+), dtoks AS (
+    SELECT t.doc_id, u.pos, t.ws[u.pos] AS word
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents) t,
+         LATERAL (SELECT unnest(range(1, len(t.ws) + 1)) AS pos) u
+    WHERE t.ws[u.pos] <> '' AND position(chr(31) IN t.ws[u.pos]) = 0
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_sym) AS BIGINT) AS n_symbols,
+       string_agg(w.symstr, ' ' ORDER BY d.pos) AS encoded_text
+FROM dtoks d JOIN wsymstr w USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+    )
+
+
+@register(
+    "bpe_encoded_docs",
+    _bpe_encoded_oracle_sql(_BPE_MERGES),
+    "ext: the encoded token stream under the learned BPE merges",
+)
+def q_bpe_encoded_docs(spark, sf_dir):
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.bpe_fit(docs, n_merges=_BPE_MERGES)
+    return bpe.bpe_encode_text(docs, merges).orderBy("doc_id")
+
+
 # --- count-min sketch heavy hitters (operators/sketches.py): the
 # oracle-exact frequency sketch (deterministic md5 row hashes), unlike
 # the rows-only HLL/KLL queries.  est >= true count always; top-n by

@@ -91,6 +91,7 @@ def _ensure_loaded() -> None:
         # (a) new in round 8
         "semantic_dedup_clusters_lsh",  # the 100 TB semantic-dedup path
         "source_modality_matrix",  # per-source x per-modality dashboard
+        "bpe_encoded_docs",  # the encoded token stream (vocab applied)
         # (b) code path changed in round 8
         "dup_cluster_representatives",  # null-safe tie-back
         "near_dup_clusters",  # CC convergence probe

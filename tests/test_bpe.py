@@ -96,3 +96,33 @@ def test_bpe_rematerialize_cadence_is_trajectory_invariant(spark):
         _spark_corpus(spark), n_merges=8, rematerialize_every=10**9
     )
     assert frequent == never == want
+
+
+def test_bpe_encode_text_matches_replica(spark):
+    """bpe_encode_text materializes the encoded token stream: every
+    word's merged symbols in document order, one flat space-joined
+    sequence (round 8 — the vocab-to-loader handoff step)."""
+    merges, sym = _replica(6)
+    word_syms = {}
+    for s in sym:
+        word = "".join(s.split(SEP)[1:-1])
+        word_syms[word] = " ".join(s.split(SEP)[1:-1])
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_symbols"], r["encoded_text"])
+        for r in bpe.bpe_encode_text(_spark_corpus(spark), merges).collect()
+    }
+    want = {}
+    for d, t in CORPUS:
+        toks = [w for w in t.strip().split() if w and SEP not in w]
+        want[d] = (
+            len(toks),
+            sum(len(word_syms[w].split()) for w in toks),
+            " ".join(word_syms[w] for w in toks),
+        )
+    assert got == want
+    # counts agree with the budget view on every doc
+    budget = {
+        r["doc_id"]: (r["n_words"], r["n_symbols"])
+        for r in bpe.bpe_encode(_spark_corpus(spark), merges).collect()
+    }
+    assert {d: v[:2] for d, v in got.items()} == budget
