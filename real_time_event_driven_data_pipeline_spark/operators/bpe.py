@@ -85,6 +85,44 @@ def _pair_counts(sym: DataFrame) -> DataFrame:
     )
 
 
+def _fit_local(
+    rows: list, n_merges: int, on_step=None
+) -> list[tuple[int, str, str, int]]:
+    """Greedy BPE on a collected (word, cnt) relation — the small-vocab
+    fast path.  Bit-identical trajectory to the distributed loop by
+    construction: Python ``str.replace`` shares Spark/DuckDB
+    ``replace``'s greedy left-to-right non-overlapping semantics, pair
+    counts are cnt-weighted over adjacent symbols, and the argmax
+    tie-break is (n DESC, lhs, rhs) — exactly the distributed
+    ``orderBy(...).limit(1)``.  Distinct words can never collide as
+    symbol strings (symbols concatenate back to the word), so the dict
+    keying is safe.  Property-pinned equal to the distributed path."""
+    import time as _time
+
+    from collections import Counter
+
+    sym = {SEP + SEP.join(w) + SEP: c for w, c in rows}
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        _t0 = _time.perf_counter()
+        pairs: Counter = Counter()
+        for s, c in sym.items():
+            parts = s.split(SEP)[1:-1]
+            for a, b in zip(parts, parts[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, int(n)))
+        sym = {
+            s.replace(f"{SEP}{l}{SEP}{r}{SEP}", f"{SEP}{l}{r}{SEP}"): c
+            for s, c in sym.items()
+        }
+        if on_step is not None:
+            on_step(step, _time.perf_counter() - _t0)
+    return merges
+
+
 def bpe_fit(
     df: DataFrame,
     n_merges: int = 10,
@@ -92,6 +130,7 @@ def bpe_fit(
     text_col: str = "text",
     rematerialize_every: int = 64,
     on_step=None,
+    small_vocab_threshold: int | None = 100_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(step, left, right, pair_count), ...]``.
@@ -122,8 +161,33 @@ def bpe_fit(
     loss mid-fit fails the job, which must then be retried from the
     start (same trade as streaming/curation.py's ``_pin``; a long-lived
     production fit should use ``sparkContext.setCheckpointDir`` +
-    reliable ``checkpoint()`` instead)."""
+    reliable ``checkpoint()`` instead).
+
+    Small-vocab fast path (r8, the CC-fast-path design call): the fit
+    iterates over the DISTINCT-WORD relation, which at test scale is
+    tens of words — yet each distributed merge step pays a full
+    job's scheduling overhead (measured ~3 s of pure overhead for a
+    10-merge fit on a 31-word vocab).  When the vocab fits a bounded
+    driver budget (``small_vocab_threshold`` rows; (word, cnt) tuples
+    cost ~100 B each, so the 100k default is ~10 MB — broadcast-side
+    order), the relation is collected once and fit locally with a
+    bit-identical trajectory (``_fit_local``; property-pinned against
+    the distributed loop).  Pass ``None`` to force the distributed
+    path — the cadence tests and probes do, so it stays exercised.
+    At 100 TB a Heaps-law vocabulary blows past any driver budget and
+    the distributed loop is the only path; the threshold exists for
+    the small-corpus regime where job overhead dominates."""
     words = word_relation(df, id_col, text_col)
+    if small_vocab_threshold is not None:
+        # bounded probe: LIMIT k+1 short-circuits, never counts the
+        # full relation just to learn it is big
+        probe = words.limit(small_vocab_threshold + 1).count()
+        if probe <= small_vocab_threshold:
+            return _fit_local(
+                [(r["word"], int(r["cnt"])) for r in words.collect()],
+                n_merges,
+                on_step,
+            )
     base = words.select(_symbolized(F.col("word")).alias("s"), "cnt").persist()
     merges: list[tuple[int, str, str, int]] = []
     try:

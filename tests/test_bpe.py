@@ -90,10 +90,12 @@ def test_bpe_rematerialize_cadence_is_trajectory_invariant(spark):
     merge table (and match the Python replica) as no cadence at all."""
     want, _ = _replica(8)
     frequent = bpe.bpe_fit(
-        _spark_corpus(spark), n_merges=8, rematerialize_every=2
+        _spark_corpus(spark), n_merges=8, rematerialize_every=2,
+        small_vocab_threshold=None,  # the cadence knob is distributed-only
     )
     never = bpe.bpe_fit(
-        _spark_corpus(spark), n_merges=8, rematerialize_every=10**9
+        _spark_corpus(spark), n_merges=8, rematerialize_every=10**9,
+        small_vocab_threshold=None,
     )
     assert frequent == never == want
 
@@ -126,3 +128,16 @@ def test_bpe_encode_text_matches_replica(spark):
         for r in bpe.bpe_encode(_spark_corpus(spark), merges).collect()
     }
     assert {d: v[:2] for d, v in got.items()} == budget
+
+
+def test_bpe_fit_local_fast_path_matches_distributed(spark):
+    """The small-vocab fast path (round 8 — collected greedy fit, the
+    CC-fast-path design call) must reproduce the distributed loop's
+    trajectory bit-for-bit, including the (n DESC, lhs, rhs) argmax
+    tie-break."""
+    df = _spark_corpus(spark)
+    local = bpe.bpe_fit(df, n_merges=8)  # default threshold -> local
+    dist = bpe.bpe_fit(df, n_merges=8, small_vocab_threshold=None)
+    assert local == dist
+    want, _ = _replica(8)
+    assert local == want

@@ -56,7 +56,8 @@ def main() -> None:
 
     def timed(n: int, cadence: int) -> tuple[float, list]:
         t0 = time.perf_counter()
-        merges = bpe.bpe_fit(docs, n_merges=n, rematerialize_every=cadence)
+        merges = bpe.bpe_fit(docs, n_merges=n, rematerialize_every=cadence,
+                             small_vocab_threshold=None)
         return round(time.perf_counter() - t0, 2), merges
 
     # warm pass (listing/codegen), then the measured fits

@@ -46,7 +46,8 @@ def main() -> None:
     spark.range(64, numPartitions=8).count()  # warm the JVM
     docs = spark.read.parquet(str(base / "documents.parquet")).repartition(32)
 
-    bpe.bpe_fit(docs, n_merges=3, rematerialize_every=CADENCE)  # warm pass
+    bpe.bpe_fit(docs, n_merges=3, rematerialize_every=CADENCE,
+                small_vocab_threshold=None)  # warm pass
 
     step_secs: list[float] = []
     t0 = time.perf_counter()
@@ -55,6 +56,7 @@ def main() -> None:
         n_merges=n_merges,
         rematerialize_every=CADENCE,
         on_step=lambda step, s: step_secs.append(s),
+        small_vocab_threshold=None,  # this probes the DISTRIBUTED loop
     )
     total = round(time.perf_counter() - t0, 2)
     spark.stop()
