@@ -75,9 +75,15 @@ def main() -> None:
     # The executor-summary counters (statusStore; populated with the UI
     # off) are monotone totals over the single local executor, so a
     # before/after diff per query is that query's shuffle volume.
-    status_store = spark.sparkContext._jsc.sc().statusStore()
+    jsc = spark.sparkContext._jsc.sc()
+    status_store = jsc.statusStore()
 
     def _counters() -> tuple[int, int, int]:
+        # the status store is fed by an ASYNC listener queue: without a
+        # drain, a query's late task-end events land in the NEXT
+        # query's delta and the "plan-determined" shuffle numbers stop
+        # being reproducible (review finding r8)
+        jsc.listenerBus().waitUntilEmpty(10_000)
         e = status_store.executorList(True).apply(0)
         return e.totalShuffleRead(), e.totalShuffleWrite(), e.totalGCTime()
 

@@ -179,14 +179,13 @@ def bpe_fit(
     the small-corpus regime where job overhead dominates."""
     words = word_relation(df, id_col, text_col)
     if small_vocab_threshold is not None:
-        # bounded probe: LIMIT k+1 short-circuits, never counts the
-        # full relation just to learn it is big
-        probe = words.limit(small_vocab_threshold + 1).count()
-        if probe <= small_vocab_threshold:
+        # bounded probe AND the data in ONE job: at <= threshold rows
+        # the limited collect IS the full relation (LIMIT k+1 still
+        # short-circuits when the vocab is big, costing only k+1 rows)
+        rows = words.limit(small_vocab_threshold + 1).collect()
+        if len(rows) <= small_vocab_threshold:
             return _fit_local(
-                [(r["word"], int(r["cnt"])) for r in words.collect()],
-                n_merges,
-                on_step,
+                [(r["word"], int(r["cnt"])) for r in rows], n_merges, on_step
             )
     base = words.select(_symbolized(F.col("word")).alias("s"), "cnt").persist()
     merges: list[tuple[int, str, str, int]] = []

@@ -764,6 +764,11 @@ def exact_substring_dedup(
       (pytest pins 'a' surviving from six) — positions covered by any
       non-first occurrence are cut, wherever they sit."""
     if min_doc_freq is not None:  # deprecated alias, pre-round-8 API
+        if min_freq != 2:  # both given explicitly — refuse, don't clobber
+            raise ValueError(
+                "exact_substring_dedup: pass min_freq OR the deprecated "
+                "min_doc_freq, not both"
+            )
         min_freq = min_doc_freq
     if rebuild not in ("inrow", "exploded"):
         raise ValueError("rebuild must be 'inrow' or 'exploded'")

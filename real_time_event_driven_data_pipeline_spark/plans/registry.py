@@ -101,6 +101,8 @@ def _ensure_loaded() -> None:
         "eval_span_scrub",  # rebuild param added
         "exact_substring_dedup",  # min_freq rename
         "intra_doc_dedup",  # min_freq rename
+        "bpe_merge_table",  # fit takes the new small-vocab local path
+        "bpe_token_budget",  # same — certification must postdate it
         # (c) round-7 late-fix recertification
         "event_volume_anomalies",
         "source_overlap_matrix",
@@ -140,8 +142,8 @@ def _ensure_loaded() -> None:
         "customers_without_orders",
         "orders_with_big_items",
         "nation_customer_counts",
-        "lineitem_summary_stats",
-        "top_orders_by_value",
+        # (lineitem_summary_stats / top_orders_by_value and the other
+        # 24 r1-era rows rotate in round 9 — the prefix stays ~50)
         after=0,
     )
 

@@ -727,3 +727,15 @@ def test_modality_profile_counts_and_dups(spark):
         ("s1", "audio"): (1, 2, 1, 0, 2.0),
         ("s2", "image"): (1, 6, 1, 0, 6.0),
     }
+
+
+def test_exact_substring_dedup_rejects_both_freq_names(spark):
+    """Passing both min_freq and the deprecated min_doc_freq must raise
+    instead of silently clobbering the new name (review finding r8)."""
+    import pytest as _pytest
+
+    from real_time_event_driven_data_pipeline_spark.operators import dedup
+
+    d = _mkdocs(spark, [(1, "p q r s t u")])
+    with _pytest.raises(ValueError, match="not both"):
+        dedup.exact_substring_dedup(d, min_freq=3, min_doc_freq=2)

@@ -28,7 +28,12 @@ THRESHOLD_RATIO = 1.30  # >30% more shuffle-write bytes = plan change
 MIN_BYTES = 1 << 20  # ignore sub-MiB queries (overhead noise)
 
 
-def _latest_committed_with_shuffle() -> dict | None:
+def _latest_committed_with_shuffle(cur: dict) -> dict | None:
+    """Newest committed recording whose shuffle block DIFFERS from the
+    current one — comparing a committed copy of the file against
+    itself would make the gate vacuous post-commit (review finding r8);
+    skipping identical blocks lands on the previous distinct recording,
+    i.e. a genuine cross-round baseline."""
     revs = subprocess.run(
         ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
         cwd=REPO,
@@ -46,7 +51,7 @@ def _latest_committed_with_shuffle() -> dict | None:
             d = json.loads(raw)
         except json.JSONDecodeError:
             continue
-        if d.get("shuffle"):
+        if d.get("shuffle") and d["shuffle"] != cur.get("shuffle"):
             return d
     return None
 
@@ -59,9 +64,12 @@ def main() -> int:
     if len(sys.argv) > 1:
         base = json.loads(Path(sys.argv[1]).read_text())
     else:
-        base = _latest_committed_with_shuffle()
+        base = _latest_committed_with_shuffle(cur)
         if base is None:
-            print("no committed baseline with a shuffle block yet — recording only")
+            print(
+                "no committed baseline with a DISTINCT shuffle block yet — "
+                "recording only"
+            )
             return 0
     if base.get("sf") != cur.get("sf"):
         print(f"sf mismatch (base {base.get('sf')} vs cur {cur.get('sf')}) — skip")
