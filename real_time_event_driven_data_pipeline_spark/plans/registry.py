@@ -40,6 +40,17 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
             apply_runtime_confs(spark)
             return fn(spark, sf_dir)
 
+        # Duplicate names must fail at import, not last-writer-win: a
+        # round-8 query silently shadowed `modality_profile` for two
+        # commits before a BENCH-set diff caught it.  dict assignment
+        # would drop the earlier query from the driver contract with no
+        # signal anywhere — the exact quiet failure the registry exists
+        # to prevent.
+        if name in QUERIES:
+            raise ValueError(
+                f"register: duplicate query name {name!r} — already "
+                f"registered; rename one of the two"
+            )
         QUERIES[name] = Query(name, wrapped, oracle, survey_ref)
         return wrapped
 
@@ -77,73 +88,49 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
 
-    # round 8 sampling prefix (driver samples ~50): (a) NEW this round;
-    # (b) code paths changed this round — the CC distributed-loop
-    # convergence probe went type-agnostic, the representatives tie-back
-    # went null-safe, span-scrub gained the exploded rebuild, and
-    # exact-substring renamed its frequency knob (defaults unchanged,
-    # but certification should postdate the edits); (c) the round-7
-    # late-fix queries whose paths commit b3abfab touched AFTER the r7
-    # driver run (r7 verdict item 3); (d) the oldest-certified tail —
-    # queries last driver-hashed in r1/r2 rotate forward so no query's
-    # record goes stale (r7 verdict item 6; the remainder rotates in r9).
+    # round 9 sampling prefix (driver samples ~50): (a) the final 26
+    # r1/r2-era queries — after this rotation every registered query's
+    # latest driver hash is r5+ for the first time (r8 verdict item 1);
+    # (b) code paths changed this round — the min_freq sentinel rework
+    # (exact-substring family), the LSH plane-count auto-sizing +
+    # shared-constant oracle SQL (semantic dedup family), and the
+    # deterministic mergeable quantile sketch that upgrades
+    # value_quantile_sketch from rows-only to oracle-exact; (c) NEW
+    # queries this round.
     _prioritize(
-        # (a) new in round 8
-        "semantic_dedup_clusters_lsh",  # the 100 TB semantic-dedup path
-        "source_modality_matrix",  # per-source x per-modality dashboard
-        "bpe_encoded_docs",  # the encoded token stream (vocab applied)
-        # (b) code path changed in round 8
-        "dup_cluster_representatives",  # null-safe tie-back
-        "near_dup_clusters",  # CC convergence probe
-        "multimodal_dup_clusters",  # CC convergence probe
-        "semantic_dedup_clusters",  # CC convergence probe
-        "crossmodal_dup_clusters",  # CC convergence probe
-        "eval_span_scrub",  # rebuild param added
-        "exact_substring_dedup",  # min_freq rename
-        "intra_doc_dedup",  # min_freq rename
-        "bpe_merge_table",  # fit takes the new small-vocab local path
-        "bpe_token_budget",  # same — certification must postdate it
-        # (c) round-7 late-fix recertification
-        "event_volume_anomalies",
-        "source_overlap_matrix",
-        "training_export_manifest",
-        "temperature_source_mixture",
-        "temperature_sampled_corpus",
-        "quality_gate_reasons",
-        "source_quality_profile",
-        # (d) r1/r2-era certification rotation (oldest first)
-        "pricing_summary",
-        "discount_revenue_opportunity",
-        "promo_revenue_share",
-        "large_quantity_orders",
-        "top_loss_customers",
-        "revenue_cube",
-        "latest_event_per_user",
-        "part_name_features",
-        "late_shipment_priorities",
-        "idle_rich_customers",
-        "part_supplier_variety",
-        "revenue_grouping_sets",
-        "top_unshipped_orders",
-        "order_count_distribution",
-        "important_part_stock",
-        "small_quantity_revenue",
-        "disjunctive_promo_revenue",
-        "waiting_suppliers",
-        "daily_revenue_dod",
-        "min_cost_suppliers",
-        "nation_trade_volume",
-        "nation_profit",
-        "excess_stock_suppliers",
-        "events_null_props",
-        "repeat_customers",
-        "order_point_lookup",
-        "lineitem_projection",
-        "customers_without_orders",
-        "orders_with_big_items",
-        "nation_customer_counts",
-        # (lineitem_summary_stats / top_orders_by_value and the other
-        # 24 r1-era rows rotate in round 9 — the prefix stays ~50)
+        # (a) r1/r2-era certification rotation — the full remaining tail
+        "approx_daily_users",  # rows-only HLL: row-count freshness
+        "brand_type_catalog",
+        "cohort_retention",
+        "conversion_funnel",
+        "daily_revenue_7d_ma",
+        "daily_revenue_running",
+        "event_props_json",
+        "event_time_features",
+        "events_sliding_stats",
+        "flag_measures_long",
+        "late_lines_by_status",
+        "lineitem_summary_stats",
+        "nation_market_share",
+        "parts_above_brand_avg",
+        "price_histogram",
+        "price_percentiles",
+        "priority_segment_union",
+        "quantity_pivot",
+        "regional_supplier_volume",
+        "revenue_rollup",
+        "session_window_agg",
+        "top3_parts_per_brand",
+        "top_orders_by_value",
+        "urgent_only_customers",
+        "user_sessionization",
+        "value_quantile_sketch",  # r9: now a deterministic oracle-exact sketch
+        # (b) code paths changed in round 9
+        "exact_substring_dedup",  # min_freq sentinel default
+        "intra_doc_dedup",  # min_freq sentinel default
+        "semantic_dedup_clusters_lsh",  # shared-constant SQL + auto-sizing
+        "semantic_dedup_clusters",  # shares the verify path
+        "ann_lsh_topk",  # plane-sizing helper touches its module
         after=0,
     )
 

@@ -339,6 +339,34 @@ def test_incremental_cc_bridge_merges_only_touched(spark):
     assert updated == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}  # 20/21 absent
 
 
+def test_incremental_cc_raises_on_null_ids(spark):
+    """A planted NULL edge or NULL label row must raise loudly (r8
+    verdict item 6): the star reduction would otherwise silently
+    disconnect the NULL vertex, and a NULL-id label row would silently
+    never relabel — the silent-wrong-labels failure class."""
+    import pytest as _pytest
+
+    good_labels = spark.createDataFrame([(1, 1), (2, 1)], "id long, comp long")
+    null_edge = spark.createDataFrame(
+        [(3, None), (4, 5)], "src long, dst long"
+    )
+    with _pytest.raises(ValueError, match="NULL vertex id in new_edges"):
+        incremental_connected_components(good_labels, null_edge)
+    with _pytest.raises(ValueError, match="NULL vertex id in new_edges"):
+        incremental_connected_components(None, null_edge)  # first batch too
+
+    null_labels = spark.createDataFrame(
+        [(1, 1), (None, 1)], "id long, comp long"
+    )
+    good_edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="NULL id/comp in labels"):
+        incremental_connected_components(null_labels, good_edges)
+
+    # clean inputs still work
+    upd = incremental_connected_components(good_labels, good_edges)
+    assert {r["id"]: r["comp"] for r in upd.collect()} == {1: 1, 2: 1}
+
+
 def test_incremental_cc_new_vertices_and_string_ids(spark):
     labels = None
     c1 = [("a", "b")]
@@ -407,6 +435,28 @@ def test_prioritize_rejects_unknown_names():
         registry._prioritize("no_such_query_xyz", after=0)
     # and the real prefix still loads (no typos in it)
     assert "semantic_dedup_clusters_lsh" in registry.QUERIES
+
+
+def test_register_rejects_duplicate_names():
+    """Registering a name twice must raise at import time, not
+    last-writer-win: round 8 shipped a query that silently shadowed
+    `modality_profile` in the registry dict for two commits (r8
+    verdict item 5 makes the failure structural)."""
+    import pytest as _pytest
+
+    from real_time_event_driven_data_pipeline_spark.plans import registry
+
+    registry._ensure_loaded()
+    existing = next(iter(registry.QUERIES))
+    with _pytest.raises(ValueError, match="duplicate query name"):
+
+        @registry.register(existing, oracle=None)
+        def _clone(spark, sf_dir):  # pragma: no cover - must not register
+            raise AssertionError("should never run")
+
+    # the original binding is untouched and the count equals unique names
+    assert registry.QUERIES[existing].name == existing
+    assert len(registry.QUERIES) == len(set(registry.QUERIES))
 
 
 def test_incremental_cc_tolerates_stale_label_rows(spark):
