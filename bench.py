@@ -33,12 +33,68 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
+# Noise detection (r8 verdict item 2): BENCH_r08 recorded a 1.21x
+# common-set "regression" that was pure co-tenant load — unchanged code,
+# zero shuffle-byte deltas across 147 queries.  The official record must
+# defend itself: when the run LOOKS hot (per-pass total spread > 1.3x),
+# take extra full passes; when individual shuffle-UNCHANGED queries
+# disagree with the previous committed record by > 1.5x and > 0.5 s,
+# re-run just those queries before writing the record.  All retries are
+# real executions feeding the same per-query min.
+PASS_SPREAD_BAR = 1.30
+MAX_EXTRA_PASSES = 2
+QUERY_REGRESSION_RATIO = 1.5
+QUERY_REGRESSION_FLOOR_S = 0.5
+MAX_QUERY_RETRIES = 3
+SHUFFLE_SAME_RATIO = 1.30  # same bar as tools/shuffle_regression_check.py
+SHUFFLE_MIN_BYTES = 1 << 20
+
+
+def _latest_committed_detail() -> dict | None:
+    """Newest git-committed BENCH_DETAIL.json carrying per-query
+    timings + a shuffle block — the reference for the per-query noise
+    check (mirrors tools/shuffle_regression_check.py's baseline)."""
+    revs = subprocess.run(
+        ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.split()
+    for rev in revs:
+        raw = subprocess.run(
+            ["git", "show", f"{rev}:BENCH_DETAIL.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout
+        try:
+            d = json.loads(raw)
+        except json.JSONDecodeError:
+            continue
+        if d.get("shuffle") and d.get("queries"):
+            return d
+    return None
+
+
+def _shuffle_unchanged(prev: dict | None, cur: dict | None) -> bool:
+    """True when two shuffle records describe the same plan shape —
+    write bytes within the gate ratio in both directions (or both
+    below the noise floor)."""
+    if not prev or not cur:
+        return False
+    b = prev["shuffle_write_bytes"]
+    c = cur["shuffle_write_bytes"]
+    if max(b, c) < SHUFFLE_MIN_BYTES:
+        return True
+    return c <= SHUFFLE_SAME_RATIO * b and b <= SHUFFLE_SAME_RATIO * c
 
 
 def main() -> None:
@@ -83,45 +139,121 @@ def main() -> None:
         # drain, a query's late task-end events land in the NEXT
         # query's delta and the "plan-determined" shuffle numbers stop
         # being reproducible (review finding r8)
-        jsc.listenerBus().waitUntilEmpty(10_000)
+        try:
+            jsc.listenerBus().waitUntilEmpty(10_000)
+        except Exception as exc:  # py4j TimeoutException and kin
+            # a queue that fails to drain in 10 s degrades ONE query's
+            # shuffle attribution; it must not abort the whole bench
+            # run mid-flight (round-8 ADVICE)
+            print(f"# warn: listener drain timed out ({exc})", file=sys.stderr)
         e = status_store.executorList(True).apply(0)
         return e.totalShuffleRead(), e.totalShuffleWrite(), e.totalGCTime()
 
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []
     shuffle: dict[str, dict[str, int]] = {}
-    for p in range(n_passes):
-        if p:
-            # between-pass maintenance a long-lived session would do:
-            # drop cached relations left by the previous pass and give
-            # the JVM one full collection, so pass-2 numbers measure the
-            # queries rather than accumulated old-gen garbage
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+
+    def _maintain() -> None:
+        # between-pass maintenance a long-lived session would do: drop
+        # cached relations left by the previous pass and give the JVM
+        # one full collection, so later numbers measure the queries
+        # rather than accumulated old-gen garbage
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    def _run_query(name, fn, label: str) -> float:
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        print(f"# [{label}] {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        return dt
+
+    def _run_pass(label: str, measure_shuffle: bool) -> dict[str, float]:
         pass_times: dict[str, float] = {}
         for name, fn in queries_map().items():
-            r0, w0, g0 = _counters()
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            pass_times[name] = round(time.perf_counter() - t0, 3)
-            if p == 0:  # shuffle volume is plan-determined; one pass suffices
+            if measure_shuffle:
+                r0, w0, g0 = _counters()
+            pass_times[name] = _run_query(name, fn, label)
+            if measure_shuffle:
                 r1, w1, g1 = _counters()
                 shuffle[name] = {
                     "shuffle_read_bytes": r1 - r0,
                     "shuffle_write_bytes": w1 - w0,
                     "gc_ms": g1 - g0,
                 }
-            print(
-                f"# [{p + 1}/{n_passes}] {name}: {pass_times[name]:.3f}s ({n} rows)",
-                file=sys.stderr,
-            )
-        passes.append(pass_times)
+        return pass_times
+
+    for p in range(n_passes):
+        if p:
+            _maintain()
+        # shuffle volume is plan-determined; one pass suffices
+        passes.append(_run_pass(f"{p + 1}/{n_passes}", measure_shuffle=p == 0))
+
+    # hot-box detection 1: per-pass total spread.  Identical work whose
+    # pass totals disagree >1.3x means co-tenant load hit part of the
+    # run; extra passes give the per-query min more clean samples.
+    # Pass 1 is excluded when enough passes exist to spare it: it
+    # carries the per-query shuffle-counter drains, so it is
+    # structurally slower than passes 2..N (at small sf by >1.3x on its
+    # own) — only like-for-like passes can witness co-tenant load.
+    def _spread_passes() -> list[dict[str, float]]:
+        return passes[1:] if len(passes) >= 3 else passes
+
+    extra_passes = 0
+    while (
+        extra_passes < MAX_EXTRA_PASSES
+        and len(_spread_passes()) > 1
+        and max(sum(pt.values()) for pt in _spread_passes())
+        > PASS_SPREAD_BAR * min(sum(pt.values()) for pt in _spread_passes())
+    ):
+        extra_passes += 1
+        print(
+            f"# noise: pass totals spread >{PASS_SPREAD_BAR}x — extra pass "
+            f"{extra_passes}/{MAX_EXTRA_PASSES}",
+            file=sys.stderr,
+        )
+        _maintain()
+        passes.append(_run_pass(f"extra {extra_passes}", measure_shuffle=False))
 
     # per-query min over ALL passes: every pass is a real execution,
     # and co-tenant noise has been observed landing on EITHER side of
     # the warm-up boundary — excluding a pass can only inflate
     timings = {name: min(pt[name] for pt in passes) for name in passes[0]}
+
+    # hot-box detection 2: a shuffle-UNCHANGED query (same plan moving
+    # the same bytes) that is >1.5x and >0.5 s slower than the previous
+    # committed record is presumed noise — re-run just that query until
+    # it clears the bar or retries run out, so one loaded core doesn't
+    # write a phantom regression into the permanent record.
+    requeried: dict[str, int] = {}
+    prev = _latest_committed_detail()
+    if prev and prev.get("sf") != sf:
+        prev = None  # cross-sf timings are not comparable
+    if prev:
+        qmap = queries_map()
+        suspects = [
+            name
+            for name, cur_t in timings.items()
+            if name in prev["queries"]
+            and _shuffle_unchanged(prev["shuffle"].get(name), shuffle.get(name))
+            and cur_t > QUERY_REGRESSION_RATIO * prev["queries"][name]
+            and cur_t - prev["queries"][name] > QUERY_REGRESSION_FLOOR_S
+        ]
+        if suspects:
+            _maintain()
+        for name in suspects:
+            for attempt in range(1, MAX_QUERY_RETRIES + 1):
+                requeried[name] = attempt
+                timings[name] = min(
+                    timings[name], _run_query(name, qmap[name], f"retry {attempt}")
+                )
+                if (
+                    timings[name] <= QUERY_REGRESSION_RATIO * prev["queries"][name]
+                    or timings[name] - prev["queries"][name]
+                    <= QUERY_REGRESSION_FLOOR_S
+                ):
+                    break
+
     total = round(sum(timings.values()), 3)
     detail_path = REPO / "BENCH_DETAIL.json"
     detail_path.write_text(
@@ -135,6 +267,11 @@ def main() -> None:
                 "n_passes": n_passes,
                 "passes": passes,
                 "shuffle": shuffle,
+                "noise": {
+                    "extra_passes": extra_passes,
+                    "requeried": requeried,
+                    "baseline_total": prev.get("value") if prev else None,
+                },
             },
             indent=2,
         )

@@ -696,7 +696,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int = 5,
-    min_freq: int = 2,
+    min_freq: int | None = None,
     rebuild: str = "inrow",
     scope: str = "corpus",
     min_doc_freq: int | None = None,
@@ -763,13 +763,19 @@ def exact_substring_dedup(
       only the non-overlapped prefix of the first occurrence survives
       (pytest pins 'a' surviving from six) — positions covered by any
       non-first occurrence are cut, wherever they sit."""
+    # min_freq uses a None sentinel so an EXPLICIT min_freq=2 together
+    # with the deprecated alias still refuses instead of silently taking
+    # the alias value (round-8 ADVICE: `min_freq != 2` couldn't tell
+    # "defaulted" from "explicitly 2").
     if min_doc_freq is not None:  # deprecated alias, pre-round-8 API
-        if min_freq != 2:  # both given explicitly — refuse, don't clobber
+        if min_freq is not None:  # both given explicitly — refuse, don't clobber
             raise ValueError(
                 "exact_substring_dedup: pass min_freq OR the deprecated "
                 "min_doc_freq, not both"
             )
         min_freq = min_doc_freq
+    elif min_freq is None:
+        min_freq = 2
     if rebuild not in ("inrow", "exploded"):
         raise ValueError("rebuild must be 'inrow' or 'exploded'")
     if scope not in ("corpus", "doc"):

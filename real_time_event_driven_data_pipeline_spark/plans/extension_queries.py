@@ -1202,8 +1202,19 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 # hardest pairs at cos == threshold; probed 1.0 at sf0.01, 263/264
 # clustered vectors at sf0.1 — PROGRESS.jsonl `lsh_dedup_probe`).  At
 # production density raise n_planes ~ log2(corpus / target bucket size)
-# so candidate volume tracks true near-dup volume, not corpus^2.
-SEMANTIC_DEDUP_LSH_SQL = """
+# so candidate volume tracks true near-dup volume, not corpus^2 —
+# `similarity.lsh_planes_for_corpus` derives that automatically.
+#
+# Spark call and oracle SQL share these constants (round-8 ADVICE:
+# the SQL previously hardcoded 16x3 in generate_series bounds and the
+# `t * 8` table offset while the Spark side passed its own literals —
+# editing one side silently desynced the other).
+SEMANTIC_LSH_N_TABLES = 16
+SEMANTIC_LSH_N_PLANES = 3
+SEMANTIC_LSH_DIM = 64
+SEMANTIC_LSH_THRESHOLD = 0.45
+
+SEMANTIC_DEDUP_LSH_SQL = f"""
 WITH RECURSIVE e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), planes AS (
@@ -1211,13 +1222,15 @@ WITH RECURSIVE e AS (
            list((CAST(('0x' || substr(md5(t.t::VARCHAR || '-' || p.p::VARCHAR
                                        || '-' || d.d::VARCHAR), 1, 8)) AS BIGINT)
                  % 2001 - 1000) / 1000.0 ORDER BY d.d) AS pv
-    FROM generate_series(0, 15) t(t), generate_series(0, 2) p(p),
-         generate_series(0, 63) d(d)
+    FROM generate_series(0, {SEMANTIC_LSH_N_TABLES - 1}) t(t),
+         generate_series(0, {SEMANTIC_LSH_N_PLANES - 1}) p(p),
+         generate_series(0, {SEMANTIC_LSH_DIM - 1}) d(d)
     GROUP BY t.t, p.p
 ), buckets AS (
     SELECT e.vec_id,
-           pl.t * 8 + CAST(SUM(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
-                                    THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+           pl.t * {1 << SEMANTIC_LSH_N_PLANES}
+             + CAST(SUM(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+                             THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
     FROM e, planes pl
     GROUP BY e.vec_id, pl.t
 ), cand AS (
@@ -1228,7 +1241,7 @@ WITH RECURSIVE e AS (
     FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
     WHERE list_dot_product(ea.v, eb.v)
             / sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v))
-          >= 0.45
+          >= {SEMANTIC_LSH_THRESHOLD}
 ), edges AS (
     SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
 ), reach(id, comp) AS (
@@ -1251,7 +1264,11 @@ FROM comps ORDER BY vec_id
 )
 def q_semantic_dedup_clusters_lsh(spark, sf_dir):
     return similarity.semantic_dedup_clusters_lsh(
-        _emb(spark, sf_dir), dim=64, threshold=0.45, n_tables=16, n_planes=3
+        _emb(spark, sf_dir),
+        dim=SEMANTIC_LSH_DIM,
+        threshold=SEMANTIC_LSH_THRESHOLD,
+        n_tables=SEMANTIC_LSH_N_TABLES,
+        n_planes=SEMANTIC_LSH_N_PLANES,
     ).orderBy("vec_id")
 
 

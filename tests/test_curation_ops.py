@@ -739,3 +739,7 @@ def test_exact_substring_dedup_rejects_both_freq_names(spark):
     d = _mkdocs(spark, [(1, "p q r s t u")])
     with _pytest.raises(ValueError, match="not both"):
         dedup.exact_substring_dedup(d, min_freq=3, min_doc_freq=2)
+    # r8 ADVICE: an explicit min_freq equal to its default (2) must ALSO
+    # refuse — the old `min_freq != 2` check silently took the alias
+    with _pytest.raises(ValueError, match="not both"):
+        dedup.exact_substring_dedup(d, min_freq=2, min_doc_freq=5)

@@ -28,12 +28,17 @@ THRESHOLD_RATIO = 1.30  # >30% more shuffle-write bytes = plan change
 MIN_BYTES = 1 << 20  # ignore sub-MiB queries (overhead noise)
 
 
-def _latest_committed_with_shuffle(cur: dict) -> dict | None:
-    """Newest committed recording whose shuffle block DIFFERS from the
-    current one — comparing a committed copy of the file against
-    itself would make the gate vacuous post-commit (review finding r8);
-    skipping identical blocks lands on the previous distinct recording,
-    i.e. a genuine cross-round baseline."""
+def _latest_committed_with_shuffle() -> dict | None:
+    """Newest committed recording that carries a shuffle block.
+
+    This is the comparison target in BOTH directions: if the current
+    file EQUALS it, the working state is the already-gated committed
+    state and the gate passes (round-8 ADVICE: skipping identical
+    blocks walked back to an OLDER round and re-flagged a delta the
+    round had already accepted — unchanged code exiting 1); if it
+    DIFFERS, it is by construction the previous distinct recording,
+    i.e. the genuine baseline (post-commit vacuity can't arise: a
+    just-committed copy is caught by the equality pass instead)."""
     revs = subprocess.run(
         ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
         cwd=REPO,
@@ -51,7 +56,7 @@ def _latest_committed_with_shuffle(cur: dict) -> dict | None:
             d = json.loads(raw)
         except json.JSONDecodeError:
             continue
-        if d.get("shuffle") and d["shuffle"] != cur.get("shuffle"):
+        if d.get("shuffle"):
             return d
     return None
 
@@ -64,11 +69,14 @@ def main() -> int:
     if len(sys.argv) > 1:
         base = json.loads(Path(sys.argv[1]).read_text())
     else:
-        base = _latest_committed_with_shuffle(cur)
+        base = _latest_committed_with_shuffle()
         if base is None:
+            print("no committed baseline with a shuffle block yet — recording only")
+            return 0
+        if base["shuffle"] == cur["shuffle"]:
             print(
-                "no committed baseline with a DISTINCT shuffle block yet — "
-                "recording only"
+                "shuffle block identical to the newest committed recording "
+                "— already gated, pass"
             )
             return 0
     if base.get("sf") != cur.get("sf"):
