@@ -461,6 +461,54 @@ def _md5_planes(n_tables: int, n_planes: int, dim: int) -> list:
     ]
 
 
+def lsh_planes_for_corpus(
+    n_vectors: int,
+    target_bucket_size: int = 64,
+    floor: int = 3,
+    cap: int = 24,
+) -> int:
+    """Production plane-count sizing: ``ceil(log2(n / target_bucket_
+    size))``, floored at the test-scale recall setting and capped at 24
+    bits (r8 verdict item 4 — this rule previously lived only in a
+    docstring; the first real deployment could run near-all-pairs by
+    keeping a test-scale plane count).
+
+    Rationale: each table splits the corpus into ~2^n_planes sign-bit
+    buckets, so expected occupancy is ~n / 2^n_planes and candidate
+    volume ~n_tables * n * occupancy / 2.  Holding occupancy at a
+    constant ``target_bucket_size`` keeps candidates linear in n —
+    tracking true near-dup volume instead of corpus^2.  Recall loss per
+    added plane is recovered across ``n_tables`` OR-ed tables: at 16
+    tables x 7 planes, a realistic cos~0.86 duplicate pair is missed
+    with prob (1 - 0.83^7)^16 ~ 0.7% (probed: recall 1.0 at 10x)."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(n_vectors / target_bucket_size))))
+
+
+def _warn_if_dense(n_tables: int, n_planes: int) -> None:
+    """Loudly flag settings that are quadratic-ish BY CONSTRUCTION:
+    under even the best case (uniform bucket occupancy — clustered
+    real data is denser), candidate fraction ~ n_tables / 2^n_planes,
+    so >= 0.5 there means the pair join approaches all-pairs on any
+    large corpus regardless of data.  Warning, not error: at test
+    scale a dense recall-oriented setting is a legitimate choice (the
+    registered driver query runs 16x3 on a 500-5000 vector corpus)."""
+    import warnings
+
+    if n_tables / (1 << n_planes) >= 0.5:
+        warnings.warn(
+            f"LSH settings n_tables={n_tables}, n_planes={n_planes} give a "
+            f"best-case candidate fraction ~{n_tables / (1 << n_planes):.2f} "
+            "of all-pairs — fine for test-scale recall, quadratic at corpus "
+            "scale; pass n_planes=None to auto-size from the corpus count "
+            "(lsh_planes_for_corpus)",
+            stacklevel=3,
+        )
+
+
 def semantic_dedup_clusters_lsh(
     emb: DataFrame,
     dim: int,
@@ -468,7 +516,7 @@ def semantic_dedup_clusters_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     n_tables: int = 8,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """THE 100 TB semantic-dedup path: LSH-bucketed candidate pairs ->
@@ -509,11 +557,22 @@ def semantic_dedup_clusters_lsh(
 
     Output: (id, component, cluster_size) for every vector in >= 1
     VERIFIED pair — identical contract to ``semantic_dedup_clusters``.
+
+    ``n_planes=None`` auto-sizes the plane count from the corpus count
+    via ``lsh_planes_for_corpus`` (one O(1)-output count aggregate over
+    the corpus — negligible next to the signature scan); an explicit
+    value is honored verbatim (the registered driver query pins 16x3
+    so its oracle hash never moves) but warns when the setting is
+    quadratic-ish by construction.
     """
     import math
 
     from .components import near_dup_clusters
 
+    if n_planes is None:
+        n_planes = lsh_planes_for_corpus(emb.count())
+    else:
+        _warn_if_dense(n_tables, n_planes)
     thr = float(threshold)
 
     @F.pandas_udf("boolean")
@@ -566,14 +625,18 @@ def lsh_dedup_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 8,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH bucket —
     the pair generator of ``semantic_dedup_clusters_lsh``, public so
     the recall/candidate-count probe measures the exact production
-    path (same anti-drift contract as the ANN probes)."""
+    path (same anti-drift contract as the ANN probes).  ``n_planes=
+    None`` auto-sizes like the cluster operator."""
     from .dedup import _cap_posting_buckets, _scoped_cache
+
+    if n_planes is None:
+        n_planes = lsh_planes_for_corpus(emb.count())
 
     planes_np = np.array(_md5_planes(n_tables, n_planes, dim))
     flat = planes_np.reshape(n_tables * n_planes, dim).T  # (dim, T*P)

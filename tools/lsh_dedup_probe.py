@@ -124,9 +124,23 @@ def main() -> None:
     emb.unpersist()
 
     # --- 10x synthetic: the realistic tight-dup regime --------------
-    for label, n_rows, planes in (("10x_p3", 5000, 3), ("10x_p6", 5000, 6)):
-        emb = generate(spark, n_rows).repartition(32).cache()
-        n = emb.count()
+    # one corpus, one exact baseline; then three LSH settings against
+    # it — the test-scale p3, the docstring's hand-picked p6, and the
+    # AUTO-SIZED count from lsh_planes_for_corpus (r8 verdict item 4:
+    # sizing is now code; the probe records the code's own choice).
+    emb = generate(spark, 5000).repartition(32).cache()
+    n = emb.count()
+    t0 = time.perf_counter()
+    ex_ids, ex_labels10 = clustered_sets(
+        similarity.semantic_dedup_clusters(emb, threshold=THRESHOLD, n_blocks=16)
+    )
+    sec_exact_10x = round(time.perf_counter() - t0, 2)
+    auto_planes = similarity.lsh_planes_for_corpus(n)
+    for label, planes in (
+        ("10x_p3", 3),
+        ("10x_p6", 6),
+        ("10x_auto", None),
+    ):
         t0 = time.perf_counter()
         lsh_ids, _ = clustered_sets(
             similarity.semantic_dedup_clusters_lsh(
@@ -137,36 +151,31 @@ def main() -> None:
         n_cand = similarity.lsh_dedup_candidates(
             emb, DIM, n_tables=N_TABLES, n_planes=planes
         ).count()
-        rec = {
+        out[label] = {
             "n_corpus": n,
-            "n_planes": planes,
+            "n_planes": auto_planes if planes is None else planes,
+            "auto_sized": planes is None,
             "lsh_clustered": len(lsh_ids),
+            "exact_clustered": len(ex_ids),
+            "vector_recall": round(len(lsh_ids & ex_ids) / max(len(ex_ids), 1), 3),
             "candidates": n_cand,
             "all_pairs": n * (n - 1) // 2,
             "candidate_fraction": round(n_cand / (n * (n - 1) / 2), 4),
             "sec_lsh": t_lsh,
+            "sec_exact": sec_exact_10x,
         }
-        if label == "10x_p3":
-            t0 = time.perf_counter()
-            ex_ids, _ = clustered_sets(
-                similarity.semantic_dedup_clusters(
-                    emb, threshold=THRESHOLD, n_blocks=16
-                )
-            )
-            rec["sec_exact"] = round(time.perf_counter() - t0, 2)
-            rec["exact_clustered"] = len(ex_ids)
-            rec["vector_recall"] = round(
-                len(lsh_ids & ex_ids) / max(len(ex_ids), 1), 3
-            )
-        out[label] = rec
-        emb.unpersist()
+    emb.unpersist()
     spark.stop()
 
     recall_ok = (
         out["driver_sf0.1"]["vector_recall"] >= 0.95
         and out["10x_p3"]["vector_recall"] >= 0.95
+        and out["10x_auto"]["vector_recall"] >= 0.95
     )
     knob_works = out["10x_p6"]["candidates"] < out["10x_p3"]["candidates"]
+    # the r8 verdict item-4 done-bar: the CODE's own sizing keeps the
+    # pair join sparse while holding recall
+    auto_ok = out["10x_auto"]["candidate_fraction"] <= 0.3
     record = {
         "ts": time.time(),
         "kind": "lsh_dedup_probe",
@@ -178,12 +187,15 @@ def main() -> None:
         "results": out,
         "recall_holds": recall_ok,
         "planes_knob_reduces_candidates": knob_works,
-        "pass": recall_ok and knob_works,
+        "auto_sizing_sparse": auto_ok,
+        "pass": recall_ok and knob_works and auto_ok,
         "note": (
             "Recall vs the exact all-pairs operator at the driver corpus "
             "(at-threshold pairs, adversarial) and a 10x realistic corpus; "
             "candidate volume recorded against n(n-1)/2, with the n_planes "
-            "density knob shown cutting candidates at 10x."
+            "density knob shown cutting candidates at 10x and the "
+            "lsh_planes_for_corpus auto-sizing holding candidate fraction "
+            "<= 0.3 at recall >= 0.95."
         ),
     }
     with open(REPO / "PROGRESS.jsonl", "a") as f:
