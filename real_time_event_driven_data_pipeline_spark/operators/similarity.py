@@ -509,6 +509,35 @@ def _warn_if_dense(n_tables: int, n_planes: int) -> None:
         )
 
 
+def _cosine_verify_udf(threshold: float):
+    """Arrow-batched exact-cosine verifier shared by the batch LSH
+    cluster operator and the arrival-time embedding gate: BLAS for the
+    bulk, with any cosine within 1e-9 of ``threshold`` re-scored by the
+    in-order fold so DECISIONS are bit-exact vs the oracle's
+    ``list_dot_product`` semantics (the float64 64-term summation error
+    bound is ~1e-12 — see ``semantic_dedup_clusters_lsh``)."""
+    import math
+
+    thr = float(threshold)
+
+    @F.pandas_udf("boolean")
+    def passes(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        cos = (a * b).sum(axis=1) / np.sqrt(
+            (a * a).sum(axis=1) * (b * b).sum(axis=1)
+        )
+        out = cos >= thr
+        for i in np.nonzero(np.abs(cos - thr) < 1e-9)[0]:
+            c = _inorder_dot(a[i], b[i]) / math.sqrt(
+                _inorder_dot(a[i], a[i]) * _inorder_dot(b[i], b[i])
+            )
+            out[i] = c >= thr
+        return pd.Series(out)
+
+    return passes
+
+
 def semantic_dedup_clusters_lsh(
     emb: DataFrame,
     dim: int,
@@ -565,30 +594,13 @@ def semantic_dedup_clusters_lsh(
     so its oracle hash never moves) but warns when the setting is
     quadratic-ish by construction.
     """
-    import math
-
     from .components import near_dup_clusters
 
     if n_planes is None:
         n_planes = lsh_planes_for_corpus(emb.count())
     else:
         _warn_if_dense(n_tables, n_planes)
-    thr = float(threshold)
-
-    @F.pandas_udf("boolean")
-    def passes(va: pd.Series, vb: pd.Series) -> pd.Series:
-        a = np.stack(va.to_numpy()).astype(np.float64)
-        b = np.stack(vb.to_numpy()).astype(np.float64)
-        cos = (a * b).sum(axis=1) / np.sqrt(
-            (a * a).sum(axis=1) * (b * b).sum(axis=1)
-        )
-        out = cos >= thr
-        for i in np.nonzero(np.abs(cos - thr) < 1e-9)[0]:
-            c = _inorder_dot(a[i], b[i]) / math.sqrt(
-                _inorder_dot(a[i], a[i]) * _inorder_dot(b[i], b[i])
-            )
-            out[i] = c >= thr
-        return pd.Series(out)
+    passes = _cosine_verify_udf(threshold)
 
     from .dedup import _scoped_cache
 
@@ -638,6 +650,50 @@ def lsh_dedup_candidates(
     if n_planes is None:
         n_planes = lsh_planes_for_corpus(emb.count())
 
+    # pinned: the posting relation is BOTH sides of the candidate
+    # self-join — uncached, the signature UDF would run twice over the
+    # corpus (two full scans at 100 TB)
+    posts = _scoped_cache(
+        _cap_posting_buckets(
+            embedding_lsh_postings(
+                emb,
+                dim,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_tables=n_tables,
+                n_planes=n_planes,
+            ).withColumnRenamed(id_col, "_id"),
+            max_bucket_size,
+            ("bucket",),
+        ),
+        "lsh_dedup_posts",
+    )
+    return (
+        posts.select(F.col("_id").alias("id_a"), "bucket")
+        .join(posts.select(F.col("_id").alias("id_b"), "bucket"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def embedding_lsh_postings(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 4,
+) -> DataFrame:
+    """(id, bucket) LSH posting rows — ``n_tables`` rows per vector,
+    bucket = table_tag | sign bits of the md5-derived hyperplane dots.
+    The shared signature generator of ``lsh_dedup_candidates`` (batch)
+    and the arrival-time embedding gate's append-only posting sidecar:
+    postings are DETERMINISTIC per (vector, settings), so appending a
+    batch's rows is exact — the same property that makes the text
+    gate's ``doc_postings`` sidecar append-only.  Plane count must stay
+    FIXED for the life of a sidecar (postings from different plane
+    counts occupy incompatible bucket spaces)."""
     planes_np = np.array(_md5_planes(n_tables, n_planes, dim))
     flat = planes_np.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
@@ -652,24 +708,135 @@ def lsh_dedup_candidates(
         bits = (dots >= 0).reshape(len(v), n_tables, n_planes)
         return pd.Series(list((bits * weights).sum(axis=2) + table_tag))
 
-    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v"))
-    # pinned: the posting relation is BOTH sides of the candidate
-    # self-join — uncached, the signature UDF would run twice over the
-    # corpus (two full scans at 100 TB)
-    posts = _scoped_cache(
-        _cap_posting_buckets(
-            e.select("_id", F.explode(sig(F.col("v"))).alias("bucket")),
-            max_bucket_size,
-            ("bucket",),
-        ),
-        "lsh_dedup_posts",
+    return emb.select(
+        F.col(id_col), F.explode(sig(as_double(vec_col))).alias("bucket")
     )
-    return (
-        posts.select(F.col("_id").alias("id_a"), "bucket")
-        .join(posts.select(F.col("_id").alias("id_b"), "bucket"), "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+
+
+def incremental_embedding_near_dup_pairs(
+    existing_posting: DataFrame,
+    existing_vecs: DataFrame | None,
+    new_emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Arrival-time SEMANTIC near-dup gate (r8 verdict item 3): all
+    exact-cosine >= ``threshold`` pairs involving at least one NEW
+    vector — (new, existing) and (new, new) — without re-hashing or
+    re-shuffling the accepted corpus.  The embedding analogue of
+    ``incremental_hamming_near_dup_pairs``, completing the gate family
+    (text shingles, image/audio/video Hamming, now embeddings): a
+    paraphrase duplicate invisible to every lexical gate is caught
+    here.
+
+    ``existing_posting`` is ``embedding_lsh_postings`` rows (id,
+    bucket) accumulated over accepted batches — SAME ``n_tables``/
+    ``n_planes`` for the sidecar's life.  ``existing_vecs`` is the
+    accepted-vector relation (id, embedding) — a NARROW sidecar scan,
+    used only to fetch candidate vectors for verification.
+
+    Plan shape (the ``incremental_hamming_near_dup_pairs`` contract):
+    - probe side = the NEW batch's postings only, never a filter of the
+      combined relation — history is touched through one narrow index
+      scan (the candidate join's build side, restricted map-side to the
+      batch's broadcast bucket keys), so per-activation work is
+      O(batch x bucket occupancy), never O(history).
+    - ``max_bucket_size`` caps pathological buckets by COMBINED
+      membership, dropping them from both sides (a burst of
+      near-constant embeddings all hash alike); the streaming pipeline
+      ships with the cap ON, like the image gate.
+    - verification never shuffles history: the candidate-ID set
+      (bounded by batch x occupancy, capped) broadcasts into one
+      map-side semi-join that plucks exactly the needed vectors from
+      the sidecar scan; the two verify joins then run over
+      candidate-bounded relations only.  (Broadcasting the
+      vector-carrying join result instead — the first draft — is a
+      ~0.5 KB/candidate broadcast, gigabytes at realistic occupancy.)
+      Decisions use the shared exact-at-the-boundary cosine verifier
+      (``_cosine_verify_udf``).
+
+    Output: (id_a, id_b), id_a < id_b, exact-cosine verified.  Ids must
+    be unique across both inputs.
+    """
+    from .dedup import _scoped_cache
+
+    new_vecs = _scoped_cache(
+        new_emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")),
+        "inc_emb_vecs",
+    )
+    post_new = embedding_lsh_postings(
+        new_vecs,
+        dim,
+        id_col="_id",
+        vec_col="v",
+        n_tables=n_tables,
+        n_planes=n_planes,
+    )
+    post_all = existing_posting.select(
+        F.col(id_col).alias("_id"), "bucket"
+    ).unionByName(post_new)
+    # only buckets PROBED by the new batch can produce pairs — both the
+    # candidate join's build side and the cap's occupancy count restrict
+    # to them first (broadcast of the batch's distinct bucket keys)
+    new_keys = post_new.select("bucket").dropDuplicates()
+    probed = post_all.join(F.broadcast(new_keys), "bucket", "left_semi")
+    if max_bucket_size is not None:
+        overflow = (
+            probed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > max_bucket_size)
+            .select("bucket")
+        )
+        probed = probed.join(F.broadcast(overflow), "bucket", "left_anti")
+        post_new = post_new.join(F.broadcast(overflow), "bucket", "left_anti")
+    # pinned: candidates feed the ID-set broadcast AND both verify
+    # joins — uncached, the posting join would run three times
+    cand = _scoped_cache(
+        probed.select(F.col("_id").alias("_ida"), "bucket")
+        .join(post_new.select(F.col("_id").alias("_idb"), "bucket"), "bucket")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .dropDuplicates(),
+        "inc_emb_cand",
+    )
+    vecs = new_vecs
+    if existing_vecs is not None:
+        vecs = vecs.unionByName(
+            existing_vecs.select(
+                F.col(id_col).alias("_id"), as_double(vec_col).alias("v")
+            )
+        )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
         .dropDuplicates()
+    )
+    # one map-side pass over the vector sidecar plucks the candidates'
+    # vectors (ids-only broadcast, ~8 B/candidate); pinned because it
+    # feeds both verify join sides
+    needed = _scoped_cache(
+        vecs.join(F.broadcast(cand_ids), "_id", "left_semi"), "inc_emb_needed"
+    )
+    passes = _cosine_verify_udf(threshold)
+    return (
+        cand.join(
+            needed.select(F.col("_id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            needed.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .filter(passes(F.col("va"), F.col("vb")))
+        .select("id_a", "id_b")
     )
 
 

@@ -48,6 +48,10 @@ from ..operators.multimodal import (
     image_dhash_postings,
     incremental_image_near_dup_pairs,
 )
+from ..operators.similarity import (
+    embedding_lsh_postings,
+    incremental_embedding_near_dup_pairs,
+)
 from ..operators.text import (
     fingerprint,
     incremental_export_manifest,
@@ -86,6 +90,13 @@ class CorpusCurationPipeline:
         image_max_bucket_df: int | None = 10_000,
         manifest_token_budget: int | None = None,
         cluster_labels: bool = False,
+        embedding_gate: bool = False,
+        embedding_dim: int | None = None,
+        embedding_threshold: float = 0.45,
+        embedding_n_tables: int = 16,
+        embedding_n_planes: int = 8,
+        embedding_max_bucket_size: int | None = 10_000,
+        embedder=None,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -178,6 +189,48 @@ class CorpusCurationPipeline:
         # pytest-pinned equal to a batch CC recompute over the union of
         # every epoch's edges.
         self.cluster_labels = cluster_labels
+        # optional SEMANTIC near-dup gate (r8 verdict item 3): arrivals
+        # whose embedding cosine vs anything accepted so far — or vs a
+        # lower-id batchmate — clears embedding_threshold are
+        # quarantined (reject reason ``semantic_near_dup``).  The
+        # paraphrase-duplicate case: identical meaning, disjoint
+        # shingles, so the text gate never fires.  Accepted history is
+        # touched only through TWO narrow append-only sidecars — an LSH
+        # posting index (embedding_lsh_postings; deterministic per
+        # vector, the doc_postings/dHash pattern) and a vector store
+        # for exact-cosine verification of the bucketed candidates
+        # (incremental_embedding_near_dup_pairs: per-activation work is
+        # O(batch x bucket occupancy), never O(history); candidates are
+        # the broadcast side of the verify joins, so history vectors
+        # stream map-side, unshuffled).
+        #
+        # Embeddings come from the batch's ``embedding`` column when
+        # the arrival schema carries one; otherwise pass ``embedder``
+        # (batch -> batch + ``embedding array<float>``, e.g. a model
+        # Pandas UDF) — applied once per epoch, AFTER the cheaper
+        # gates have already shrunk the batch.
+        #
+        # embedding_n_planes is FIXED for the life of the posting
+        # sidecar (bucket spaces of different plane counts are
+        # incompatible) — size it for the TARGET corpus via
+        # lsh_planes_for_corpus, not the first epoch.  The bucket cap
+        # defaults ON (like the image gate): an unattended stream must
+        # bound per-activation latency even when a burst of
+        # near-constant embeddings lands.  Enabling the gate on a
+        # pipeline with already-accepted epochs leaves pre-flag history
+        # invisible to it — run backfill_embedding_lsh_index() once,
+        # same gap and remedy as the image gate.
+        self.embedding_gate = embedding_gate
+        if embedding_gate and not embedding_dim:
+            raise ValueError("embedding_gate=True requires embedding_dim")
+        self.embedding_dim = embedding_dim
+        self.embedding_threshold = embedding_threshold
+        self.embedding_n_tables = embedding_n_tables
+        self.embedding_n_planes = embedding_n_planes
+        self.embedding_max_bucket_size = embedding_max_bucket_size
+        self.embedder = embedder
+        self.emb_post_index_dir = f"{corpus_dir.rstrip('/')}_lshidx"
+        self.emb_vec_index_dir = f"{corpus_dir.rstrip('/')}_embidx"
         self.cc_label_dir = f"{corpus_dir.rstrip('/')}_cclabels"
         self.fp_index_dir = f"{corpus_dir.rstrip('/')}_fpidx"
         self.manifest_dir = f"{corpus_dir.rstrip('/')}_manifest"
@@ -267,6 +320,55 @@ class CorpusCurationPipeline:
             publish_epoch(
                 image_dhash_postings(media, max_dist=self.image_max_dist),
                 self.dhash_index_dir,
+                self.BACKFILL_EPOCH,
+            )
+        return n_docs
+
+    def backfill_embedding_lsh_index(self) -> int:
+        """Index pre-gate history into the embedding gate's two
+        sidecars (LSH postings + vector store) — the
+        ``backfill_image_dhash_index`` remedy for the same gap: corpus
+        rows accepted BEFORE ``embedding_gate`` was enabled are
+        invisible to the gate (a paraphrase dup of them streams
+        straight through).  Embeds exactly the corpus docs missing from
+        the vector sidecar's streaming-published rows and publishes
+        both sidecars under ``BACKFILL_EPOCH``.  Idempotent and
+        cumulative, same as the dHash backfill.  Requires ``embedder``
+        (or an ``embedding`` column already on the corpus schema).
+        Returns the number of docs (re)indexed."""
+        if not self.embedding_gate:
+            raise ValueError("embedding_gate is not set on this pipeline")
+        corpus = read_epoch_dir(self.spark, self.corpus_dir)
+        if corpus is None:
+            return 0
+        streamed = read_epoch_dir(
+            self.spark, self.emb_vec_index_dir, exclude_epoch=self.BACKFILL_EPOCH
+        )
+        if streamed is not None:
+            corpus = corpus.join(
+                streamed.select("doc_id").dropDuplicates(), "doc_id", "left_anti"
+            )
+        if self.embedder is not None:
+            corpus = self.embedder(corpus)
+        elif "embedding" not in corpus.columns:
+            raise ValueError(
+                "backfill_embedding_lsh_index: corpus has no embedding "
+                "column and no embedder is set"
+            )
+        vecs = self._pin(corpus.select("doc_id", "embedding"))
+        n_docs = vecs.count()
+        if n_docs:
+            publish_epoch(vecs, self.emb_vec_index_dir, self.BACKFILL_EPOCH)
+            publish_epoch(
+                embedding_lsh_postings(
+                    vecs,
+                    self.embedding_dim,
+                    id_col="doc_id",
+                    vec_col="embedding",
+                    n_tables=self.embedding_n_tables,
+                    n_planes=self.embedding_n_planes,
+                ),
+                self.emb_post_index_dir,
                 self.BACKFILL_EPOCH,
             )
         return n_docs
@@ -483,6 +585,58 @@ class CorpusCurationPipeline:
                 "image_near_dup",
             )
             survivors = self._pin(survivors.join(dropi, "doc_id", "left_anti"))
+
+        # 3.6 semantic (embedding) near-dup gate (optional): LSH-bucket
+        # the survivors' embeddings vs the accepted-history posting
+        # sidecar + within batch, exact-cosine verify the candidates,
+        # drop the NEW side of every verified pair (same rule as every
+        # gate: the accepted corpus never changes retroactively)
+        if self.embedding_gate:
+            embedded = survivors
+            if self.embedder is not None:
+                embedded = self._pin(self.embedder(survivors))
+            eposts = self._read_or_none(self.emb_post_index_dir, epoch_id)
+            if eposts is None:
+                eposts = self.spark.createDataFrame(
+                    [], "doc_id long, bucket long"
+                )
+            evecs = self._read_or_none(self.emb_vec_index_dir, epoch_id)
+            epairs = incremental_embedding_near_dup_pairs(
+                eposts,
+                evecs,
+                embedded.select("doc_id", "embedding"),
+                dim=self.embedding_dim,
+                id_col="doc_id",
+                vec_col="embedding",
+                threshold=self.embedding_threshold,
+                n_tables=self.embedding_n_tables,
+                n_planes=self.embedding_n_planes,
+                max_bucket_size=self.embedding_max_bucket_size,
+            )
+            if self.cluster_labels:
+                epairs = self._pin(epairs)  # two consumers, same as pairs
+            new_ids_e = survivors.select(F.col("doc_id").alias("nid"))
+            drope = (
+                epairs.join(new_ids_e, epairs.id_b == F.col("nid"), "left_semi")
+                .select(F.col("id_b").alias("doc_id"))
+                .unionByName(
+                    epairs.join(
+                        new_ids_e, epairs.id_b == F.col("nid"), "left_anti"
+                    ).select(F.col("id_a").alias("doc_id"))
+                )
+                .dropDuplicates()
+            )
+            self._quarantine(
+                survivors.drop("fp").join(drope, "doc_id", "left_semi"),
+                "semantic_near_dup",
+            )
+            survivors = self._pin(survivors.join(drope, "doc_id", "left_anti"))
+            # final survivors' vectors feed BOTH sidecar publishes
+            emb_final = self._pin(
+                embedded.select("doc_id", "embedding").join(
+                    survivors.select("doc_id"), "doc_id", "left_semi"
+                )
+            )
         n_accepted = survivors.count()
 
         # 3.75 incremental cluster labels (optional): fold this epoch's
@@ -511,6 +665,8 @@ class CorpusCurationPipeline:
             edges = pairs.select("id_a", "id_b")
             if self.image_gate:
                 edges = edges.unionByName(ipairs.select("id_a", "id_b"))
+            if self.embedding_gate:
+                edges = edges.unionByName(epairs.select("id_a", "id_b"))
             raw = read_epoch_dir(
                 self.spark, self.cc_label_dir, exclude_epoch=epoch_id
             )
@@ -541,6 +697,20 @@ class CorpusCurationPipeline:
                     self._image_media(survivors), max_dist=self.image_max_dist
                 ),
                 self.dhash_index_dir,
+                epoch_id,
+            )
+        if self.embedding_gate:
+            publish_epoch(emb_final, self.emb_vec_index_dir, epoch_id)
+            publish_epoch(
+                embedding_lsh_postings(
+                    emb_final,
+                    self.embedding_dim,
+                    id_col="doc_id",
+                    vec_col="embedding",
+                    n_tables=self.embedding_n_tables,
+                    n_planes=self.embedding_n_planes,
+                ),
+                self.emb_post_index_dir,
                 epoch_id,
             )
         if self.manifest_token_budget is not None:

@@ -413,6 +413,146 @@ def test_image_gate_backfill_indexes_pregate_history(spark, tmp_path):
     assert pipe_on.backfill_image_dhash_index() == 2
 
 
+def _unit_vecs(rng, ids, dim=8):
+    """Deterministic distinct vectors per id (seed-fixed Gaussian)."""
+    return {i: [rng.gauss(0, 1) for _ in range(dim)] for i in ids}
+
+
+def _near(vec, rng, eps=0.05):
+    return [x + rng.gauss(0, eps) for x in vec]
+
+
+def _emb_pipeline(spark, tmp_path, emb_df, **extra):
+    landing = tmp_path / "landing"
+    landing.mkdir(exist_ok=True)
+    return CorpusCurationPipeline(
+        spark,
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        # text near-dup gate effectively off: the planted dups have
+        # FRESH text (the paraphrase case), only embeddings collide
+        near_dup_threshold=0.99,
+        embedding_dim=8,
+        embedding_threshold=0.9,
+        embedding_n_tables=16,
+        embedding_n_planes=4,
+        embedder=lambda df: df.join(emb_df, "doc_id", "left"),
+        **extra,
+    ), str(landing)
+
+
+def test_embedding_gate_quarantines_paraphrase_dups(spark, tmp_path):
+    """r8 verdict item 3: the optional SEMANTIC gate rejects arrivals
+    whose embedding cosine vs accepted history (or a lower-id
+    batchmate) clears the threshold — the paraphrase-duplicate case,
+    DIFFERENT text (invisible to the fingerprint and shingle gates),
+    same meaning.  Pins: reject reason ``semantic_near_dup``; the
+    stream-accepted set equals the greedy arrival-order filter over the
+    EXACT batch pair relation (embedding_similar_pairs — the LSH gate's
+    recall at these settings is 1, so stream == exact batch semantics);
+    and the verified pair edges feed the cluster-label sidecar."""
+    from real_time_event_driven_data_pipeline_spark.operators import similarity
+
+    rng = random.Random(17)
+    text_rng = random.Random(18)
+    base_v = _unit_vecs(rng, [1, 2, 3, 4, 21])
+    vec = dict(base_v)
+    vec[10] = _near(base_v[1], rng)  # paraphrase of 1, same batch
+    vec[20] = _near(base_v[2], rng)  # paraphrase of 2, next epoch
+    emb_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vec.items()],
+        "doc_id long, embedding array<float>",
+    )
+    pipe, landing = _emb_pipeline(
+        spark, tmp_path, emb_df, embedding_gate=True, cluster_labels=True
+    )
+
+    texts = {i: _doc(text_rng) for i in vec}  # every text distinct
+    rows1 = [(i, texts[i], "src") for i in (1, 2, 3, 4, 10)]
+    _write(rows1, f"{landing}/batch1.csv")
+    pipe.run_available_now()
+    assert pipe.stats[-1]["accepted"] == 4
+
+    rows2 = [(20, texts[20], "src"), (21, texts[21], "src")]
+    _write(rows2, f"{landing}/batch2.csv")
+    pipe.run_available_now()
+
+    corpus = {r.doc_id for r in spark.read.parquet(pipe.corpus_dir).collect()}
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    assert reasons == {10: "semantic_near_dup", 20: "semantic_near_dup"}
+
+    # stream == batch pin: greedy arrival-order filter over the exact
+    # all-pairs batch operator on the full arrival set
+    all_ids = [i for i, _, _ in rows1] + [i for i, _, _ in rows2]
+    allv = emb_df.join(
+        spark.createDataFrame([(i,) for i in all_ids], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    ).withColumnRenamed("doc_id", "vec_id")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_similar_pairs(allv, threshold=0.9).collect()
+    }
+    accepted = []
+    for i in all_ids:  # arrival order == listing order
+        if not any((min(a, i), max(a, i)) in pairs for a in accepted):
+            accepted.append(i)
+    assert corpus == set(accepted) == {1, 2, 3, 4, 21}
+
+    # the semantic pair edges fed the cluster-label sidecar
+    labels = {r.id: r.comp for r in pipe.resolved_cluster_labels().collect()}
+    assert labels == {1: 1, 10: 1, 2: 2, 20: 2}
+
+
+def test_embedding_gate_backfill_indexes_pregate_history(spark, tmp_path):
+    """Enabling embedding_gate on a pipeline with accepted epochs
+    starts from empty sidecars — pre-flag history is invisible to the
+    gate.  backfill_embedding_lsh_index() closes the gap (the image
+    gate's dHash backfill, for embeddings): idempotent, cumulative,
+    and afterwards a paraphrase dup of PRE-GATE history is
+    quarantined."""
+    rng = random.Random(23)
+    text_rng = random.Random(24)
+    base_v = _unit_vecs(rng, [1, 2, 21])
+    vec = dict(base_v)
+    vec[20] = _near(base_v[1], rng)  # paraphrase of PRE-GATE doc 1
+    emb_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vec.items()],
+        "doc_id long, embedding array<float>",
+    )
+    texts = {i: _doc(text_rng) for i in vec}
+
+    # phase 1: gate OFF — two docs accepted, sidecars never written
+    pipe_off, landing = _emb_pipeline(spark, tmp_path, emb_df)
+    _write([(i, texts[i], "src") for i in (1, 2)], f"{landing}/batch1.csv")
+    pipe_off.run_available_now()
+    assert pipe_off.stats[-1]["accepted"] == 2
+
+    # phase 2: gate ON (same dirs/checkpoint); backfill indexes the 2
+    # pre-gate docs; a second run re-publishes the same set (idempotent)
+    pipe_on, _ = _emb_pipeline(spark, tmp_path, emb_df, embedding_gate=True)
+    assert pipe_on.backfill_embedding_lsh_index() == 2
+    assert pipe_on.backfill_embedding_lsh_index() == 2
+
+    _write([(20, texts[20], "src"), (21, texts[21], "src")], f"{landing}/b2.csv")
+    pipe_on.run_available_now()
+    corpus = {r.doc_id for r in spark.read.parquet(pipe_on.corpus_dir).collect()}
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe_on.quarantine_dir).collect()
+    }
+    assert corpus == {1, 2, 21}
+    assert reasons == {20: "semantic_near_dup"}
+    # 21's postings came from the epoch publish, so the pre-gate set is
+    # still exactly the original 2 docs
+    assert pipe_on.backfill_embedding_lsh_index() == 2
+
+
 def test_incremental_manifest_continues_across_epochs(spark, tmp_path):
     """Continuous export manifest (round 7): each epoch's survivors are
     assigned to training shards CONTINUING the global token count — a
