@@ -26,7 +26,7 @@ No analogue in the reference (`transform.py:28-227`).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
 
 
@@ -206,3 +206,75 @@ def histogram_quantiles(
         )
         .orderBy(group_col)
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    k: int = 512,
+) -> DataFrame:
+    """Deterministic per-group uniform sample: the ``k`` rows with the
+    SMALLEST md5(key) per group — a bottom-k / KMV-style sketch
+    (Bar-Yossef et al. 2002; Cohen & Kaplan 2007).  md5 of the row key
+    is a fixed uniform-ish rank, so the kept set is a uniform sample of
+    the group that is
+    - deterministic (same input -> same sample, any engine: the md5-hex
+      portability convention), and
+    - MERGEABLE: bottom-k of a union == bottom-k of the union of each
+      part's bottom-k, so partial samples from splits/epochs combine
+      exactly (pytest-pinned).
+
+    Scale shape: the rank filter compiles to WindowGroupLimit (Spark
+    3.5+): each map partition keeps only its own k smallest per group
+    BEFORE the shuffle, so the shuffle carries <= k rows per (group,
+    partition) — a real bounded-memory sketch, not a per-group sort.
+
+    Output: (group_col, value_col, key_col) — the key rides along so
+    partial samples can be merged (re-sampled) downstream."""
+    mk = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(mk, F.col(key_col))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), F.col(value_col), F.col(key_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(group_col, value_col, key_col)
+    )
+
+
+def bottomk_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    k: int = 512,
+    percents: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Approximate per-group quantiles from the ``bottomk_sample``
+    sketch — the deterministic, oracle-EXACT replacement for
+    ``percentile_approx``/KLL (r8 verdict item 7a): the estimate for
+    percentile p is the ceil(p*m/100)-th smallest of the m sampled
+    values (integer-exact target rank, no float arithmetic on the
+    values themselves, so the DuckDB twin reproduces every output bit).
+    Standard bottom-k error: the sample is uniform, so the rank error
+    is O(sqrt(p(1-p)/k)) of the group size w.h.p. — pytest pins <= 5
+    percentile points at k=512.
+
+    Output: (group, n_sample, p{p}_est ...) ordered by group."""
+    s = bottomk_sample(df, value_col, group_col, key_col, k)
+    g = s.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(value_col)).alias("_vals"),
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+    )
+    return g.select(
+        F.col(group_col),
+        F.col("n_sample"),
+        *[
+            F.element_at(
+                "_vals", F.expr(f"CAST(({p} * n_sample + 99) DIV 100 AS INT)")
+            ).alias(f"p{p}_est")
+            for p in percents
+        ],
+    ).orderBy(group_col)

@@ -27,6 +27,10 @@ def test_approx_users_within_rsd(spark):
 
 
 def test_quantile_sketch_brackets_exact(spark):
+    """The bottom-k-by-md5 quantile sketch (r8 verdict item 7a — the
+    deterministic, oracle-exact replacement for percentile_approx/KLL)
+    must land within the standard bottom-k rank-error envelope of the
+    exact percentiles: ~sqrt(p(1-p)/k) rank points at k=512."""
     events = load_testdata(spark, SF, "events")["events"]
     exact = {
         r.event_type: (r.p50, r.p95)
@@ -38,13 +42,54 @@ def test_quantile_sketch_brackets_exact(spark):
         .collect()
     }
     got = {
-        r.event_type: (r.p50, r.p95)
+        r.event_type: (r.p50_est, r.p95_est)
         for r in queries_map()["value_quantile_sketch"](spark, SF).collect()
     }
+    # a uniform-sample quantile's guarantee is on RANK, not value (a
+    # heavy tail amplifies a 1-point rank slip arbitrarily in value
+    # space): the estimate's true rank must sit within ~4 standard
+    # errors of the target percentile (4*sqrt(p(1-p)/512) ~ 8.8 points
+    # at p50, 3.9 at p95; assert 5 points for both, well inside)
     for et, (p50, p95) in exact.items():
-        spread = abs(p95 - p50) or 1.0
-        assert abs(got[et][0] - p50) / spread < 0.05
-        assert abs(got[et][1] - p95) / spread < 0.05
+        vals = sorted(
+            r.value
+            for r in events.filter(
+                (F.col("event_type") == et) & F.col("value").isNotNull()
+            ).collect()
+        )
+        n = len(vals)
+        for est, target in ((got[et][0], 0.50), (got[et][1], 0.95)):
+            rank = sum(1 for v in vals if v <= est) / n
+            assert abs(rank - target) <= 0.05, (et, target, rank)
+
+
+def test_bottomk_sample_merges_exactly(spark):
+    """Mergeability (the sketch contract): bottom-k over a union equals
+    bottom-k over the union of each part's bottom-k — partial samples
+    from splits/epochs combine exactly, with no approximation on top of
+    the sampling itself."""
+    from real_time_event_driven_data_pipeline_spark.operators import sketches
+
+    events = load_testdata(spark, SF, "events")["events"]
+    k = 64
+    full = {
+        (r.event_type, r.event_id)
+        for r in sketches.bottomk_sample(
+            events, "value", "event_type", "event_id", k
+        ).collect()
+    }
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    partials = sketches.bottomk_sample(
+        a, "value", "event_type", "event_id", k
+    ).unionByName(sketches.bottomk_sample(b, "value", "event_type", "event_id", k))
+    merged = {
+        (r.event_type, r.event_id)
+        for r in sketches.bottomk_sample(
+            partials, "value", "event_type", "event_id", k
+        ).collect()
+    }
+    assert merged == full and len(full) > 0
 
 
 def test_weekly_sketch_merge_matches_direct_and_exact(spark):
