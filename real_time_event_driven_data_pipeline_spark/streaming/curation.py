@@ -200,9 +200,10 @@ class CorpusCurationPipeline:
         # vector, the doc_postings/dHash pattern) and a vector store
         # for exact-cosine verification of the bucketed candidates
         # (incremental_embedding_near_dup_pairs: per-activation work is
-        # O(batch x bucket occupancy), never O(history); candidates are
-        # the broadcast side of the verify joins, so history vectors
-        # stream map-side, unshuffled).
+        # O(batch x bucket occupancy), never O(history); the
+        # candidate-ID set broadcasts into a map-side semi-join that
+        # plucks just the needed vectors, so history is scanned,
+        # never shuffled).
         #
         # Embeddings come from the batch's ``embedding`` column when
         # the arrival schema carries one; otherwise pass ``embedder``

@@ -131,7 +131,7 @@ def main() -> None:
     emb = generate(spark, 5000).repartition(32).cache()
     n = emb.count()
     t0 = time.perf_counter()
-    ex_ids, ex_labels10 = clustered_sets(
+    ex_ids, _ = clustered_sets(
         similarity.semantic_dedup_clusters(emb, threshold=THRESHOLD, n_blocks=16)
     )
     sec_exact_10x = round(time.perf_counter() - t0, 2)
