@@ -909,6 +909,21 @@ def incremental_near_dup_pairs_indexed(
     term of the text-side variant), and the exact-verification step
     reconstructs shingle sets only for candidate documents.  This is
     the 100 TB shape of the arrival-time dedup gate.
+
+    Only shingles PROBED by the new batch can produce pairs, so the
+    history side is restricted map-side to the batch's broadcast
+    shingle keys BEFORE any shuffle (the
+    ``incremental_hamming_near_dup_pairs`` probed-buckets rule) — the
+    round-9 curation-composition probe caught the df aggregate and
+    prefix window re-shuffling the FULL posting index every epoch
+    (per-epoch shuffle bytes ramped linearly with history).  The
+    restriction is exact, not approximate: the semi-join keeps EVERY
+    row of a probed shingle, so probed shingles' df counts (stop-
+    shingle cap + prefix order) are their true global values, dropping
+    unprobed shingles only shifts prefix positions EARLIER (candidate
+    superset; the positional alpha filter also only loosens), and the
+    final exact-Jaccard verification is unchanged — pytest pins the
+    gate equal to the batch operator either way.
     """
     sh_new = _scoped_cache(
         with_shingles(new, id_col, text_col, k, hashed=True), "inc_sh_new"
@@ -918,9 +933,12 @@ def incremental_near_dup_pairs_indexed(
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
+    probed_keys = posts_new.select("shingle").dropDuplicates()
+    probed_hist = existing_posts.select(id_col, "n_sh", "shingle").join(
+        F.broadcast(probed_keys), "shingle", "left_semi"
+    )
     posts_all = _drop_stop_shingles(
-        existing_posts.select(id_col, "n_sh", "shingle").unionByName(posts_new),
-        max_shingle_df,
+        probed_hist.unionByName(posts_new), max_shingle_df
     )
     gdf = posts_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
     w = Window.partitionBy(id_col).orderBy("gdf", "shingle")

@@ -17,8 +17,9 @@ billions of n-grams), while the CMS is a FIXED d x w counter grid
 Unlike library sketches, the row hashes are the repo's md5-hex
 convention (`md5(row || ':' || key)` prefix mod w), so the sketch —
 and anything computed FROM it — is bit-identical in any engine and
-DuckDB-oracle-certifiable (the HLL/KLL queries are rows-only; this one
-is exact-hash-checkable).
+DuckDB-oracle-certifiable (the seeded HLL queries are rows-only; this
+one — like the histogram and bottom-k quantile sketches below — is
+exact-hash-checkable).
 
 No analogue in the reference (`transform.py:28-227`).
 """
@@ -226,19 +227,36 @@ def bottomk_sample(
       part's bottom-k, so partial samples from splits/epochs combine
       exactly (pytest-pinned).
 
-    Scale shape: the rank filter compiles to WindowGroupLimit (Spark
-    3.5+): each map partition keeps only its own k smallest per group
-    BEFORE the shuffle, so the shuffle carries <= k rows per (group,
-    partition) — a real bounded-memory sketch, not a per-group sort.
+    Scale shape — TWO-PHASE, exact by mergeability: phase 1 ranks per
+    (group, salt-of-key) over ``n_salts`` salts, phase 2 re-ranks the
+    surviving <= n_salts x k rows per group.  Both rank filters compile
+    to WindowGroupLimit (Spark 3.5+), so each map partition keeps only
+    its own k smallest per partition-spec BEFORE any shuffle; no task
+    ever holds a whole group (few-large-group columns like event_type
+    would otherwise funnel each group's full membership into one task —
+    the plan-gate rule in tests/test_plans.py), and the phase-2 funnel
+    input is bounded by construction, independent of corpus size.  The
+    salt is engine-local plan detail only: the global bottom-k is a
+    subset of the union of per-salt bottom-k's (mergeability), and
+    phase 2 recomputes exact md5 ranks on that union, so the OUTPUT is
+    identical to a single-phase rank — and to the oracle's.
 
     Output: (group_col, value_col, key_col) — the key rides along so
     partial samples can be merged (re-sampled) downstream."""
-    mk = F.md5(F.col(key_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(mk, F.col(key_col))
-    return (
+    n_salts = 32
+    base = (
         df.filter(F.col(value_col).isNotNull())
         .select(F.col(group_col), F.col(value_col), F.col(key_col))
-        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_mk", F.md5(F.col(key_col).cast("string")))
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts)))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_mk", F.col(key_col))
+    pruned = base.withColumn("_rk1", F.row_number().over(w1)).filter(
+        F.col("_rk1") <= k
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_mk", F.col(key_col))
+    return (
+        pruned.withColumn("_rk", F.row_number().over(w2))
         .filter(F.col("_rk") <= k)
         .select(group_col, value_col, key_col)
     )

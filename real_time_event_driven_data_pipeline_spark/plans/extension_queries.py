@@ -2244,8 +2244,8 @@ def q_bpe_encoded_docs(spark, sf_dir):
 
 # --- count-min sketch heavy hitters (operators/sketches.py): the
 # oracle-exact frequency sketch (deterministic md5 row hashes), unlike
-# the rows-only HLL/KLL queries.  est >= true count always; top-n by
-# estimate with a full deterministic tie-break.
+# the rows-only seeded HLL queries.  est >= true count always; top-n
+# by estimate with a full deterministic tie-break.
 
 _CMS_D = 4
 _CMS_W = 512

@@ -185,9 +185,10 @@ def q_session_window_agg(spark, sf_dir):
 
 
 # --- sketch aggregations (the 100 TB substitutes for exact distinct /
-#     exact percentile: HLL++ and KLL-style mergeable sketches, O(1)
-#     memory per group, streaming-legal).  Approximate by construction
-#     -> rows-only for the driver; relative error pinned in pytest. ---
+#     exact percentile: mergeable sketches, O(k) memory per group,
+#     streaming-legal).  HLL++ is seeded -> rows-only for the driver
+#     with relative error pinned in pytest; the quantile sketch is the
+#     deterministic bottom-k sample since round 9 -> oracle-exact. ---
 
 
 @register("approx_daily_users", None, "sketch: HLL++ approx_count_distinct")
@@ -438,9 +439,9 @@ def q_weekly_users_from_daily_sketches(spark, sf_dir):
 
 
 # --- mergeable histogram quantiles (operators/sketches.py): the
-# deterministic, oracle-EXACT quantile sketch (value_quantile_sketch's
-# KLL is rows-only) — day histograms merge to any range by bucket-count
-# sum, estimates are bucket lower edges with error <= one bucket width.
+# fixed-width complement to the bottom-k quantile sample — day
+# histograms merge to any range by bucket-count sum, estimates are
+# bucket lower edges with error <= one bucket width; oracle-EXACT.
 
 HIST_QUANTILES_SQL = """
 WITH ev AS (

@@ -97,6 +97,12 @@ BOUNDED_WINDOW_OK = {
     # table), so partitioning by the few-value group column is bounded
     # by construction — the raw stream never enters a window.
     "value_histogram_quantiles",
+    # two-phase bottom-k (operators/sketches.bottomk_sample): the
+    # group-only phase-2 window ranks the <= n_salts x k survivors of
+    # the salted phase-1 rank (itself WindowGroupLimit-pruned map-side)
+    # — bounded by construction, the raw stream never enters a
+    # group-only window.
+    "value_quantile_sketch",
 }
 
 
