@@ -172,6 +172,19 @@ def main() -> None:
         pass_times: dict[str, float] = {}
         for name, fn in queries_map().items():
             if measure_shuffle:
+                # isolation semantics for the measured pass: scoped-cache
+                # slots outlive their query (lifetime = until slot
+                # reuse), so a later query whose plan contains an
+                # EQUAL subtree gets a CacheManager hit and silently
+                # skips that subtree's shuffle — per-query bytes then
+                # depend on registry ORDER, and a certification-prefix
+                # rotation manufactures phantom shuffle deltas (round 9
+                # observed 4 queries each "improving" by the same
+                # 1.7 MB after the r9 reorder; isolated re-measurement
+                # matched the old baseline byte-for-byte).  Clearing
+                # the cache before each measured query pins the
+                # attribution to the query's own plan.
+                spark.catalog.clearCache()
                 r0, w0, g0 = _counters()
             pass_times[name] = _run_query(name, fn, label)
             if measure_shuffle:
