@@ -757,6 +757,53 @@ def test_indexed_incremental_near_dups_equals_text_path(spark, docs):
     assert via_text  # non-vacuous
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=0, max_value=7), min_size=5, max_size=12),
+        min_size=2,
+        max_size=14,
+    ),
+    cut=st.integers(min_value=1, max_value=13),
+    cap=st.sampled_from([None, 3]),
+)
+def test_indexed_gate_probed_restriction_property(spark, data, cut, cap):
+    """Property behind the round-9 probed-keys restriction: for ANY
+    corpus/split (tiny vocab forces heavy shingle sharing) and with or
+    without the stop-shingle cap, the posting-index gate — which now
+    semi-joins history postings to the batch's shingle set before the
+    PPJoin df aggregate / prefix window — equals the text-side gate
+    exactly.  The exactness argument (probed shingles keep every row,
+    so df counts and the cap are unchanged; prefix positions only
+    shift earlier) must hold on adversarial inputs, not just the
+    driver fixture."""
+    cut = min(cut, len(data) - 1)
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(data)]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    existing = docs_df.filter(F.col("doc_id") < cut)
+    new = docs_df.filter(F.col("doc_id") >= cut)
+    via_text = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in dedup.incremental_near_dup_pairs(
+            existing, new, threshold=0.5, max_shingle_df=cap
+        ).collect()
+    }
+    via_index = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in dedup.incremental_near_dup_pairs_indexed(
+            dedup.doc_postings(existing),
+            new,
+            threshold=0.5,
+            max_shingle_df=cap,
+        ).collect()
+    }
+    assert via_index == via_text
+
+
 def test_hard_negative_topk_excludes_same_and_null_labels(spark):
     """Hard negatives: only DIFFERENT-label vectors rank; same-label and
     null-label rows are excluded on either side (SQL <> three-valued
