@@ -38,6 +38,8 @@ Both sidecars are compactable with
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,7 +60,87 @@ from ..operators.text import (
     quality_filter,
 )
 from ..sources.readers import read_stream_csv
-from .epochs import commit_epoch, epoch_committed, publish_epoch, read_epoch_dir
+from .epochs import _fs, commit_epoch, epoch_committed, publish_epoch, read_epoch_dir
+
+
+def read_sidecar_meta(spark: SparkSession, index_dir: str) -> dict | None:
+    """Settings stamped next to a posting-index sidecar (JSON at
+    ``<index_dir>.meta.json`` — OUTSIDE the dir, so compaction's
+    directory swap never touches it).  ``None`` when never stamped."""
+    fs, jvm = _fs(spark, index_dir)
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}.meta.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+    finally:
+        stream.close()
+    return json.loads(buf.decode("utf-8"))
+
+
+def write_sidecar_meta(spark: SparkSession, index_dir: str, meta: dict) -> None:
+    """(Re)stamp a sidecar's settings metadata (idempotent overwrite)."""
+    fs, jvm = _fs(spark, index_dir)
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}.meta.json")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def check_or_stamp_sidecar_meta(
+    spark: SparkSession, index_dir: str, expected: dict
+) -> None:
+    """RAISE when a sidecar's stamped settings differ from the
+    configured ones; stamp when absent (r9 verdict item 1).
+
+    The failure class this kills is SILENT WRONG RESULTS: an LSH /
+    banded-Hamming posting sidecar's bucket space is a function of its
+    hash settings (n_tables, n_planes, dim / max_dist), so a pipeline
+    restarted with a different setting — or the constructor default
+    after an explicit setting — probes an INCOMPATIBLE bucket space and
+    simply never matches historical rows again; every gate quietly lets
+    every historical duplicate through.  Settings are therefore stamped
+    at first construction/backfill and any later mismatch is an error,
+    never a reinterpretation.  A deliberate bucket-space change goes
+    through ``reindex_embedding_lsh_index`` (re-hash + atomic swap +
+    restamp); a deliberate non-bucket change (e.g. ``threshold``, which
+    affects verification only, not the index) can be acknowledged by
+    restamping via ``write_sidecar_meta``.
+
+    Note the one unknowable case: a sidecar created BEFORE metadata
+    stamping existed is stamped with whatever the current constructor
+    says — if that already differs from the settings that built the
+    sidecar, the mismatch predates the stamp and cannot be detected
+    here (rebuild via reindex/backfill if in doubt)."""
+    found = read_sidecar_meta(spark, index_dir)
+    if found is None:
+        write_sidecar_meta(spark, index_dir, expected)
+        return
+    if found != expected:
+        diff = {
+            k: {"stamped": found.get(k), "configured": expected.get(k)}
+            for k in sorted(set(found) | set(expected))
+            if found.get(k) != expected.get(k)
+        }
+        raise ValueError(
+            f"sidecar index settings mismatch for {index_dir}: {diff} — "
+            "the stamped settings are FIXED for the life of the posting "
+            "sidecar (a different bucket space silently misses every "
+            "historical duplicate).  Either construct the pipeline with "
+            "the stamped settings, or migrate the sidecar deliberately "
+            "(reindex_embedding_lsh_index for the embedding LSH index; "
+            "write_sidecar_meta to acknowledge a verification-only "
+            "change such as threshold)."
+        )
+
 
 DOCS_ARRIVAL_SCHEMA = T.StructType(
     [
@@ -94,7 +176,7 @@ class CorpusCurationPipeline:
         embedding_dim: int | None = None,
         embedding_threshold: float = 0.45,
         embedding_n_tables: int = 16,
-        embedding_n_planes: int = 8,
+        embedding_n_planes: int | None = 8,
         embedding_max_bucket_size: int | None = 10_000,
         embedder=None,
     ):
@@ -213,21 +295,28 @@ class CorpusCurationPipeline:
         #
         # embedding_n_planes is FIXED for the life of the posting
         # sidecar (bucket spaces of different plane counts are
-        # incompatible) — size it for the TARGET corpus via
-        # lsh_planes_for_corpus, not the first epoch.  The bucket cap
-        # defaults ON (like the image gate): an unattended stream must
-        # bound per-activation latency even when a burst of
-        # near-constant embeddings lands.  Enabling the gate on a
-        # pipeline with already-accepted epochs leaves pre-flag history
-        # invisible to it — run backfill_embedding_lsh_index() once,
-        # same gap and remedy as the image gate.
+        # incompatible); the lived-in settings are STAMPED next to the
+        # sidecar (<dir>.meta.json) and any mismatch at construction
+        # RAISES — see check_or_stamp_sidecar_meta.  ``None`` adopts
+        # the stamped plane count when one exists, else auto-sizes from
+        # the accepted-corpus count via lsh_planes_for_corpus (one O(1)
+        # count at construction) and stamps the result — so
+        # enable-later on a large corpus picks the production rule, and
+        # a restart never has to repeat the explicit setting.  A
+        # sidecar that outgrows its sizing migrates through
+        # ``reindex_embedding_lsh_index``.  The bucket cap defaults ON
+        # (like the image gate): an unattended stream must bound
+        # per-activation latency even when a burst of near-constant
+        # embeddings lands.  Enabling the gate on a pipeline with
+        # already-accepted epochs leaves pre-flag history invisible to
+        # it — run backfill_embedding_lsh_index() once, same gap and
+        # remedy as the image gate.
         self.embedding_gate = embedding_gate
         if embedding_gate and not embedding_dim:
             raise ValueError("embedding_gate=True requires embedding_dim")
         self.embedding_dim = embedding_dim
         self.embedding_threshold = embedding_threshold
         self.embedding_n_tables = embedding_n_tables
-        self.embedding_n_planes = embedding_n_planes
         self.embedding_max_bucket_size = embedding_max_bucket_size
         self.embedder = embedder
         self.emb_post_index_dir = f"{corpus_dir.rstrip('/')}_lshidx"
@@ -238,6 +327,44 @@ class CorpusCurationPipeline:
         self.post_index_dir = f"{corpus_dir.rstrip('/')}_postidx"
         self.dhash_index_dir = f"{corpus_dir.rstrip('/')}_dhashidx"
         self.epoch_marker_dir = f"{corpus_dir.rstrip('/')}_epochs"
+        if embedding_gate:
+            # misconfiguration must fail at construction, not mid-epoch
+            # with a raw AnalysisException deep in the pair plan (the
+            # backfill helper already raised explicitly; ADVICE r9)
+            if embedder is None and "embedding" not in schema.fieldNames():
+                raise ValueError(
+                    "embedding_gate=True but the arrival schema has no "
+                    "'embedding' column and no embedder is set"
+                )
+            if embedding_n_planes is None:
+                stamped = read_sidecar_meta(spark, self.emb_post_index_dir)
+                if stamped is not None:
+                    embedding_n_planes = stamped["n_planes"]
+                else:
+                    from ..operators.similarity import lsh_planes_for_corpus
+
+                    corpus = read_epoch_dir(spark, corpus_dir)
+                    embedding_n_planes = lsh_planes_for_corpus(
+                        corpus.count() if corpus is not None else 0
+                    )
+            check_or_stamp_sidecar_meta(
+                spark,
+                self.emb_post_index_dir,
+                {
+                    "kind": "embedding_lsh",
+                    "n_tables": embedding_n_tables,
+                    "n_planes": embedding_n_planes,
+                    "dim": embedding_dim,
+                    "threshold": embedding_threshold,
+                },
+            )
+        self.embedding_n_planes = embedding_n_planes
+        if image_gate:
+            check_or_stamp_sidecar_meta(
+                spark,
+                self.dhash_index_dir,
+                {"kind": "image_dhash", "max_dist": image_max_dist},
+            )
         self.stats: list[dict] = []
 
     def _pin(self, df: DataFrame) -> DataFrame:
@@ -373,6 +500,78 @@ class CorpusCurationPipeline:
                 self.BACKFILL_EPOCH,
             )
         return n_docs
+
+    def reindex_embedding_lsh_index(
+        self, new_n_planes: int | None = None, new_n_tables: int | None = None
+    ) -> int:
+        """Migrate the embedding gate's LSH posting sidecar to a new
+        bucket space (r9 verdict item 2): re-hash every accepted vector
+        (the ``_embidx`` sidecar — vectors are never re-embedded), swap
+        the posting dir atomically (``replace_table``, the
+        ``compact_cluster_labels`` pattern), restamp the settings
+        metadata, and adopt the new settings on this pipeline.  Returns
+        the plane count now in force.
+
+        WHY this exists: plane count is sized for a TARGET corpus
+        (``lsh_planes_for_corpus``), but targets get outgrown — at a
+        fixed plane count, bucket occupancy and hence the gate's
+        per-epoch candidate work grow linearly with accepted history.
+        ``new_n_planes=None`` auto-sizes from the CURRENT accepted
+        count, so calling this periodically restores the
+        O(batch x target_bucket_size) per-epoch bound.
+
+        Pair semantics are EQUIVALENT, not just similar: the LSH index
+        only generates candidates; every pair is exact-cosine verified,
+        so any bucket space with adequate recall yields the same
+        verified pairs (pytest pins a planted dup caught across a
+        reindex).  Recall does drop as planes grow — that is the same
+        deliberate trade the batch operator documents.
+
+        Run ONLY with the stream stopped: ``replace_table`` has a
+        reader-race window, and the swapped files lose their epoch-N
+        naming — safe for committed history (a committed epoch never
+        replays), unsafe for an epoch in flight (its replay exclusion
+        and partial-publish cleanup key off the file prefix).  A crash
+        between the swap and the metadata restamp leaves the stamp
+        stale — the next construction then RAISES (loud, never silent);
+        re-run the reindex with the same settings to converge."""
+        if not self.embedding_gate:
+            raise ValueError("embedding_gate is not set on this pipeline")
+        from ..operators.similarity import lsh_planes_for_corpus
+        from ..sinks.maintenance import replace_table
+
+        n_tables = self.embedding_n_tables if new_n_tables is None else new_n_tables
+        vecs = read_epoch_dir(self.spark, self.emb_vec_index_dir)
+        if new_n_planes is None:
+            new_n_planes = lsh_planes_for_corpus(
+                vecs.count() if vecs is not None else 0
+            )
+        if vecs is not None:
+            posts = self._pin(
+                embedding_lsh_postings(
+                    vecs.select("doc_id", "embedding"),
+                    self.embedding_dim,
+                    id_col="doc_id",
+                    vec_col="embedding",
+                    n_tables=n_tables,
+                    n_planes=new_n_planes,
+                )
+            )
+            replace_table(self.spark, self.emb_post_index_dir, posts)
+        self.embedding_n_tables = n_tables
+        self.embedding_n_planes = new_n_planes
+        write_sidecar_meta(
+            self.spark,
+            self.emb_post_index_dir,
+            {
+                "kind": "embedding_lsh",
+                "n_tables": n_tables,
+                "n_planes": new_n_planes,
+                "dim": self.embedding_dim,
+                "threshold": self.embedding_threshold,
+            },
+        )
+        return new_n_planes
 
     def backfill_export_manifest(self) -> int:
         """Assign PRE-FLAG corpus history into the export manifest.

@@ -425,12 +425,7 @@ def _near(vec, rng, eps=0.05):
 def _emb_pipeline(spark, tmp_path, emb_df, **extra):
     landing = tmp_path / "landing"
     landing.mkdir(exist_ok=True)
-    return CorpusCurationPipeline(
-        spark,
-        landing_dir=str(landing),
-        corpus_dir=str(tmp_path / "corpus"),
-        quarantine_dir=str(tmp_path / "quarantine"),
-        checkpoint_dir=str(tmp_path / "ckpt"),
+    kwargs = dict(
         # text near-dup gate effectively off: the planted dups have
         # FRESH text (the paraphrase case), only embeddings collide
         near_dup_threshold=0.99,
@@ -439,7 +434,15 @@ def _emb_pipeline(spark, tmp_path, emb_df, **extra):
         embedding_n_tables=16,
         embedding_n_planes=4,
         embedder=lambda df: df.join(emb_df, "doc_id", "left"),
-        **extra,
+    )
+    kwargs.update(extra)
+    return CorpusCurationPipeline(
+        spark,
+        landing_dir=str(landing),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **kwargs,
     ), str(landing)
 
 
@@ -804,3 +807,184 @@ def test_cluster_label_sidecar_tracks_evolving_dup_graph(spark, tmp_path):
     assert pipe.stats[-1]["label_updates"] == 4  # {5, 22, 30, 50}
     lab4 = {r.id: r.comp for r in pipe.resolved_cluster_labels().collect()}
     assert lab4 == {5: 5, 22: 5, 30: 5, 50: 5}
+
+
+# --- sidecar settings metadata (r9 verdict items 1/2/6) ---------------
+
+
+def test_sidecar_meta_mismatch_raises(spark, tmp_path):
+    """The stamped index settings are FIXED for the sidecar's life: a
+    restart with a different plane count (or max_dist) would probe an
+    incompatible bucket space and silently miss every historical
+    duplicate — construction must RAISE instead."""
+    rng = random.Random(31)
+    emb_df = spark.createDataFrame(
+        [(1, [float(x) for x in v]) for _, v in _unit_vecs(rng, [1]).items()],
+        "doc_id long, embedding array<float>",
+    )
+    _emb_pipeline(spark, tmp_path, emb_df, embedding_gate=True)  # stamps 16x4
+    with pytest.raises(ValueError, match="sidecar index settings mismatch"):
+        _emb_pipeline(
+            spark, tmp_path, emb_df, embedding_gate=True, embedding_n_planes=5
+        )
+    with pytest.raises(ValueError, match="n_tables"):
+        _emb_pipeline(
+            spark, tmp_path, emb_df, embedding_gate=True, embedding_n_tables=8
+        )
+    # verification-only settings are stamped too (threshold)
+    with pytest.raises(ValueError, match="threshold"):
+        _emb_pipeline(
+            spark, tmp_path, emb_df, embedding_gate=True, embedding_threshold=0.8
+        )
+    # same settings reconstruct cleanly
+    _emb_pipeline(spark, tmp_path, emb_df, embedding_gate=True)
+
+    # the image gate's Hamming sidecar has the same contract (max_dist)
+    dirs = dict(
+        landing_dir=str(tmp_path / "landing2"),
+        corpus_dir=str(tmp_path / "corpus2"),
+        quarantine_dir=str(tmp_path / "quarantine2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    CorpusCurationPipeline(spark, image_gate=True, image_max_dist=3, **dirs)
+    with pytest.raises(ValueError, match="max_dist"):
+        CorpusCurationPipeline(spark, image_gate=True, image_max_dist=2, **dirs)
+    CorpusCurationPipeline(spark, image_gate=True, image_max_dist=3, **dirs)
+
+
+def test_embedding_gate_requires_embedding_source_at_construction(
+    spark, tmp_path
+):
+    """embedder=None with no 'embedding' arrival column must fail at
+    construction, not mid-epoch with a raw AnalysisException deep in
+    the pair plan (ADVICE r9 — the backfill helper already raised)."""
+    with pytest.raises(ValueError, match="no embedder"):
+        CorpusCurationPipeline(
+            spark,
+            landing_dir=str(tmp_path / "landing"),
+            corpus_dir=str(tmp_path / "corpus"),
+            quarantine_dir=str(tmp_path / "quarantine"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            embedding_gate=True,
+            embedding_dim=8,
+        )
+
+
+def test_embedding_n_planes_none_adopts_stamp_or_autosizes(spark, tmp_path):
+    """``embedding_n_planes=None``: adopt the stamped plane count when
+    a sidecar stamp exists (a restart never repeats the explicit
+    setting); otherwise size from the accepted-corpus count via the
+    production rule (lsh_planes_for_corpus) and stamp the result —
+    enable-later on a large corpus must NOT keep a test-scale default
+    (r9 verdict item 6)."""
+    from pyspark.sql import functions as F
+
+    from real_time_event_driven_data_pipeline_spark.operators.similarity import (
+        lsh_planes_for_corpus,
+    )
+    from real_time_event_driven_data_pipeline_spark.streaming.curation import (
+        read_sidecar_meta,
+    )
+    from real_time_event_driven_data_pipeline_spark.streaming.epochs import (
+        publish_epoch,
+    )
+
+    rng = random.Random(37)
+    emb_df = spark.createDataFrame(
+        [(1, [float(x) for x in v]) for _, v in _unit_vecs(rng, [1]).items()],
+        "doc_id long, embedding array<float>",
+    )
+    # stamp 16x4 via the helper, then None adopts the stamped 4
+    _emb_pipeline(spark, tmp_path, emb_df, embedding_gate=True)
+    adopted, _ = _emb_pipeline(
+        spark, tmp_path, emb_df, embedding_gate=True, embedding_n_planes=None
+    )
+    assert adopted.embedding_n_planes == 4
+
+    # enable-later on a pipeline with 600 pre-gate accepted docs and NO
+    # stamp: None sizes from the corpus count (> the floor of 3)
+    corpus2 = str(tmp_path / "corpus3")
+    publish_epoch(
+        spark.range(600).select(
+            F.col("id").alias("doc_id"),
+            F.lit("stub text").alias("text"),
+            F.lit("s").alias("source"),
+        ),
+        corpus2,
+        0,
+    )
+    sized = CorpusCurationPipeline(
+        spark,
+        landing_dir=str(tmp_path / "landing3"),
+        corpus_dir=corpus2,
+        quarantine_dir=str(tmp_path / "quarantine3"),
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        embedding_gate=True,
+        embedding_dim=8,
+        embedding_n_planes=None,
+        embedder=lambda df: df.join(emb_df, "doc_id", "left"),
+    )
+    want = lsh_planes_for_corpus(600)
+    assert want > 3  # the production rule, not the recall floor
+    assert sized.embedding_n_planes == want
+    stamp = read_sidecar_meta(spark, sized.emb_post_index_dir)
+    assert stamp["n_planes"] == want and stamp["kind"] == "embedding_lsh"
+
+
+def test_reindex_embedding_lsh_index_migrates_bucket_space(spark, tmp_path):
+    """Plane-count migration (r9 verdict item 2): re-hash the accepted
+    vectors once, swap atomically, restamp.  Pair OUTPUT is equivalent
+    across the reindex — a paraphrase dup of pre-reindex history is
+    still quarantined — and the old plane count now raises at
+    construction while the new one passes."""
+    from real_time_event_driven_data_pipeline_spark.streaming.curation import (
+        read_sidecar_meta,
+    )
+
+    rng = random.Random(41)
+    text_rng = random.Random(42)
+    base_v = _unit_vecs(rng, [1, 2, 21])
+    vec = dict(base_v)
+    vec[20] = _near(base_v[1], rng)  # paraphrase of PRE-REINDEX doc 1
+    emb_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vec.items()],
+        "doc_id long, embedding array<float>",
+    )
+    texts = {i: _doc(text_rng) for i in vec}
+
+    pipe, landing = _emb_pipeline(spark, tmp_path, emb_df, embedding_gate=True)
+    _write([(i, texts[i], "src") for i in (1, 2)], f"{landing}/b1.csv")
+    pipe.run_available_now()
+    assert pipe.stats[-1]["accepted"] == 2
+
+    assert pipe.reindex_embedding_lsh_index(new_n_planes=6) == 6
+    assert pipe.embedding_n_planes == 6
+    assert read_sidecar_meta(spark, pipe.emb_post_index_dir)["n_planes"] == 6
+    # postings were re-hashed: every accepted doc reindexed, old bucket
+    # space gone (6-plane tags stride 64, 4-plane tags stride 16)
+    posts = spark.read.parquet(pipe.emb_post_index_dir)
+    assert {r.doc_id for r in posts.select("doc_id").distinct().collect()} == {1, 2}
+    assert posts.count() == 2 * 16  # n_tables rows per vector
+
+    # the old setting is now a loud mismatch; the new one reconstructs
+    with pytest.raises(ValueError, match="sidecar index settings mismatch"):
+        _emb_pipeline(spark, tmp_path, emb_df, embedding_gate=True)
+    _emb_pipeline(
+        spark, tmp_path, emb_df, embedding_gate=True, embedding_n_planes=6
+    )
+
+    # gate equivalence across the migration: the planted paraphrase dup
+    # of pre-reindex history is caught in the 6-plane bucket space
+    _write([(20, texts[20], "src"), (21, texts[21], "src")], f"{landing}/b2.csv")
+    pipe.run_available_now()
+    corpus = {r.doc_id for r in spark.read.parquet(pipe.corpus_dir).collect()}
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    assert corpus == {1, 2, 21}
+    assert reasons == {20: "semantic_near_dup"}
+
+    # auto-size mode: 3 accepted vectors -> the recall floor
+    assert pipe.reindex_embedding_lsh_index() == 3
+    assert read_sidecar_meta(spark, pipe.emb_post_index_dir)["n_planes"] == 3
