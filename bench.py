@@ -205,12 +205,15 @@ def main() -> None:
     # hot-box detection 1: per-pass total spread.  Identical work whose
     # pass totals disagree >1.3x means co-tenant load hit part of the
     # run; extra passes give the per-query min more clean samples.
-    # Pass 1 is excluded when enough passes exist to spare it: it
-    # carries the per-query shuffle-counter drains, so it is
-    # structurally slower than passes 2..N (at small sf by >1.3x on its
-    # own) — only like-for-like passes can witness co-tenant load.
+    # Pass 1 is ALWAYS excluded: it carries the per-query
+    # shuffle-counter drains, so it is structurally slower than passes
+    # 2..N (at small sf by >1.3x on its own) — only like-for-like
+    # passes can witness co-tenant load.  With fewer than 3 total
+    # passes there is no like-for-like PAIR, so the spread check is
+    # skipped entirely (ADVICE r9: comparing pass 1 against a single
+    # clean pass fired the hot-box path spuriously on a quiet box).
     def _spread_passes() -> list[dict[str, float]]:
-        return passes[1:] if len(passes) >= 3 else passes
+        return passes[1:]
 
     extra_passes = 0
     while (

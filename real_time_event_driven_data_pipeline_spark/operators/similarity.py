@@ -547,6 +547,7 @@ def semantic_dedup_clusters_lsh(
     n_tables: int = 8,
     n_planes: int | None = 4,
     max_bucket_size: int | None = None,
+    allow_dense: bool = False,
 ) -> DataFrame:
     """THE 100 TB semantic-dedup path: LSH-bucketed candidate pairs ->
     exact cosine re-verification -> connected components.
@@ -592,13 +593,16 @@ def semantic_dedup_clusters_lsh(
     the corpus — negligible next to the signature scan); an explicit
     value is honored verbatim (the registered driver query pins 16x3
     so its oracle hash never moves) but warns when the setting is
-    quadratic-ish by construction.
+    quadratic-ish by construction unless ``allow_dense=True``
+    acknowledges the density as deliberate (a test-scale recall
+    setting — what the registered driver query passes so its
+    by-design density doesn't spam driver logs every round).
     """
     from .components import near_dup_clusters
 
     if n_planes is None:
         n_planes = lsh_planes_for_corpus(emb.count())
-    else:
+    elif not allow_dense:
         _warn_if_dense(n_tables, n_planes)
     passes = _cosine_verify_udf(threshold)
 
@@ -619,6 +623,7 @@ def semantic_dedup_clusters_lsh(
         n_tables=n_tables,
         n_planes=n_planes,
         max_bucket_size=max_bucket_size,
+        allow_dense=True,  # density already adjudicated (or auto-sized) above
     )
     ea = e.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
     eb = e.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
@@ -639,16 +644,23 @@ def lsh_dedup_candidates(
     n_tables: int = 8,
     n_planes: int | None = 4,
     max_bucket_size: int | None = None,
+    allow_dense: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH bucket —
     the pair generator of ``semantic_dedup_clusters_lsh``, public so
     the recall/candidate-count probe measures the exact production
     path (same anti-drift contract as the ANN probes).  ``n_planes=
-    None`` auto-sizes like the cluster operator."""
+    None`` auto-sizes like the cluster operator; an explicit
+    quadratic-ish setting warns (``_warn_if_dense``) unless
+    ``allow_dense=True`` — the public pair generator carries the same
+    all-pairs-by-construction hazard as the cluster operator and must
+    warn just as consistently (ADVICE r9)."""
     from .dedup import _cap_posting_buckets, _scoped_cache
 
     if n_planes is None:
         n_planes = lsh_planes_for_corpus(emb.count())
+    elif not allow_dense:
+        _warn_if_dense(n_tables, n_planes)
 
     # pinned: the posting relation is BOTH sides of the candidate
     # self-join — uncached, the signature UDF would run twice over the

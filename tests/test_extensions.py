@@ -1370,6 +1370,24 @@ def test_lsh_plane_autosizing(spark, emb):
         )  # 16/256 = 0.06 -> silent
         assert not any("candidate fraction" in str(x.message) for x in w)
 
+    # the PUBLIC pair generator carries the identical hazard and must
+    # warn just as consistently (ADVICE r9); allow_dense=True is the
+    # deliberate-density acknowledgement (what the registered 16x3
+    # driver query passes) and silences both operators
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.lsh_dedup_candidates(emb, 64, n_tables=16, n_planes=3)
+        assert any("candidate fraction" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.lsh_dedup_candidates(
+            emb, 64, n_tables=16, n_planes=3, allow_dense=True
+        )
+        similarity.semantic_dedup_clusters_lsh(
+            emb, dim=64, threshold=0.45, n_tables=16, n_planes=3, allow_dense=True
+        )
+        assert not any("candidate fraction" in str(x.message) for x in w)
+
 
 def test_semantic_dedup_lsh_no_driver_collect(spark, emb, monkeypatch):
     """Scale guard (same contract as the exact operator): building and

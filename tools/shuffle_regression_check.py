@@ -28,17 +28,21 @@ THRESHOLD_RATIO = 1.30  # >30% more shuffle-write bytes = plan change
 MIN_BYTES = 1 << 20  # ignore sub-MiB queries (overhead noise)
 
 
-def _latest_committed_with_shuffle() -> dict | None:
-    """Newest committed recording that carries a shuffle block.
+def _committed_with_shuffle(skip_shuffle: dict | None = None) -> dict | None:
+    """Newest committed recording that carries a shuffle block —
+    optionally the newest one whose shuffle block DIFFERS from
+    ``skip_shuffle``.
 
-    This is the comparison target in BOTH directions: if the current
-    file EQUALS it, the working state is the already-gated committed
-    state and the gate passes (round-8 ADVICE: skipping identical
-    blocks walked back to an OLDER round and re-flagged a delta the
-    round had already accepted — unchanged code exiting 1); if it
-    DIFFERS, it is by construction the previous distinct recording,
-    i.e. the genuine baseline (post-commit vacuity can't arise: a
-    just-committed copy is caught by the equality pass instead)."""
+    The newest committed block is the comparison target in both
+    directions: if the current file EQUALS it, the working state is the
+    already-gated committed state and the gate passes (round-8 ADVICE:
+    skipping identical blocks walked back to an OLDER round and
+    re-flagged a delta the round had already accepted — unchanged code
+    exiting 1).  The equality pass still prints an INFORMATIONAL diff
+    against the newest DISTINCT committed block (ADVICE r9: a regressed
+    record committed without running the gate would otherwise never be
+    seen again — the gate can't retroactively fail it, since that round
+    already accepted it, but it must not be invisible)."""
     revs = subprocess.run(
         ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
         cwd=REPO,
@@ -56,7 +60,9 @@ def _latest_committed_with_shuffle() -> dict | None:
             d = json.loads(raw)
         except json.JSONDecodeError:
             continue
-        if d.get("shuffle"):
+        if d.get("shuffle") and (
+            skip_shuffle is None or d["shuffle"] != skip_shuffle
+        ):
             return d
     return None
 
@@ -66,19 +72,32 @@ def main() -> int:
     if not cur.get("shuffle"):
         print("current BENCH_DETAIL.json has no shuffle block — run bench.py")
         return 2
+    informational = False
     if len(sys.argv) > 1:
         base = json.loads(Path(sys.argv[1]).read_text())
     else:
-        base = _latest_committed_with_shuffle()
+        base = _committed_with_shuffle()
         if base is None:
             print("no committed baseline with a shuffle block yet — recording only")
             return 0
         if base["shuffle"] == cur["shuffle"]:
+            # already gated — but still SHOW the diff vs the newest
+            # distinct committed block (exit 0 regardless): this keeps
+            # a commit-without-gating from hiding its deltas forever
+            base = _committed_with_shuffle(skip_shuffle=cur["shuffle"])
+            if base is None:
+                print(
+                    "shuffle block identical to the newest committed "
+                    "recording (no earlier distinct block) — already "
+                    "gated, pass"
+                )
+                return 0
+            informational = True
             print(
                 "shuffle block identical to the newest committed recording "
-                "— already gated, pass"
+                "— already gated, pass; informational diff vs the newest "
+                "DISTINCT committed block follows"
             )
-            return 0
     if base.get("sf") != cur.get("sf"):
         print(f"sf mismatch (base {base.get('sf')} vs cur {cur.get('sf')}) — skip")
         return 0
@@ -100,8 +119,9 @@ def main() -> int:
     print(
         f"{len(regressions)} regressions / {len(improved)} improvements "
         f"over {len(set(bs) & set(cs))} common queries"
+        + (" [informational — already gated]" if informational else "")
     )
-    return 1 if regressions else 0
+    return 1 if regressions and not informational else 0
 
 
 if __name__ == "__main__":
