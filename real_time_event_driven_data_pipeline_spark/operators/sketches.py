@@ -209,6 +209,111 @@ def histogram_quantiles(
     )
 
 
+# --- deterministic md5-register HyperLogLog (r9 verdict item 5) ------
+#
+# The built-in HLL paths (approx_count_distinct, hll_sketch_agg) are
+# seeded JVM internals — correct and fast, but non-replayable by an
+# external oracle, so their queries were rows-only for the driver.
+# This twin is the CMS/bottom-k recipe applied to HLL: registers are
+# derived from md5 hex (the repo's portability convention), so the
+# whole sketch — registers, harmonic sum, linear-counting correction —
+# is bit-identical in any engine and DuckDB-oracle-exact.
+#
+# Estimator determinism is the delicate part and is engineered, not
+# assumed:
+# - the register rank rho comes from STRING ops on the md5 hex
+#   (leading-zero run + a 16-way digit CASE) — no float log2;
+# - the harmonic sum is computed as the INTEGER sum of 2^(61-rho)
+#   (exact in DECIMAL(38,0) / HUGEINT; absent registers contribute
+#   2^61 each), cast to double once — integer-exact in any engine,
+#   immune to float summation order;
+# - alpha * m^2 * 2^61 is ONE Python-computed double literal inlined
+#   into both plans, so the estimate is a single IEEE division;
+# - the linear-counting branch needs ln(m/V), and libm is NOT pinned
+#   across engines — so all m possible values are precomputed in
+#   Python as a shared literal table both sides index (V in 1..m).
+#
+# m = 1024 registers: raw-HLL sigma 1.04/sqrt(m) ~ 3.3%, and the
+# linear-counting regime (E <= 2.5m = 2560) covers the daily/weekly
+# user counts at every test sf with ~1-3% error.
+
+import math
+
+HLL_M = 1024
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# alpha * m^2 * 2^61: the numerator of the harmonic-mean estimate over
+# the SCALED integer sum (see md5_hll_estimate)
+HLL_ALPHA_SCALED = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 61)
+# linear-counting lookup: m * ln(m / V) for V = 1..m, computed once in
+# Python and inlined into BOTH the Spark plan and the oracle SQL
+HLL_LC_TABLE = tuple(HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1))
+
+
+def md5_hll_registers(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Per-group HLL register table: (group_col, reg int, rho int),
+    <= ``HLL_M`` rows per group.  reg = 10 bits of md5(key); rho = 1 +
+    leading-zero count of the next 60 bits (in [1, 61]); the table
+    keeps max(rho) per register.  MERGEABLE across slices (days,
+    shards) by ``union -> groupBy(group, reg) -> max(rho)`` — max is
+    associative, so merged registers equal direct ones exactly
+    (pytest-pinned), the same re-aggregation contract as the CMS."""
+    h = F.md5(F.col(key_col).cast("string"))
+    # 3 hex chars = 12 bits; % 1024 of a non-negative 12-bit value is
+    # an exact power-of-two split -> uniform over the 1024 registers
+    reg = (F.conv(F.substring(h, 1, 3), 16, 10).cast("int") % HLL_M).alias("reg")
+    h15 = F.substring(h, 4, 15)  # the next 60 bits as 15 hex digits
+    z = F.length(F.regexp_extract(h15, "^0*", 0))  # leading zero DIGITS
+    d = F.substr(h15, z + F.lit(1), F.lit(1))  # first non-zero digit
+    lz = (
+        F.when(d == "1", 3)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = (
+        F.when(z == 15, F.lit(61)).otherwise(z * 4 + lz + 1).cast("int").alias("rho")
+    )
+    return (
+        df.select(F.col(group_col), reg, rho)
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def md5_hll_estimate(
+    registers: DataFrame, group_col: str, out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Distinct-count estimate per group from an ``md5_hll_registers``
+    table: floor of the HLL harmonic-mean estimate, with the standard
+    linear-counting correction when E <= 2.5m and empty registers
+    remain (Flajolet et al. 2007) — every arithmetic step deterministic
+    across engines (see the module comment).  Output:
+    (group_col, out_col bigint)."""
+    # scaled harmonic sum: present registers contribute 2^(61-rho)
+    # (integer, <= 2^60), absent ones 2^61 each; the grand total
+    # (<= m * 2^61 = 2^71) needs DECIMAL(38,0) — BIGINT overflows
+    term = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - rho) AS DECIMAL(38,0))")
+    g = registers.groupBy(group_col).agg(
+        F.sum(term).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_nreg"),
+    )
+    v = F.lit(HLL_M).cast("long") - F.col("_nreg")  # empty registers
+    s_total = (
+        F.col("_s")
+        + v.cast("decimal(38,0)") * F.lit(1 << 61).cast("decimal(38,0)")
+    ).cast("double")
+    e_raw = F.lit(HLL_ALPHA_SCALED) / s_total
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LC_TABLE]), v.cast("int")
+    )
+    est = F.when((v > 0) & (e_raw <= F.lit(2.5 * HLL_M)), lc).otherwise(e_raw)
+    return g.select(
+        F.col(group_col), F.floor(est).cast("long").alias(out_col)
+    )
+
+
 def bottomk_sample(
     df: DataFrame,
     value_col: str,
@@ -241,6 +346,14 @@ def bottomk_sample(
     phase 2 recomputes exact md5 ranks on that union, so the OUTPUT is
     identical to a single-phase rank — and to the oracle's.
 
+    ``key_col`` SHOULD be unique per row (the dedup gates' "ids must
+    be unique" contract): the sample is a bottom-k BY KEY, so rows
+    sharing a key collapse onto the same md5 rank.  The sort is still
+    fully deterministic for duplicate keys — ``value_col`` is the
+    final tie-break (ADVICE r9), mirrored in the oracle SQL — but
+    which k KEYS survive is then a sample of distinct keys, not rows,
+    and the uniformity story degrades accordingly.
+
     Output: (group_col, value_col, key_col) — the key rides along so
     partial samples can be merged (re-sampled) downstream."""
     n_salts = 32
@@ -250,11 +363,15 @@ def bottomk_sample(
         .withColumn("_mk", F.md5(F.col(key_col).cast("string")))
         .withColumn("_salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts)))
     )
-    w1 = Window.partitionBy(group_col, "_salt").orderBy("_mk", F.col(key_col))
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(
+        "_mk", F.col(key_col), F.col(value_col)
+    )
     pruned = base.withColumn("_rk1", F.row_number().over(w1)).filter(
         F.col("_rk1") <= k
     )
-    w2 = Window.partitionBy(group_col).orderBy("_mk", F.col(key_col))
+    w2 = Window.partitionBy(group_col).orderBy(
+        "_mk", F.col(key_col), F.col(value_col)
+    )
     return (
         pruned.withColumn("_rk", F.row_number().over(w2))
         .filter(F.col("_rk") <= k)

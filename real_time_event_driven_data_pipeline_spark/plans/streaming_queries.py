@@ -186,18 +186,93 @@ def q_session_window_agg(spark, sf_dir):
 
 # --- sketch aggregations (the 100 TB substitutes for exact distinct /
 #     exact percentile: mergeable sketches, O(k) memory per group,
-#     streaming-legal).  HLL++ is seeded -> rows-only for the driver
-#     with relative error pinned in pytest; the quantile sketch is the
-#     deterministic bottom-k sample since round 9 -> oracle-exact. ---
+#     streaming-legal).  The registered distinct-count queries run the
+#     DETERMINISTIC md5-register HLL since round 10 (operators/
+#     sketches.py `md5_hll_registers`/`md5_hll_estimate`) and are
+#     oracle-exact, the same upgrade the quantile sketch got in round 9
+#     (KLL -> bottom-k) — the seeded built-ins (approx_count_distinct,
+#     hll_sketch_agg) remain pytest-pinned alongside
+#     (tests/test_sketches.py `test_builtin_hll_paths_still_pinned`),
+#     and only the seeded ANN queries stay rows-only. ---
+
+from ..operators.sketches import HLL_ALPHA_SCALED, HLL_LC_TABLE, HLL_M
+
+# shared-constant oracle SQL (round-8 ADVICE convention): register
+# derivation, scaled harmonic sum, and the Python-precomputed
+# linear-counting table are f-string-inlined from the SAME constants
+# the Spark operator uses — editing one side cannot desync the other
+_HLL_LC_SQL = "[" + ", ".join(repr(x) for x in HLL_LC_TABLE) + "]"
+_HLL_EST_SQL = f"""
+       CAST(FLOOR(CASE WHEN {HLL_M} - nreg > 0
+                        AND {HLL_ALPHA_SCALED!r} / sd <= {2.5 * HLL_M!r}
+                       THEN ({_HLL_LC_SQL})[{HLL_M} - nreg]
+                       ELSE {HLL_ALPHA_SCALED!r} / sd END) AS BIGINT)
+"""
 
 
-@register("approx_daily_users", None, "sketch: HLL++ approx_count_distinct")
+def _hll_regs_sql(group_expr: str, group_name: str) -> str:
+    """Register-table CTE chain over events, grouped by ``group_expr``:
+    yields ``regs(group, reg, rho)`` — the SQL twin of
+    ``md5_hll_registers`` (10-bit md5 register, leading-zero rank from
+    string ops, max per register)."""
+    return f"""
+ev AS (
+  SELECT {group_expr} AS {group_name}, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), b AS (
+  SELECT {group_name},
+         CAST(('0x' || substr(h, 1, 3)) AS INTEGER) % {HLL_M} AS reg,
+         substr(h, 4, 15) AS h15
+  FROM ev
+), z AS (
+  SELECT {group_name}, reg, h15,
+         length(regexp_extract(h15, '^0*')) AS z
+  FROM b
+), rho AS (
+  SELECT {group_name}, reg,
+         CASE WHEN z = 15 THEN 61
+              ELSE z * 4 + CASE substr(h15, z + 1, 1)
+                     WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                     WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+  FROM z
+), regs AS (
+  SELECT {group_name}, reg, MAX(rho) AS rho FROM rho GROUP BY {group_name}, reg
+)"""
+
+
+APPROX_DAILY_USERS_SQL = f"""
+WITH {_hll_regs_sql("CAST(ts AS DATE)", "event_date")},
+agg AS (
+  SELECT event_date,
+         SUM(CAST((CAST(1 AS BIGINT) << (61 - rho)) AS HUGEINT)) AS s,
+         COUNT(*) AS nreg
+  FROM regs GROUP BY event_date
+), est AS (
+  SELECT event_date, nreg,
+         CAST(s + CAST({HLL_M} - nreg AS HUGEINT)
+                    * CAST({1 << 61} AS HUGEINT) AS DOUBLE) AS sd
+  FROM agg
+)
+SELECT event_date, {_HLL_EST_SQL} AS approx_users
+FROM est ORDER BY event_date
+"""
+
+
+@register(
+    "approx_daily_users",
+    APPROX_DAILY_USERS_SQL,
+    "sketch: deterministic md5-register HLL (oracle-exact since r10)",
+)
 def q_approx_daily_users(spark, sf_dir):
+    from ..operators import sketches
+
     events = _events(spark, sf_dir)
-    return (
-        events.groupBy(F.to_date("ts").alias("event_date"))
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
-        .orderBy("event_date")
+    regs = sketches.md5_hll_registers(
+        events.withColumn("event_date", F.to_date("ts")), "user_id", "event_date"
+    )
+    return sketches.md5_hll_estimate(regs, "event_date", "approx_users").orderBy(
+        "event_date"
     )
 
 
@@ -215,7 +290,7 @@ WITH ev AS (
   FROM events WHERE value IS NOT NULL
 ), r AS (
   SELECT event_type, v,
-         row_number() OVER (PARTITION BY event_type ORDER BY mk, event_id) AS rk
+         row_number() OVER (PARTITION BY event_type ORDER BY mk, event_id, v) AS rk
   FROM ev
 ), s AS (
   SELECT event_type, v FROM r WHERE rk <= 512
@@ -407,35 +482,66 @@ def q_daily_event_type_map(spark, sf_dir):
     )
 
 
-# Re-aggregatable distinct counting: persist one tiny Datasketches HLL
-# per day, answer ANY date-range distinct query later by merging
-# sketches — at 100 TB the raw events are scanned once ever, and every
-# rollup reads KBs of sketch state instead.  (approx_count_distinct
-# cannot do this: its partial state is not exposed.)  Approximate ->
-# rows-only; the merge-vs-direct identity and the error bound are
-# pinned in tests/test_sketches.py.
+# Re-aggregatable distinct counting: persist one tiny register table
+# per day, answer ANY date-range distinct query later by max-merging
+# registers — at 100 TB the raw events are scanned once ever, and every
+# rollup reads KBs of register state instead.  (approx_count_distinct
+# cannot do this: its partial state is not exposed.)  The register
+# sketch is the deterministic md5-register HLL, so the day -> week
+# rollup — including the merge — is oracle-exact: the oracle computes
+# week-grain registers directly, and max-merge associativity makes the
+# two IDENTICAL (the mergeability contract, also pinned in
+# tests/test_sketches.py along with the Datasketches-HLL built-in
+# twin of this rollup).
+WEEKLY_USERS_SQL = f"""
+WITH {_hll_regs_sql("CAST(date_trunc('week', ts) AS DATE)", "week_start")},
+agg AS (
+  SELECT week_start,
+         SUM(CAST((CAST(1 AS BIGINT) << (61 - rho)) AS HUGEINT)) AS s,
+         COUNT(*) AS nreg
+  FROM regs GROUP BY week_start
+), est AS (
+  SELECT week_start, nreg,
+         CAST(s + CAST({HLL_M} - nreg AS HUGEINT)
+                    * CAST({1 << 61} AS HUGEINT) AS DOUBLE) AS sd
+  FROM agg
+), nd AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events GROUP BY 1
+)
+SELECT est.week_start, {_HLL_EST_SQL} AS approx_users, nd.n_days
+FROM est JOIN nd ON nd.week_start = est.week_start
+ORDER BY est.week_start
+"""
+
+
 @register(
     "weekly_users_from_daily_sketches",
-    None,
-    "sketch: re-aggregatable HLL (daily sketches merged to weekly)",
+    WEEKLY_USERS_SQL,
+    "sketch: re-aggregatable md5-register HLL (daily registers merged "
+    "to weekly; oracle-exact since r10)",
 )
 def q_weekly_users_from_daily_sketches(spark, sf_dir):
+    from ..operators import sketches
+
     events = _events(spark, sf_dir)
-    daily = events.groupBy(F.to_date("ts").alias("event_date")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    # daily register tables: what a real deployment would PERSIST —
+    # the weekly rollup below never touches raw events again
+    daily = sketches.md5_hll_registers(
+        events.withColumn("event_date", F.to_date("ts")), "user_id", "event_date"
     )
     # week key = the week's Monday via date_trunc, NOT calendar-year +
     # ISO-week-number: pairing year() with weekofyear() mis-buckets
     # year-boundary dates (2024-12-30 has ISO week 1 and would land in
     # (2024, 1) next to early January).  One date key is unambiguous.
-    return (
-        daily.groupBy(F.date_trunc("week", "event_date").cast("date").alias("week_start"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
-        .orderBy("week_start")
+    wk = F.date_trunc("week", "event_date").cast("date").alias("week_start")
+    weekly_regs = daily.groupBy(wk, "reg").agg(F.max("rho").alias("rho"))
+    est = sketches.md5_hll_estimate(weekly_regs, "week_start", "approx_users")
+    n_days = daily.groupBy(wk).agg(
+        F.count_distinct("event_date").alias("n_days")
     )
+    return est.join(n_days, "week_start").orderBy("week_start")
 
 
 # --- mergeable histogram quantiles (operators/sketches.py): the
