@@ -88,49 +88,30 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
 
-    # round 9 sampling prefix (driver samples ~50): (a) the final 26
-    # r1/r2-era queries — after this rotation every registered query's
-    # latest driver hash is r5+ for the first time (r8 verdict item 1);
-    # (b) code paths changed this round — the min_freq sentinel rework
-    # (exact-substring family), the LSH plane-count auto-sizing +
-    # shared-constant oracle SQL (semantic dedup family), and the
-    # deterministic mergeable quantile sketch that upgrades
-    # value_quantile_sketch from rows-only to oracle-exact; (c) NEW
-    # queries this round.
+    # round 10 sampling prefix (driver samples ~50): (a) the 8 queries
+    # whose latest driver hash is still r3/r4 — the r9 verdict's
+    # recomputed union showed the r9 rotation's "every query r5+" claim
+    # used the wrong denominator (it rotated the r1/r2 tail faithfully
+    # but missed these); after this prefix the union latest-hash floor
+    # is genuinely >= r5 (r9 verdict item 4); (b) code paths changed
+    # this round — the md5-register HLL conversion (both distinct-count
+    # sketches gain oracles), the bottom-k tie-break (Spark + SQL
+    # changed in lockstep; hash must not move), and the allow_dense
+    # plumbing through the semantic-dedup family.
     _prioritize(
-        # (a) r1/r2-era certification rotation — the full remaining tail
-        "approx_daily_users",  # rows-only HLL: row-count freshness
-        "brand_type_catalog",
-        "cohort_retention",
-        "conversion_funnel",
-        "daily_revenue_7d_ma",
-        "daily_revenue_running",
-        "event_props_json",
-        "event_time_features",
-        "events_sliding_stats",
-        "flag_measures_long",
-        "late_lines_by_status",
-        "lineitem_summary_stats",
-        "nation_market_share",
-        "parts_above_brand_avg",
-        "price_histogram",
-        "price_percentiles",
-        "priority_segment_union",
-        "quantity_pivot",
-        "regional_supplier_volume",
-        "revenue_rollup",
-        "session_window_agg",
-        "top3_parts_per_brand",
-        "top_orders_by_value",
-        "urgent_only_customers",
-        "user_sessionization",
-        "value_quantile_sketch",  # r9: now a deterministic oracle-exact sketch
-        # (b) code paths changed in round 9
-        "exact_substring_dedup",  # min_freq sentinel default
-        "intra_doc_dedup",  # min_freq sentinel default
-        "semantic_dedup_clusters_lsh",  # shared-constant SQL + auto-sizing
-        "semantic_dedup_clusters",  # shares the verify path
-        "ann_lsh_topk",  # plane-sizing helper touches its module
+        # (a) r3/r4-era certification true-up
+        "acctbal_deciles",
+        "top_revenue_suppliers",
+        "events_hourly_stats",
+        "daily_event_type_map",
+        "both_priority_customers",
+        "top_order_percentiles",
+        "monthly_orders_vs_shipments",
+        "weekly_users_from_daily_sketches",  # r10: oracle-exact md5 HLL
+        # (b) code paths changed in round 10
+        "approx_daily_users",  # r10: oracle-exact md5 HLL
+        "value_quantile_sketch",  # value_col tie-break both sides
+        "semantic_dedup_clusters_lsh",  # allow_dense call path
         after=0,
     )
 
