@@ -179,6 +179,7 @@ class CorpusCurationPipeline:
         embedding_n_planes: int | None = 8,
         embedding_max_bucket_size: int | None = 10_000,
         embedder=None,
+        instrument_io: bool = False,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -365,7 +366,36 @@ class CorpusCurationPipeline:
                 self.dhash_index_dir,
                 {"kind": "image_dhash", "max_dist": image_max_dist},
             )
+        # per-STAGE shuffle-write attribution (r9 verdict item 3): when
+        # on, each gate/publish stage's executor-counter delta lands in
+        # the epoch's stats record under ``stage_io`` — how the
+        # composition probe names which stage owns a per-epoch cost
+        # slope.  Off by default: every mark drains the async listener
+        # queue (up to 10 s on a stalled bus), measurement overhead a
+        # production stream shouldn't pay.
+        self.instrument_io = instrument_io
         self.stats: list[dict] = []
+
+    def _io_counters(self) -> int:
+        """Cumulative executor shuffle-write bytes (statusStore), after
+        draining the async listener queue — the bench.py counter trick;
+        a failed drain degrades one stage's attribution, never the
+        epoch."""
+        jsc = self.spark.sparkContext._jsc.sc()
+        try:
+            jsc.listenerBus().waitUntilEmpty(10_000)
+        except Exception:
+            pass
+        return jsc.statusStore().executorList(True).apply(0).totalShuffleWrite()
+
+    def _mark_stage(self, name: str) -> None:
+        """Record the shuffle-write delta since the previous mark as
+        ``name``'s cost (no-op unless ``instrument_io``)."""
+        if not self.instrument_io:
+            return
+        now = self._io_counters()
+        self._stage_io[name] = self._stage_io.get(name, 0) + (now - self._last_io)
+        self._last_io = now
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """Materialize an intermediate once and truncate its lineage
@@ -672,7 +702,11 @@ class CorpusCurationPipeline:
         self._gate_pinned(batch, epoch_id)
 
     def _gate_pinned(self, batch: DataFrame, epoch_id: int) -> None:
+        self._stage_io: dict[str, int] = {}
+        if self.instrument_io:
+            self._last_io = self._io_counters()
         n_arrived = batch.count()
+        self._mark_stage("arrival")
         # rejects accumulate lazily and publish once, idempotently, in
         # step 4 — a mid-gate crash must not leave half an epoch's
         # quarantine appended (see streaming/epochs.py)
@@ -681,6 +715,7 @@ class CorpusCurationPipeline:
         # 1. quality gate
         passed = self._pin(quality_filter(batch, **self.quality_kwargs))
         n_quality = passed.count()
+        self._mark_stage("quality")
         self._quarantine(batch.join(passed, "doc_id", "left_anti"), "quality")
 
         # 1.5 decontamination gate (optional): docs sharing eval-set
@@ -699,6 +734,7 @@ class CorpusCurationPipeline:
         else:
             clean = passed
         n_decontam = clean.count() if self._eval_sh is not None else n_quality
+        self._mark_stage("decontam")
 
         # 2. exact-dup gate: against history (fingerprint sidecar), then
         # keep-min-id within the batch
@@ -713,6 +749,7 @@ class CorpusCurationPipeline:
         self._quarantine(batch_dup.drop("fp"), "exact_dup")
         fresh = self._pin(fps.join(keep_min, ["fp", "doc_id"], "left_semi"))
         n_exact = fresh.count()
+        self._mark_stage("exact_dup")
 
         # 3. near-dup gate: new batch vs the posting index + within batch
         posts = self._read_or_none(self.post_index_dir, epoch_id)
@@ -747,6 +784,7 @@ class CorpusCurationPipeline:
             fresh.drop("fp").join(drop, "doc_id", "left_semi"), "near_dup"
         )
         survivors = self._pin(fresh.join(drop, "doc_id", "left_anti"))
+        self._mark_stage("text_near_dup")
 
         # 3.5 image near-dup gate (optional): banded dHash of each
         # survivor's payload vs the accepted-history posting sidecar +
@@ -785,6 +823,7 @@ class CorpusCurationPipeline:
                 "image_near_dup",
             )
             survivors = self._pin(survivors.join(dropi, "doc_id", "left_anti"))
+            self._mark_stage("image_near_dup")
 
         # 3.6 semantic (embedding) near-dup gate (optional): LSH-bucket
         # the survivors' embeddings vs the accepted-history posting
@@ -837,6 +876,7 @@ class CorpusCurationPipeline:
                     survivors.select("doc_id"), "doc_id", "left_semi"
                 )
             )
+            self._mark_stage("embedding_near_dup")
         n_accepted = survivors.count()
 
         # 3.75 incremental cluster labels (optional): fold this epoch's
@@ -879,6 +919,7 @@ class CorpusCurationPipeline:
             updated = self._pin(updated)
             n_label_updates = updated.count()
             publish_epoch(updated, self.cc_label_dir, epoch_id)
+            self._mark_stage("cluster_labels")
 
         # 4. publish: corpus rows + both sidecars (accepted only) +
         # quarantine, each an idempotent per-epoch publish; the commit
@@ -891,6 +932,7 @@ class CorpusCurationPipeline:
             self.post_index_dir,
             epoch_id,
         )
+        self._mark_stage("publish_corpus")
         if self.image_gate:
             publish_epoch(
                 image_dhash_postings(
@@ -899,6 +941,7 @@ class CorpusCurationPipeline:
                 self.dhash_index_dir,
                 epoch_id,
             )
+            self._mark_stage("publish_image_idx")
         if self.embedding_gate:
             publish_epoch(emb_final, self.emb_vec_index_dir, epoch_id)
             publish_epoch(
@@ -913,6 +956,7 @@ class CorpusCurationPipeline:
                 self.emb_post_index_dir,
                 epoch_id,
             )
+            self._mark_stage("publish_emb_idx")
         if self.manifest_token_budget is not None:
             prev = self._read_or_none(self.manifest_dir, epoch_id)
             start = 0
@@ -927,23 +971,26 @@ class CorpusCurationPipeline:
                 self.manifest_dir,
                 epoch_id,
             )
+            self._mark_stage("manifest")
         rejects = self._pending_quarantine[0]
         for extra in self._pending_quarantine[1:]:
             rejects = rejects.unionByName(extra)
         publish_epoch(rejects, self.quarantine_dir, epoch_id)
         commit_epoch(self.spark, self.epoch_marker_dir, epoch_id)
+        self._mark_stage("quarantine")
 
-        self.stats.append(
-            {
-                "epoch": epoch_id,
-                "arrived": n_arrived,
-                "quality_pass": n_quality,
-                "after_decontam": n_decontam,
-                "after_exact": n_exact,
-                "accepted": n_accepted,
-                "label_updates": n_label_updates,
-            }
-        )
+        rec = {
+            "epoch": epoch_id,
+            "arrived": n_arrived,
+            "quality_pass": n_quality,
+            "after_decontam": n_decontam,
+            "after_exact": n_exact,
+            "accepted": n_accepted,
+            "label_updates": n_label_updates,
+        }
+        if self.instrument_io:
+            rec["stage_io"] = dict(self._stage_io)
+        self.stats.append(rec)
         # checkpointed blocks are freed when the frames are GC'd
 
     def compact_cluster_labels(self) -> int | None:

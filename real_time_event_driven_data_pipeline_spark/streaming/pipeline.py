@@ -284,3 +284,86 @@ def incremental_kpi_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_bottomk_sample(
+    events: DataFrame,
+    sample_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    k: int = 512,
+):
+    """Streaming twin of the deterministic bottom-k quantile sketch
+    (r9 verdict item 7b): each micro-batch publishes its own per-group
+    bottom-k partial; the CURRENT global sample is derived at read time
+    by re-ranking the union of partials (``resolved_bottomk_quantiles``).
+
+    Why this is exact, not approximately-stitched: bottom-k is
+    mergeable by construction — bottom-k(union) == bottom-k(union of
+    each part's bottom-k) (operators/sketches.py, pytest-pinned), so
+    the resolved sample equals the batch sketch over everything that
+    ever streamed, bit for bit.  The same composition as the md5-HLL
+    day registers: per-epoch partials are append-only and tiny
+    (<= k rows per group per epoch), raw data is scanned once ever,
+    and any later rollup reads KBs of sketch state.
+
+    Exactly-once: partials publish through the idempotent per-epoch
+    protocol (``streaming/epochs.py``) keyed by the marker dir
+    ``<sample_dir>_epochs``, so micro-batch replays never double-count
+    a row into the resolved sample.  The partial sidecar accretes one
+    file per epoch — compact with
+    ``sinks.maintenance.compact_unpartitioned`` between activations
+    (re-ranking is insensitive to file layout).
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from ..operators.sketches import bottomk_sample
+
+    marker_dir = f"{sample_dir.rstrip('/')}_epochs"
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if epoch_committed(spark, marker_dir, epoch_id):
+            return
+        publish_epoch(
+            bottomk_sample(batch_df, value_col, group_col, key_col, k),
+            sample_dir,
+            epoch_id,
+        )
+        commit_epoch(spark, marker_dir, epoch_id)
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def resolved_bottomk_quantiles(
+    spark: SparkSession,
+    sample_dir: str,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    k: int = 512,
+    percents: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame | None:
+    """Current quantile estimates from an ``incremental_bottomk_sample``
+    sidecar: re-rank the union of per-epoch partials (mergeability makes
+    this EQUAL to the batch sketch over all streamed rows) and read the
+    integer-exact target ranks.  ``None`` before any partials exist.
+    Output matches ``bottomk_sample_quantiles``:
+    (group, n_sample, p{p}_est ...)."""
+    from ..operators.sketches import bottomk_sample_quantiles
+
+    parts = read_epoch_dir(spark, sample_dir)
+    if parts is None:
+        return None
+    return bottomk_sample_quantiles(
+        parts, value_col, group_col, key_col, k, percents
+    )

@@ -184,6 +184,10 @@ def main() -> None:
         embedder=_embedder,
         cluster_labels=True,
         manifest_token_budget=5_000,
+        # per-STAGE shuffle attribution (r9 verdict item 3): the probe
+        # must NAME the owner of any per-epoch cost slope, not just
+        # detect one
+        instrument_io=True,
     )
 
     # per-epoch executor-counter deltas (the bench.py trick): shuffle
@@ -262,6 +266,31 @@ def main() -> None:
     sh_early, sh_late = sum(sh[1:4]) / 3, sum(sh[-3:]) / 3
     shuffle_flat = sh_late <= 2.0 * sh_early
     wall_flat = late_min <= 2.0 * early_min
+
+    # per-stage slope attribution (r9 verdict item 3): for every
+    # instrumented stage, early-vs-late mean shuffle-write delta; the
+    # attribution names each stage's share of the TOTAL epoch slope so
+    # a residual creep can be pinned on its owner (probed-bucket
+    # occupancy? label sidecar? manifest offset read?).  Shares are of
+    # the summed positive stage deltas (a stage can shrink).
+    stage_names = sorted({k for s in ladders if "stage_io" in s for k in s["stage_io"]})
+    stage_rows = {}
+    total_delta = 0.0
+    for name in stage_names:
+        per_epoch = [s["stage_io"].get(name, 0) for s in ladders]
+        e_mean = sum(per_epoch[1:4]) / 3
+        l_mean = sum(per_epoch[-3:]) / 3
+        stage_rows[name] = {
+            "early_mb": round(e_mean / 2**20, 3),
+            "late_mb": round(l_mean / 2**20, 3),
+            "delta_mb": round((l_mean - e_mean) / 2**20, 3),
+        }
+        total_delta += max(0.0, l_mean - e_mean)
+    for name, row in stage_rows.items():
+        grew = max(0.0, row["late_mb"] - row["early_mb"])
+        row["share_of_growth"] = round(
+            grew / (total_delta / 2**20), 3
+        ) if total_delta else 0.0
     record = {
         "ts": time.time(),
         "kind": "curation_pipeline_probe",
@@ -279,6 +308,7 @@ def main() -> None:
         "gates_ladder_exact": ladder_ok,
         "shuffle_per_epoch_flat": shuffle_flat,
         "wall_min_flat": wall_flat,
+        "stage_attribution": stage_rows,
         "pass": ladder_ok and shuffle_flat and wall_flat,
         "note": (
             "Full composition (quality + decontam + exact + text/image/"
