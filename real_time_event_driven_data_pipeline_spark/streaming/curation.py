@@ -741,9 +741,23 @@ class CorpusCurationPipeline:
         fps = clean.join(fingerprint(clean), "doc_id")  # + fp column
         seen = self._read_or_none(self.fp_index_dir, epoch_id)
         if seen is not None:
-            hist_dup = fps.join(seen.select("fp"), "fp", "left_semi")
+            # probed-keys rule (the r9/r10 attribution discipline every
+            # gate follows): the fp sidecar grows with accepted history,
+            # and joining `fps` against it directly would shuffle the
+            # whole sidecar every epoch once it outgrows the broadcast
+            # threshold.  Restrict history MAP-SIDE to the batch's
+            # broadcast fp set first — the survivors of that semi-join
+            # are <= batch-sized by construction and broadcast into
+            # both the quarantine semi-join and the keep anti-join
+            # (pinned: one history scan, two consumers).
+            seen_hit = self._pin(
+                seen.select("fp")
+                .join(F.broadcast(fps.select("fp").dropDuplicates()), "fp", "left_semi")
+                .dropDuplicates()
+            )
+            hist_dup = fps.join(F.broadcast(seen_hit), "fp", "left_semi")
             self._quarantine(hist_dup.drop("fp"), "exact_dup")
-            fps = fps.join(seen.select("fp"), "fp", "left_anti")
+            fps = fps.join(F.broadcast(seen_hit), "fp", "left_anti")
         keep_min = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         batch_dup = fps.join(keep_min, ["fp", "doc_id"], "left_anti")
         self._quarantine(batch_dup.drop("fp"), "exact_dup")
