@@ -988,3 +988,29 @@ def test_reindex_embedding_lsh_index_migrates_bucket_space(spark, tmp_path):
     # auto-size mode: 3 accepted vectors -> the recall floor
     assert pipe.reindex_embedding_lsh_index() == 3
     assert read_sidecar_meta(spark, pipe.emb_post_index_dir)["n_planes"] == 3
+
+
+def test_instrument_io_records_stage_deltas(spark, pipe):
+    """Opt-in per-stage shuffle attribution (r9 verdict item 3): with
+    instrument_io=True every epoch's stats record carries a stage_io
+    block covering the always-on stages, with non-negative byte deltas;
+    the default pipeline records none (the probe's contract)."""
+    pipe, landing = pipe
+    rng = random.Random(53)
+    pipe.instrument_io = True
+    _write([(i, _doc(rng), "src") for i in range(4)], f"{landing}/b1.csv")
+    pipe.run_available_now()
+    s = pipe.stats[-1]
+    assert "stage_io" in s
+    for stage in ("arrival", "quality", "exact_dup", "text_near_dup",
+                  "publish_corpus", "quarantine"):
+        assert stage in s["stage_io"], stage
+        assert s["stage_io"][stage] >= 0
+    # optional-gate stages absent when their gates are off
+    assert "image_near_dup" not in s["stage_io"]
+    assert "embedding_near_dup" not in s["stage_io"]
+
+    pipe.instrument_io = False
+    _write([(100, _doc(rng), "src")], f"{landing}/b2.csv")
+    pipe.run_available_now()
+    assert "stage_io" not in pipe.stats[-1]

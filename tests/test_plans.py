@@ -397,3 +397,19 @@ def test_stratified_sample_is_filter_plus_one_shuffle(spark):
     # rows move) and is excluded by _key_shuffles
     assert _key_shuffles(plan) == 1
     assert "HashAggregate" in plan and "partial_count" in plan
+
+
+def test_md5_hll_partial_max_before_shuffle(spark):
+    """md5-register HLL (r9 verdict item 5): the register table must
+    reduce map-side — partial_max collapses every partition to
+    <= |groups| x 1024 rows BEFORE any exchange, so the shuffle carries
+    register state, never event rows, and no join appears anywhere in
+    the sketch path (the scale contract the deterministic twin shares
+    with approx_count_distinct)."""
+    plan = _plan(ent.queries()["approx_daily_users"](spark, SF_DIR))
+    assert "partial_max" in plan  # map-side register reduction
+    assert "Join" not in plan
+    # day registers -> estimate: register-key exchange + estimate-key
+    # exchange (+ the final sort's range exchange) and nothing else
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 hash exchanges:\n{plan}"
