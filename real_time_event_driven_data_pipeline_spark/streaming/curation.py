@@ -482,6 +482,55 @@ class CorpusCurationPipeline:
             )
         return n_docs
 
+    def reindex_image_dhash_index(self, new_max_dist: int) -> int:
+        """Migrate the image gate's banded-Hamming sidecar to a new
+        ``max_dist`` — the dHash analogue of
+        ``reindex_embedding_lsh_index``.  The band space is REGIME
+        (not value) determined (``dedup.hamming_band_keys``: block
+        triples for d <= 3, byte bands for 4..7, nibble bands for
+        8..15), so postings are physically identical within a regime:
+        a within-regime change (say 3 -> 2) only tightens the
+        verification radius and could be acknowledged with a bare
+        ``write_sidecar_meta`` restamp — running this op for it is
+        correct, just a wasted re-hash.  A regime CROSSING (3 -> 4)
+        genuinely rebuilds the band space and requires it.  Unlike the
+        embedding index there is no separate
+        signature sidecar to replay: dHashes recompute from the corpus
+        payloads directly (``_image_media``), so the migration re-hashes
+        the whole accepted corpus once, swaps the posting dir
+        atomically, restamps the metadata, and adopts the new setting.
+        Returns the number of docs re-indexed.
+
+        Same operational contract as the embedding reindex: run ONLY
+        with the stream stopped (replace_table reader race; swapped
+        files lose their epoch-N naming, safe for committed history
+        only), and a crash between swap and restamp raises loudly at
+        the next construction — re-run to converge."""
+        if not self.image_gate:
+            raise ValueError("image_gate is not set on this pipeline")
+        from ..sinks.maintenance import replace_table
+        from .epochs import path_exists
+
+        corpus = read_epoch_dir(self.spark, self.corpus_dir)
+        n_docs = 0
+        if corpus is not None:
+            media = self._pin(self._image_media(corpus))
+            n_docs = media.count()
+            posts = self._pin(image_dhash_postings(media, max_dist=new_max_dist))
+            if path_exists(self.spark, self.dhash_index_dir):
+                replace_table(self.spark, self.dhash_index_dir, posts)
+            else:
+                # gate never published (enable-later before any epoch or
+                # backfill): this IS the backfill, under its epoch id
+                publish_epoch(posts, self.dhash_index_dir, self.BACKFILL_EPOCH)
+        self.image_max_dist = new_max_dist
+        write_sidecar_meta(
+            self.spark,
+            self.dhash_index_dir,
+            {"kind": "image_dhash", "max_dist": new_max_dist},
+        )
+        return n_docs
+
     def backfill_embedding_lsh_index(self) -> int:
         """Index pre-gate history into the embedding gate's two
         sidecars (LSH postings + vector store) — the

@@ -1014,3 +1014,68 @@ def test_instrument_io_records_stage_deltas(spark, pipe):
     _write([(100, _doc(rng), "src")], f"{landing}/b2.csv")
     pipe.run_available_now()
     assert "stage_io" not in pipe.stats[-1]
+
+
+def test_reindex_image_dhash_index_migrates_band_space(spark, tmp_path):
+    """max_dist migration for the image gate's Hamming sidecar: corpus
+    payloads are re-hashed once (band count = max_dist + 1), the
+    posting dir swaps atomically, the stamp updates — the old setting
+    now raises at construction, the new one passes — and a
+    dHash-identical dup of PRE-reindex history is still quarantined in
+    the new band space."""
+    from real_time_event_driven_data_pipeline_spark.streaming.curation import (
+        read_sidecar_meta,
+    )
+
+    rng = random.Random(61)
+    dirs = dict(
+        landing_dir=str(tmp_path / "landing"),
+        corpus_dir=str(tmp_path / "corpus"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        # text near-dup gate effectively off (the image backfill test's
+        # setting): the planted dup must be catchable ONLY by the image
+        # gate so the reason pins the migrated band space
+        near_dup_threshold=0.99,
+    )
+    (tmp_path / "landing").mkdir()
+    base = {1: _doc(rng), 2: _doc(rng)}
+
+    pipe = CorpusCurationPipeline(spark, image_gate=True, image_max_dist=3, **dirs)
+    _write([(i, t, "src") for i, t in base.items()], f"{dirs['landing_dir']}/b1.csv")
+    pipe.run_available_now()
+    assert pipe.stats[-1]["accepted"] == 2
+    posts3 = spark.read.parquet(pipe.dhash_index_dir)
+    # the d<=3 regime posts the C(6,3)=20 Manku block-triple bands
+    assert posts3.select("band").distinct().count() == 20
+
+    # 3 -> 4 crosses the banding regime (block triples -> 8 byte bands):
+    # a genuine band-space migration, not just a threshold change
+    assert pipe.reindex_image_dhash_index(new_max_dist=4) == 2
+    assert pipe.image_max_dist == 4
+    assert read_sidecar_meta(spark, pipe.dhash_index_dir)["max_dist"] == 4
+    posts4 = spark.read.parquet(pipe.dhash_index_dir)
+    assert posts4.select("band").distinct().count() == 8  # rebuilt band space
+    assert {r.media_id for r in posts4.select("media_id").distinct().collect()} == {1, 2}
+
+    with pytest.raises(ValueError, match="max_dist"):
+        CorpusCurationPipeline(spark, image_gate=True, image_max_dist=3, **dirs)
+    CorpusCurationPipeline(spark, image_gate=True, image_max_dist=4, **dirs)
+
+    # dHash-identical dup of pre-reindex doc 1 (beyond-grid char flip,
+    # the backfill test's construction): caught in the NEW (byte-band)
+    # space — d = 0 <= 4
+    t1 = base[1]
+    side = max(1, int(len(t1.encode("utf-8")) ** 0.5))
+    i = side * side
+    assert i < len(t1)
+    dup = t1[:i] + ("x" if t1[i] != "x" else "y") + t1[i + 1 :]
+    _write([(20, dup, "src"), (21, _doc(rng), "src")], f"{dirs['landing_dir']}/b2.csv")
+    pipe.run_available_now()
+    corpus = {r.doc_id for r in spark.read.parquet(pipe.corpus_dir).collect()}
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    assert corpus == {1, 2, 21}
+    assert reasons == {20: "image_near_dup"}
