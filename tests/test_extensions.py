@@ -1405,3 +1405,66 @@ def test_semantic_dedup_lsh_no_driver_collect(spark, emb, monkeypatch):
     out = similarity.lsh_dedup_candidates(emb, 64, n_tables=16, n_planes=3)
     monkeypatch.undo()
     assert out.count() > 0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]), min_size=3, max_size=3
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    cut=st.integers(min_value=0, max_value=9),
+    n_planes=st.sampled_from([0, 2]),
+)
+def test_incremental_embedding_gate_properties(spark, data, cut, n_planes):
+    """Properties of the arrival-time embedding gate on adversarial
+    inputs (the r9 probed-keys discipline, embedding instance):
+
+    - SOUNDNESS at any plane count: every emitted pair is a true
+      cosine >= threshold pair touching >= 1 new vector (the verify
+      stage decides; the index only proposes).
+    - COMPLETENESS at n_planes=0 (every vector in every table's single
+      bucket — the index degenerates to exhaustive): the gate equals
+      the exact all-pairs operator restricted to pairs touching a new
+      vector, exercising the probed-keys restriction, the candidate
+      least/greatest normalization, the ids-only broadcast pluck, and
+      the boundary-rescored verification with no recall excuse."""
+    cut = min(cut, len(data) - 1)
+    # constant last dim: no zero vectors (cosine undefined), and
+    # discrete coordinates force shared-bucket and boundary cases
+    rows = [(i, v + [1.0]) for i, v in enumerate(data)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    existing = emb.filter(F.col("vec_id") < cut)
+    new = emb.filter(F.col("vec_id") >= cut)
+    new_ids = set(range(cut, len(data)))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_similar_pairs(
+            emb, threshold=0.5, n_blocks=2
+        ).collect()
+    }
+    want = {p for p in exact if p[0] in new_ids or p[1] in new_ids}
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.incremental_embedding_near_dup_pairs(
+            similarity.embedding_lsh_postings(
+                existing, 4, n_tables=2, n_planes=n_planes
+            ),
+            existing,
+            new,
+            4,
+            threshold=0.5,
+            n_tables=2,
+            n_planes=n_planes,
+        ).collect()
+    }
+    assert got <= want  # soundness always
+    if n_planes == 0:
+        assert got == want  # completeness when the index is exhaustive
