@@ -312,10 +312,17 @@ def incremental_bottomk_sample(
     Exactly-once: partials publish through the idempotent per-epoch
     protocol (``streaming/epochs.py``) keyed by the marker dir
     ``<sample_dir>_epochs``, so micro-batch replays never double-count
-    a row into the resolved sample.  The partial sidecar accretes one
-    file per epoch — compact with
-    ``sinks.maintenance.compact_unpartitioned`` between activations
-    (re-ranking is insensitive to file layout).
+    a row into the resolved sample.  The epoch id is the idempotency
+    key and is bound to the CHECKPOINT lineage: keep one checkpoint
+    per sample_dir for the sidecar's life (a fresh checkpoint restarts
+    epoch ids at 0 and collides with committed markers — batches would
+    be silently skipped; the same single-lineage contract as the
+    curation pipeline's sidecars).  The partial sidecar accretes one
+    file AND <= k x |groups| rows per epoch — ``fold_bottomk_sample``
+    collapses the rows to the resolved <= k per group (exact by
+    mergeability, bounding the read-time re-rank at
+    O(groups x k + rows-since-fold)); plain
+    ``sinks.maintenance.compact_unpartitioned`` merges only files.
 
     Returns the started StreamingQuery (caller awaits/stops).
     """
@@ -342,6 +349,45 @@ def incremental_bottomk_sample(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_bottomk_sample(
+    spark: SparkSession,
+    sample_dir: str,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    k: int = 512,
+) -> int | None:
+    """Fold the per-epoch partial sidecar down to its RESOLVED bottom-k
+    (<= k rows per group, replacing the accumulated epoch partials).
+
+    Why: partials accrete <= k x |groups| rows EVERY epoch forever, so
+    the read-time re-rank — and the sidecar scan itself — grows
+    O(epochs).  Mergeability makes this fold EXACT: bottom-k of the
+    fold's output unioned with any future partials equals bottom-k
+    over everything that ever streamed (the same argument that makes
+    the resolved read exact), so folding periodically bounds the
+    sidecar at O(groups x k) + rows-since-last-fold with zero effect
+    on any later resolution (pytest-pinned).
+
+    Same operational contract as ``compact_cluster_labels``: run ONLY
+    with the stream stopped (``replace_table`` reader race; folded
+    rows lose their epoch-N file naming, which is safe for committed
+    history only).  Returns the resolved row count, or None when no
+    partials exist."""
+    from ..operators.sketches import bottomk_sample
+    from ..sinks.maintenance import replace_table
+
+    parts = read_epoch_dir(spark, sample_dir)
+    if parts is None:
+        return None
+    resolved = bottomk_sample(
+        parts, value_col, group_col, key_col, k
+    ).localCheckpoint()  # materialized BEFORE the swap
+    n = resolved.count()
+    replace_table(spark, sample_dir, resolved)
+    return n
 
 
 def resolved_bottomk_quantiles(

@@ -966,12 +966,18 @@ def test_reindex_embedding_lsh_index_migrates_bucket_space(spark, tmp_path):
     assert {r.doc_id for r in posts.select("doc_id").distinct().collect()} == {1, 2}
     assert posts.count() == 2 * 16  # n_tables rows per vector
 
-    # the old setting is now a loud mismatch; the new one reconstructs
+    # the old setting is now a loud mismatch; the new one reconstructs,
+    # and embedding_n_planes=None adopts the RESTAMPED count — a
+    # restart after a reindex needs no explicit setting either
     with pytest.raises(ValueError, match="sidecar index settings mismatch"):
         _emb_pipeline(spark, tmp_path, emb_df, embedding_gate=True)
     _emb_pipeline(
         spark, tmp_path, emb_df, embedding_gate=True, embedding_n_planes=6
     )
+    adopted, _ = _emb_pipeline(
+        spark, tmp_path, emb_df, embedding_gate=True, embedding_n_planes=None
+    )
+    assert adopted.embedding_n_planes == 6
 
     # gate equivalence across the migration: the planted paraphrase dup
     # of pre-reindex history is caught in the 6-plane bucket space

@@ -386,3 +386,33 @@ def test_incremental_bottomk_quantiles_match_batch(spark, tmp_path):
     assert compact_unpartitioned(spark, sample_dir, min_files_to_compact=1) >= 1
     got2 = resolved_bottomk_quantiles(spark, sample_dir, **args).collect()
     assert sorted(map(tuple, got2)) == sorted(map(tuple, want))
+
+    # fold-compaction collapses the accumulated partials to the
+    # resolved <= k per group — row count shrinks, resolution is
+    # bit-identical, and STREAMING CONTINUES exactly on top of the
+    # folded rows (mergeability: fold-then-merge == merge)
+    from real_time_event_driven_data_pipeline_spark.streaming.pipeline import (
+        fold_bottomk_sample,
+    )
+
+    raw_before = spark.read.parquet(sample_dir).count()
+    n_resolved = fold_bottomk_sample(spark, sample_dir, **args)
+    assert n_resolved == spark.read.parquet(sample_dir).count() < raw_before
+    got3 = resolved_bottomk_quantiles(spark, sample_dir, **args).collect()
+    assert sorted(map(tuple, got3)) == sorted(map(tuple, want))
+
+    # genuinely NEW rows (fresh keys -> fresh md5 ranks) landing AFTER
+    # the fold, continuing the SAME source/checkpoint lineage (the
+    # epoch-id idempotency key is bound to the checkpoint — a fresh
+    # checkpoint against an existing sidecar would collide with its
+    # committed markers, the documented single-lineage contract)
+    more = events.orderBy("event_id").limit(200).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    more.write.mode("append").parquet(src)
+    activate()
+    got4 = resolved_bottomk_quantiles(spark, sample_dir, **args).collect()
+    want4 = bottomk_sample_quantiles(
+        events.unionByName(more), "value", "event_type", key_col="event_id", k=64
+    ).collect()
+    assert sorted(map(tuple, got4)) == sorted(map(tuple, want4))
