@@ -258,7 +258,15 @@ def md5_hll_registers(
     keeps max(rho) per register.  MERGEABLE across slices (days,
     shards) by ``union -> groupBy(group, reg) -> max(rho)`` — max is
     associative, so merged registers equal direct ones exactly
-    (pytest-pinned), the same re-aggregation contract as the CMS."""
+    (pytest-pinned), the same re-aggregation contract as the CMS.
+
+    NULL keys are excluded (the ``approx_count_distinct`` convention):
+    left in, a NULL key's all-NULL register row would inflate the
+    present-register count and quietly deflate the linear-counting
+    correction — identically in any engine (NULL propagation is the
+    same everywhere), so the oracle would still match while both sides
+    were statistically wrong."""
+    df = df.filter(F.col(key_col).isNotNull())
     h = F.md5(F.col(key_col).cast("string"))
     # 3 hex chars = 12 bits; % 1024 of a non-negative 12-bit value is
     # an exact power-of-two split -> uniform over the 1024 registers

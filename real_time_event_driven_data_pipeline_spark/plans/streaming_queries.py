@@ -218,7 +218,7 @@ def _hll_regs_sql(group_expr: str, group_name: str) -> str:
     return f"""
 ev AS (
   SELECT {group_expr} AS {group_name}, md5(CAST(user_id AS VARCHAR)) AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), b AS (
   SELECT {group_name},
          CAST(('0x' || substr(h, 1, 3)) AS INTEGER) % {HLL_M} AS reg,
