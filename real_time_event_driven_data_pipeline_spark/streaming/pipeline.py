@@ -372,9 +372,12 @@ def fold_bottomk_sample(
     on any later resolution (pytest-pinned).
 
     Same operational contract as ``compact_cluster_labels``: run ONLY
-    with the stream stopped (``replace_table`` reader race; folded
-    rows lose their epoch-N file naming, which is safe for committed
-    history only).  Returns the resolved row count, or None when no
+    with the stream stopped CLEANLY — last epoch's marker committed
+    (``replace_table`` reader race; folded rows lose their epoch-N
+    file naming, which is safe for committed history only: folding a
+    crashed epoch's uncommitted rows would double-count them when the
+    epoch replays, since the replay's partial-attempt cleanup keys off
+    the file prefix).  Returns the resolved row count, or None when no
     partials exist."""
     from ..operators.sketches import bottomk_sample
     from ..sinks.maintenance import replace_table
