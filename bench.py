@@ -129,25 +129,21 @@ def main() -> None:
     # alone can't separate a plan regression from co-tenant noise, but
     # shuffle bytes are a property of the PLAN + data, not the machine.
     # The executor-summary counters (statusStore; populated with the UI
-    # off) are monotone totals over the single local executor, so a
-    # before/after diff per query is that query's shuffle volume.
-    jsc = spark.sparkContext._jsc.sc()
-    status_store = jsc.statusStore()
+    # off) are monotone totals, so a before/after diff per query is
+    # that query's shuffle volume.  Shared helper (r10): drains the
+    # async listener queue first (review r8 — late task-end events
+    # otherwise land in the NEXT query's delta) without ever aborting
+    # the run (round-8 ADVICE), and sums ALL executors so the same
+    # code is correct beyond local mode.
+    from real_time_event_driven_data_pipeline_spark.observability import (
+        drain_listener_bus,
+        executor_io_totals,
+    )
 
     def _counters() -> tuple[int, int, int]:
-        # the status store is fed by an ASYNC listener queue: without a
-        # drain, a query's late task-end events land in the NEXT
-        # query's delta and the "plan-determined" shuffle numbers stop
-        # being reproducible (review finding r8)
-        try:
-            jsc.listenerBus().waitUntilEmpty(10_000)
-        except Exception as exc:  # py4j TimeoutException and kin
-            # a queue that fails to drain in 10 s degrades ONE query's
-            # shuffle attribution; it must not abort the whole bench
-            # run mid-flight (round-8 ADVICE)
-            print(f"# warn: listener drain timed out ({exc})", file=sys.stderr)
-        e = status_store.executorList(True).apply(0)
-        return e.totalShuffleRead(), e.totalShuffleWrite(), e.totalGCTime()
+        if not drain_listener_bus(spark):
+            print("# warn: listener drain timed out", file=sys.stderr)
+        return executor_io_totals(spark, drain=False)
 
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []

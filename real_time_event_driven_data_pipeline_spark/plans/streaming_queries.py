@@ -506,9 +506,13 @@ agg AS (
                     * CAST({1 << 61} AS HUGEINT) AS DOUBLE) AS sd
   FROM agg
 ), nd AS (
+  -- same NULL-key exclusion as the register CTE: n_days counts days
+  -- with >= 1 COUNTED user, matching the Spark side's count over the
+  -- (NULL-filtered) daily register table — without the filter a day
+  -- whose every event has a NULL user_id would diverge the two sides
   SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
          CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
-  FROM events GROUP BY 1
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
 )
 SELECT est.week_start, {_HLL_EST_SQL} AS approx_users, nd.n_days
 FROM est JOIN nd ON nd.week_start = est.week_start

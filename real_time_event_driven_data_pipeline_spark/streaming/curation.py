@@ -71,17 +71,14 @@ def read_sidecar_meta(spark: SparkSession, index_dir: str) -> dict | None:
     p = jvm.org.apache.hadoop.fs.Path(f"{index_dir.rstrip('/')}.meta.json")
     if not fs.exists(p):
         return None
+    # one JVM-side copy, not a py4j round trip per byte (review r10)
     stream = fs.open(p)
+    baos = jvm.java.io.ByteArrayOutputStream()
     try:
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
     finally:
         stream.close()
-    return json.loads(buf.decode("utf-8"))
+    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
 
 
 def write_sidecar_meta(spark: SparkSession, index_dir: str, meta: dict) -> None:
@@ -345,9 +342,28 @@ class CorpusCurationPipeline:
                     from ..operators.similarity import lsh_planes_for_corpus
 
                     corpus = read_epoch_dir(spark, corpus_dir)
-                    embedding_n_planes = lsh_planes_for_corpus(
-                        corpus.count() if corpus is not None else 0
-                    )
+                    n_corpus = corpus.count() if corpus is not None else 0
+                    embedding_n_planes = lsh_planes_for_corpus(n_corpus)
+                    if n_corpus == 0:
+                        # a FRESH deployment has nothing to size from:
+                        # the recall floor gets stamped and is STICKY
+                        # (every later None-restart adopts it), so the
+                        # gate quietly runs dense as history grows
+                        # (review r10).  Warn, don't raise — the floor
+                        # is correct for small corpora and the reindex
+                        # op is the growth remedy.
+                        import warnings
+
+                        warnings.warn(
+                            "embedding_n_planes=None with an EMPTY corpus: "
+                            f"stamping the recall floor ({embedding_n_planes} "
+                            "planes) as the sidecar's fixed bucket space.  "
+                            "For a new production deployment pass an explicit "
+                            "lsh_planes_for_corpus(<target corpus size>), or "
+                            "run reindex_embedding_lsh_index() once history "
+                            "accumulates.",
+                            stacklevel=2,
+                        )
             check_or_stamp_sidecar_meta(
                 spark,
                 self.emb_post_index_dir,
@@ -377,16 +393,14 @@ class CorpusCurationPipeline:
         self.stats: list[dict] = []
 
     def _io_counters(self) -> int:
-        """Cumulative executor shuffle-write bytes (statusStore), after
-        draining the async listener queue — the bench.py counter trick;
-        a failed drain degrades one stage's attribution, never the
-        epoch."""
-        jsc = self.spark.sparkContext._jsc.sc()
-        try:
-            jsc.listenerBus().waitUntilEmpty(10_000)
-        except Exception:
-            pass
-        return jsc.statusStore().executorList(True).apply(0).totalShuffleWrite()
+        """Cumulative shuffle-write bytes summed over ALL executors,
+        listener-drained (``observability.executor_io_totals`` — the
+        shared bench/probe helper, so the attribution is correct on a
+        multi-executor cluster, not just local mode); a failed drain
+        degrades one stage's attribution, never the epoch."""
+        from ..observability import executor_io_totals
+
+        return executor_io_totals(self.spark)[1]
 
     def _mark_stage(self, name: str) -> None:
         """Record the shuffle-write delta since the previous mark as
@@ -798,15 +812,22 @@ class CorpusCurationPipeline:
             # broadcast fp set first — the survivors of that semi-join
             # are <= batch-sized by construction and broadcast into
             # both the quarantine semi-join and the keep anti-join
-            # (pinned: one history scan, two consumers).
+            # (pinned: one history scan, two consumers).  The hints are
+            # batch-size-gated (review r10): a jumbo epoch's fp set
+            # (~50 B/doc -> ~100 MB at the 2M bar) must not be forced
+            # through the driver into an oversized broadcast — above
+            # the bar the hints drop away and the optimizer plans the
+            # joins (history may shuffle that epoch; correctness
+            # unchanged).
+            bcast = (lambda d: F.broadcast(d)) if n_decontam <= 2_000_000 else (lambda d: d)
             seen_hit = self._pin(
                 seen.select("fp")
-                .join(F.broadcast(fps.select("fp").dropDuplicates()), "fp", "left_semi")
+                .join(bcast(fps.select("fp").dropDuplicates()), "fp", "left_semi")
                 .dropDuplicates()
             )
-            hist_dup = fps.join(F.broadcast(seen_hit), "fp", "left_semi")
+            hist_dup = fps.join(bcast(seen_hit), "fp", "left_semi")
             self._quarantine(hist_dup.drop("fp"), "exact_dup")
-            fps = fps.join(F.broadcast(seen_hit), "fp", "left_anti")
+            fps = fps.join(bcast(seen_hit), "fp", "left_anti")
         keep_min = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         batch_dup = fps.join(keep_min, ["fp", "doc_id"], "left_anti")
         self._quarantine(batch_dup.drop("fp"), "exact_dup")

@@ -401,16 +401,25 @@ def resolved_bottomk_quantiles(
     key_col: str,
     k: int = 512,
     percents: tuple[int, ...] = (50, 95, 99),
+    exclude_epoch: int | None = None,
 ) -> DataFrame | None:
     """Current quantile estimates from an ``incremental_bottomk_sample``
     sidecar: re-rank the union of per-epoch partials (mergeability makes
     this EQUAL to the batch sketch over all streamed rows) and read the
     integer-exact target ranks.  ``None`` before any partials exist.
     Output matches ``bottomk_sample_quantiles``:
-    (group, n_sample, p{p}_est ...)."""
+    (group, n_sample, p{p}_est ...).
+
+    Read between activations, like every reader of a live epoch dir
+    (review r10): concurrent with a stream replaying a crashed epoch,
+    that epoch's republish deletes files this lazy plan still
+    references (FILE_NOT_EXIST at action time) and its uncommitted
+    partial would ride into the "exact" resolution.  When reading
+    around a known in-flight epoch, pass it as ``exclude_epoch`` —
+    the ``resolved_cluster_labels`` convention."""
     from ..operators.sketches import bottomk_sample_quantiles
 
-    parts = read_epoch_dir(spark, sample_dir)
+    parts = read_epoch_dir(spark, sample_dir, exclude_epoch=exclude_epoch)
     if parts is None:
         return None
     return bottomk_sample_quantiles(

@@ -190,20 +190,17 @@ def main() -> None:
         instrument_io=True,
     )
 
-    # per-epoch executor-counter deltas (the bench.py trick): shuffle
-    # bytes are plan+data determined, GC time exposes memory pressure —
-    # together they adjudicate a wall-time ramp as real growth
-    # (bytes/GC ramp too) vs co-tenant noise (flat bytes, flat GC)
-    jsc = spark.sparkContext._jsc.sc()
-    status_store = jsc.statusStore()
+    # per-epoch executor-counter deltas (the shared bench.py helper):
+    # shuffle bytes are plan+data determined, GC time exposes memory
+    # pressure — together they adjudicate a wall-time ramp as real
+    # growth (bytes/GC ramp too) vs co-tenant noise (flat bytes, flat GC)
+    from real_time_event_driven_data_pipeline_spark.observability import (
+        executor_io_totals,
+    )
 
     def _counters():
-        try:
-            jsc.listenerBus().waitUntilEmpty(10_000)
-        except Exception:
-            pass
-        e = status_store.executorList(True).apply(0)
-        return e.totalShuffleWrite(), e.totalGCTime()
+        _, w, g = executor_io_totals(spark)
+        return w, g
 
     rng = random.Random(5)
     eval_texts = [r.text for r in eval_docs.collect()]
@@ -275,21 +272,21 @@ def main() -> None:
     # the summed positive stage deltas (a stage can shrink).
     stage_names = sorted({k for s in ladders if "stage_io" in s for k in s["stage_io"]})
     stage_rows = {}
-    total_delta = 0.0
+    raw_delta = {}  # raw BYTES — shares must not inherit MB rounding
     for name in stage_names:
         per_epoch = [s["stage_io"].get(name, 0) for s in ladders]
         e_mean = sum(per_epoch[1:4]) / 3
         l_mean = sum(per_epoch[-3:]) / 3
+        raw_delta[name] = l_mean - e_mean
         stage_rows[name] = {
             "early_mb": round(e_mean / 2**20, 3),
             "late_mb": round(l_mean / 2**20, 3),
             "delta_mb": round((l_mean - e_mean) / 2**20, 3),
         }
-        total_delta += max(0.0, l_mean - e_mean)
+    total_delta = sum(max(0.0, d) for d in raw_delta.values())
     for name, row in stage_rows.items():
-        grew = max(0.0, row["late_mb"] - row["early_mb"])
         row["share_of_growth"] = round(
-            grew / (total_delta / 2**20), 3
+            max(0.0, raw_delta[name]) / total_delta, 3
         ) if total_delta else 0.0
     record = {
         "ts": time.time(),
