@@ -179,7 +179,18 @@ def main() -> None:
                 # 1.7 MB after the r9 reorder; isolated re-measurement
                 # matched the old baseline byte-for-byte).  Clearing
                 # the cache before each measured query pins the
-                # attribution to the query's own plan.
+                # attribution to the query's own plan — and round 10
+                # found clearCache alone is NOT enough: the still-held
+                # slot REFERENCES leak plan-equality state through the
+                # CacheManager and flip a later query's physical plan
+                # (incremental_near_dups measured 11.1 MB with residue
+                # vs its deterministic clean-room 7.7 MB), so the slots
+                # themselves are reset too.
+                from real_time_event_driven_data_pipeline_spark.operators.dedup import (
+                    reset_scoped_caches,
+                )
+
+                reset_scoped_caches()
                 spark.catalog.clearCache()
                 r0, w0, g0 = _counters()
             pass_times[name] = _run_query(name, fn, label)

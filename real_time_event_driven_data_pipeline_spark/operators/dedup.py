@@ -52,6 +52,25 @@ def _scoped_cache(df: DataFrame, slot: str) -> DataFrame:
     return _ACTIVE_CACHES[slot]
 
 
+def reset_scoped_caches() -> None:
+    """Unpersist and forget every live scoped-cache slot — session
+    cleanup AND measurement isolation.  Round 10 found that
+    ``spark.catalog.clearCache()`` alone does not isolate per-query
+    measurement: a prior query's still-REFERENCED slot frame changes a
+    later query's physical plan through CacheManager plan-equality, so
+    an equal-subtree query's shuffle bytes were bimodal (7.7 MB clean
+    vs 11.1 MB with residue for ``incremental_near_dups``) depending
+    on what ran earlier in the session.  bench.py's measured pass
+    calls this alongside clearCache before each query, pinning every
+    recording to the deterministic clean-room plan."""
+    for _slot, df in list(_ACTIVE_CACHES.items()):
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
+    _ACTIVE_CACHES.clear()
+
+
 # --- exact dedup ---
 
 

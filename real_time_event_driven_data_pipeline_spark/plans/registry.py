@@ -108,8 +108,9 @@ def _ensure_loaded() -> None:
         "top_order_percentiles",
         "monthly_orders_vs_shipments",
         "weekly_users_from_daily_sketches",  # r10: oracle-exact md5 HLL
-        # (b) code paths changed in round 10
+        # (b) code paths changed / NEW in round 10
         "approx_daily_users",  # r10: oracle-exact md5 HLL
+        "range_users_from_daily_registers",  # NEW r10: register rollup
         "value_quantile_sketch",  # value_col tie-break both sides
         "semantic_dedup_clusters_lsh",  # allow_dense call path
         after=0,

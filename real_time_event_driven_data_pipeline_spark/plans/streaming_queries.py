@@ -493,6 +493,69 @@ def q_daily_event_type_map(spark, sf_dir):
 # two IDENTICAL (the mergeability contract, also pinned in
 # tests/test_sketches.py along with the Datasketches-HLL built-in
 # twin of this rollup).
+# The register sketch's whole point: daily register tables are
+# persisted ONCE, and ANY later date-range distinct query merges them
+# without touching raw events again.  This query certifies that claim
+# end-to-end as an oracle-exact driver entry: max-merge the FIRST TEN
+# DAYS' daily registers (range bound = a 1-row min-date scalar, the
+# idle_rich_customers broadcast shape) into one estimate.  The oracle
+# builds day-grain registers the same way and merges the same range —
+# max associativity makes a direct range-grain build identical, which
+# is exactly the re-aggregation property under test.
+RANGE_USERS_SQL = f"""
+WITH {_hll_regs_sql("CAST(ts AS DATE)", "event_date")},
+cut AS (
+  SELECT MIN(event_date) + INTERVAL 10 DAY AS cut FROM regs
+), merged AS (
+  SELECT 'first10' AS span, reg, MAX(rho) AS rho
+  FROM regs, cut WHERE regs.event_date < cut.cut
+  GROUP BY reg
+), agg AS (
+  SELECT span,
+         SUM(CAST((CAST(1 AS BIGINT) << (61 - rho)) AS HUGEINT)) AS s,
+         COUNT(*) AS nreg
+  FROM merged GROUP BY span
+), est AS (
+  SELECT span, nreg,
+         CAST(s + CAST({HLL_M} - nreg AS HUGEINT)
+                    * CAST({1 << 61} AS HUGEINT) AS DOUBLE) AS sd
+  FROM agg
+), nd AS (
+  SELECT CAST(COUNT(DISTINCT event_date) AS BIGINT) AS n_days
+  FROM regs, cut WHERE regs.event_date < cut.cut
+)
+SELECT est.span, {_HLL_EST_SQL} AS approx_users, nd.n_days
+FROM est, nd ORDER BY est.span
+"""
+
+
+@register(
+    "range_users_from_daily_registers",
+    RANGE_USERS_SQL,
+    "sketch: arbitrary date-range rollup from persisted daily md5-HLL "
+    "registers (oracle-exact re-aggregation)",
+)
+def q_range_users_from_daily_registers(spark, sf_dir):
+    from ..operators import sketches
+
+    events = _events(spark, sf_dir)
+    # the persisted artifact: daily register tables — raw events are
+    # never touched again below this line
+    daily = sketches.md5_hll_registers(
+        events.withColumn("event_date", F.to_date("ts")), "user_id", "event_date"
+    )
+    cut = daily.agg(F.date_add(F.min("event_date"), 10).alias("cut"))
+    rng = daily.join(F.broadcast(cut), daily.event_date < F.col("cut"))
+    merged = rng.groupBy(F.lit("first10").alias("span"), "reg").agg(
+        F.max("rho").alias("rho")
+    )
+    est = sketches.md5_hll_estimate(merged, "span", "approx_users")
+    n_days = rng.groupBy(F.lit("first10").alias("span")).agg(
+        F.count_distinct("event_date").alias("n_days")
+    )
+    return est.join(n_days, "span").orderBy("span")
+
+
 WEEKLY_USERS_SQL = f"""
 WITH {_hll_regs_sql("CAST(date_trunc('week', ts) AS DATE)", "week_start")},
 agg AS (
