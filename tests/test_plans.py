@@ -61,6 +61,10 @@ CROSS_OK = {
     # the 1-row (lo, hi) global-bounds aggregate broadcast-crossed back
     # into the scan — the same free 1-row shape as idle_rich_customers
     "value_histogram_quantiles",
+    # the 1-row min-date+10 cut aggregate broadcast into the daily
+    # register table (non-equi range bound) — the same free 1-row
+    # scalar broadcast shape as idle_rich_customers
+    "range_users_from_daily_registers",
 }
 
 
