@@ -182,27 +182,36 @@ def quality_classifier_scores(
     the final weights: (id, label, margin, pred) with pred = +1 iff
     margin > 0 (ties -> -1, mirrored by the oracle).
 
-    The feature frame is computed once and cached for the training
-    passes (scoped persist, released before returning the score plan —
-    scoring recomputes features map-side, keeping the returned plan
-    self-contained and cache-free).
+    The feature frame is computed ONCE (scoped cache, the dedup-family
+    slot discipline) and serves both the training passes and the
+    returned scoring plan: featurization is the query's only Python
+    stage, and the r10 plan audit found the former
+    "recompute-features-at-scoring" contract re-ran the Arrow
+    featurization of the whole corpus a second time inside the
+    returned plan (guide §1.2: don't compute things twice).  The
+    returned plan referencing the cached frame is still
+    self-contained — an evicted/unpersisted cache transparently
+    recomputes, it can never change results.
 
     ``min_parallelism`` fans the docs out before featurization: a
     single-file table otherwise computes every O(dim x tokens) feature
     vector in ONE task (semantic no-op — the engine's standard
     few-split fanout, see dedup.minhash_band_buckets)."""
+    from .dedup import _scoped_cache
+
     if min_parallelism:
         df = df.repartition(min_parallelism, id_col)
-    feat = _dense_features(df, dim, id_col, text_col)
-    cached = feat.persist()
-    try:
-        w = perceptron_fit(cached, dim, iters)
-    finally:
-        try:
-            cached.unpersist()
-        except Exception:
-            pass
-    return score_with_weights(df, w, dim, id_col, text_col)
+    feat = _scoped_cache(
+        _dense_features(df, dim, id_col, text_col), "clf_features"
+    )
+    w = perceptron_fit(feat, dim, iters)
+    margin = _margin_expr(w)
+    return feat.select(
+        F.col(id_col),
+        F.col("y").alias("label"),
+        margin.alias("margin"),
+        F.when(margin > 0, F.lit(1)).otherwise(F.lit(-1)).cast("int").alias("pred"),
+    )
 
 
 def score_with_weights(
@@ -258,12 +267,21 @@ def margin_curriculum_cut(
 
     Output: (source, id, margin, rk) with rk in 1..k_s.
     """
+    from .dedup import _scoped_cache
     from .windows import with_grouped_row_number
 
     scored = quality_classifier_scores(
         df, dim, iters, id_col, text_col, min_parallelism
     ).select(F.col(id_col), "margin")
-    base = df.select(F.col(id_col), F.col(source_col)).join(scored, id_col)
+    # pinned: (id, source, margin) feeds the quota aggregate AND all
+    # three references the hierarchical window makes to its input —
+    # uncached, column pruning de-unifies the subtrees so exchange
+    # reuse never fires and the scoring join re-executes per reference
+    # (the r10 before-plan carried 12 MapInPandas featurization copies)
+    base = _scoped_cache(
+        df.select(F.col(id_col), F.col(source_col)).join(scored, id_col),
+        "curriculum_base",
+    )
     quotas = (
         base.groupBy(source_col)
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))

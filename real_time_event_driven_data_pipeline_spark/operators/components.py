@@ -124,7 +124,17 @@ def connected_components(
     graphs run the distributed min-label loop; pass ``None`` to force
     it always (property tests do, so the loop stays exercised).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the RAW edge list before fanning it out: the
+    # symmetrizing union references it twice, so an un-checkpointed
+    # pair-generator upstream (LSH candidates + Arrow verify in the
+    # dedup-cluster family) would execute END TO END once per branch
+    # (r10 measurement: semantic_dedup_clusters_lsh spent 15 s of its
+    # 21 s cold wall re-running its own verify pipeline here).  The
+    # checkpoint is bounded by the edge count — near-dup pairs, never
+    # corpus-sized.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     e = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates()
@@ -262,7 +272,12 @@ def connected_components_star(
     (neighborhood-min agg + join); ``localCheckpoint`` truncates lineage
     per round exactly as in the propagation loop.
     """
-    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialized first: vertices references e0 twice and the edge
+    # prep once more — un-checkpointed, an expensive pair generator
+    # upstream would run three times (same rule as connected_components)
+    e0 = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     # vertices from the raw edge list: a vertex whose only edge is a
     # self-loop must still come back as its own singleton component
     vertices = (

@@ -172,11 +172,16 @@ def ngram_jaccard_pairs(
     # that otherwise goes quadratic on a 100 TB corpus.
     gdf = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
     w = Window.partitionBy(id_col).orderBy("gdf", "shingle")
-    prefix = (
+    # pinned (r10): the prefix relation is BOTH sides of the candidate
+    # self-join — uncached, the posting-df join + rarity window execute
+    # twice (column pruning de-unifies the two subtrees, so exchange
+    # reuse never fires).  Bounded by the posting count, narrow.
+    prefix = _scoped_cache(
         posts.join(gdf, "shingle")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
-        .select(F.col(id_col), "shingle", "pos", "n_sh")
+        .select(F.col(id_col), "shingle", "pos", "n_sh"),
+        "ngram_prefix",
     )
     a = prefix.select(
         F.col(id_col).alias("id_a"), "shingle", F.col("pos").alias("pos_a"), F.col("n_sh").alias("n_a")
@@ -662,13 +667,18 @@ def incremental_near_dup_pairs(
     posts = _drop_stop_shingles(posts, max_shingle_df)
     gdf = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
     w = Window.partitionBy(id_col).orderBy("gdf", "shingle")
-    prefix = (
+    # pinned (r10): both candidate sides re-derive the prefix relation
+    # (the probe side additionally semi-filters it) — cached, the
+    # posting-df join + rarity window run once (same rule as
+    # ngram_jaccard_pairs)
+    prefix = _scoped_cache(
         posts.join(gdf, "shingle")
         .withColumn("pos", F.row_number().over(w))
         .filter(
             F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
-        .select(F.col(id_col), "shingle", "pos", "n_sh")
+        .select(F.col(id_col), "shingle", "pos", "n_sh"),
+        "inc_prefix",
     )
     new_ids = new.select(id_col).dropDuplicates()
     a = prefix.select(

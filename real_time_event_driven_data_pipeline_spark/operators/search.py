@@ -52,6 +52,8 @@ def keyword_search_topk(
     highest, the standard IR stop-term argument).  ``None`` (default)
     scores every term — the oracle-parity setting.
     """
+    from .dedup import _scoped_cache
+
     terms = queries.select("term").dropDuplicates()
     toks = docs.select(
         F.col(id_col),
@@ -59,8 +61,15 @@ def keyword_search_topk(
     ).filter(F.col("term") != "")
     # map-side semi filter: only queried terms survive the explode
     postings = toks.join(F.broadcast(terms), "term", "left_semi")
-    tf = postings.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # pinned: tf feeds BOTH the per-term df aggregate and the scoring
+    # join — uncached, the corpus tokenization + posting filter run
+    # twice (r10 plan audit).  Bounded: one row per (matching doc,
+    # queried term), never O(corpus tokens).
+    tf = _scoped_cache(
+        postings.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        ),
+        "search_tf",
     )
     df_per_term = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")  # tf is one row per doc

@@ -85,14 +85,33 @@ def _grouped_hierarchical_prefix(
     bounded by range-partition size, not group size.  For many small
     groups the plain window is already distributed — use it directly.
     """
+    from .dedup import _scoped_cache
+
     parts = _num_partitions(df, num_partitions)
-    ranged = df.repartitionByRange(
-        parts, *[F.col(g) for g in group_cols], *_sort_exprs(order_by)
-    ).withColumn(_PID, F.spark_partition_id())
+    # pinned (r10): the ranged relation feeds BOTH the totals aggregate
+    # and the local-prefix window, and column pruning de-unifies the two
+    # range exchanges so exchange reuse never fires — uncached, the
+    # ENTIRE upstream plan executes once per reference (the r10 plan
+    # audit found dsir_resampled_mixture re-running its corpus-wide
+    # importance aggregation three times through here).  Every call
+    # site passes a pre-projected narrow relation (ids + order/value
+    # columns, never document text), so the cache is a narrow
+    # spill-safe materialization even at corpus scale, bought for one
+    # range shuffle instead of two plus double upstream compute.
+    ranged = _scoped_cache(
+        df.repartitionByRange(
+            parts, *[F.col(g) for g in group_cols], *_sort_exprs(order_by)
+        ).withColumn(_PID, F.spark_partition_id()),
+        "window_ranged",
+    )
     # per-(partition, group) totals: range partitioning keeps each
     # group's rows contiguous across partitions, so this relation is
-    # bounded by parts + |groups| rows; Spark reuses the range exchange
-    totals = ranged.groupBy(_PID, *group_cols).agg(total_expr.alias(_TOTAL))
+    # bounded by parts + |groups| rows; cached because the triangular
+    # offsets self-join below references it twice
+    totals = _scoped_cache(
+        ranged.groupBy(_PID, *group_cols).agg(total_expr.alias(_TOTAL)),
+        "window_totals",
+    )
     a, b = totals.alias("__wa"), totals.alias("__wb")
     cond = F.col(f"__wb.{_PID}") < F.col(f"__wa.{_PID}")
     # null-SAFE group equality (r6, ADVICE): SQL ROW_NUMBER() OVER

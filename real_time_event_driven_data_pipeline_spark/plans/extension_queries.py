@@ -1770,10 +1770,16 @@ FROM rr WHERE rerank <= 10 ORDER BY query_id, rerank
 )
 def q_search_rerank_topk(spark, sf_dir):
     from ..operators import inference, search
+    from ..operators.dedup import _scoped_cache
 
     docs = _docs(spark, sf_dir)
     queries = spark.createDataFrame(KEYWORD_QUERIES, "query_id long, term string")
-    cands = search.keyword_search_topk(docs, queries, k=20)
+    # pinned: stage-1 candidates feed BOTH the rerank join and the
+    # candidate-id semi filter — uncached, the whole lexical retrieval
+    # subtree executes twice (r10 plan audit).  Bounded: |queries| x k.
+    cands = _scoped_cache(
+        search.keyword_search_topk(docs, queries, k=20), "rerank_cands"
+    )
     cand_ids = cands.select("doc_id").dropDuplicates()
     # model-score only the candidates: broadcast-semi the bounded id
     # set into the corpus scan, then the per-partition-loaded model
