@@ -150,21 +150,44 @@ def perceptron_fit(feat: DataFrame, dim: int, iters: int) -> list[int]:
     """Run ``iters`` full-batch perceptron updates over the prepared
     feature frame; returns the final integer weight vector (len dim+1).
 
-    One hash aggregate per iteration; the driver materializes only the
-    (dim+1)-column gradient row."""
+    One job per iteration: a vectorized numpy partial-gradient pass
+    (mapInPandas) emits ONE (dim+1)-column row per partition, a tiny
+    final aggregate sums them, and the driver materializes a single
+    row.  The former formulation folded the margin as a Catalyst
+    higher-order function inside EVERY one of the dim+1 conditional
+    SUM measures — (dim+1)² interpreted lambda calls per document per
+    iteration (HOFs never enter whole-stage codegen; guide §4.2).  The
+    numpy pass is the same exact wrapping-int64 arithmetic (margins
+    stay far inside int64 per the module docstring), so the fitted
+    weights are bit-identical."""
+    import numpy as np
+
     w = [0] * (dim + 1)
+    part_schema = ", ".join(f"g{j} long" for j in range(dim + 1))
+
+    def _grad_partials(weights):
+        W = np.asarray(weights, dtype=np.int64)
+
+        def gen(batches):
+            import pandas as pd
+
+            g = np.zeros(len(W), np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["x"].to_numpy()).astype(np.int64)
+                y = pdf["y"].to_numpy().astype(np.int64)
+                miscls = y * (X @ W) <= 0
+                if miscls.any():
+                    g += (y[miscls, None] * X[miscls]).sum(axis=0)
+            yield pd.DataFrame({f"g{j}": [g[j]] for j in range(len(W))})
+
+        return gen
+
     for _ in range(iters):
-        miscls = F.col("y").cast("long") * _margin_expr(w) <= 0
-        grad_row = feat.agg(
-            *[
-                F.sum(
-                    F.when(
-                        miscls,
-                        F.col("y").cast("long") * F.element_at("x", j + 1),
-                    ).otherwise(F.lit(0).cast("long"))
-                ).alias(f"g{j}")
-                for j in range(dim + 1)
-            ]
+        partials = feat.select("y", "x").mapInPandas(_grad_partials(w), part_schema)
+        grad_row = partials.agg(
+            *[F.sum(f"g{j}").alias(f"g{j}") for j in range(dim + 1)]
         ).collect()[0]
         w = [w[j] + int(grad_row[j] or 0) for j in range(dim + 1)]
     return w

@@ -294,13 +294,27 @@ def minhash_band_buckets(
     by the now-parallel fold.  Registry/bench call sites set it to the
     session's shuffle partitions.
     """
+    src = df.repartition(min_parallelism, id_col) if min_parallelism else df
+    sh = with_shingles(src, id_col, text_col, k, hashed=True)
+    return _band_buckets_from_shingles(sh, id_col, num_hashes, rows_per_band, seed)
+
+
+def _band_buckets_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """The numpy banding fold of ``minhash_band_buckets`` over an
+    already-shingled (id, shingles array<bigint>) relation — split out
+    (r10) so ``minhash_lsh_pairs`` can derive signatures from the SAME
+    cached shingle relation its verification step reads, instead of
+    tokenizing + shingling the corpus twice per query."""
     n_bands = num_hashes // rows_per_band
     rng = np.random.default_rng(seed)
     A = (rng.integers(0, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     B = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
-
-    src = df.repartition(min_parallelism, id_col) if min_parallelism else df
-    sh = with_shingles(src, id_col, text_col, k, hashed=True)
 
     def _fold(batches):
         for pdf in batches:
@@ -350,13 +364,17 @@ def minhash_lsh_pairs(
     volume stays ~linear in the number of true near-dups.
     Output: (id_a, id_b, jaccard), verified exact, id_a < id_b.
     """
+    # ONE tokenize+shingle pass per query (r10): the shingle relation
+    # is cached and feeds BOTH the signature fold and the exact-Jaccard
+    # verification below — the former code shingled the corpus twice
+    # (once inside minhash_band_buckets, once for verification), i.e.
+    # two full text scans at 100 TB where one suffices.
+    src = df.repartition(min_parallelism, id_col) if min_parallelism else df
+    sh = _scoped_cache(with_shingles(src, id_col, text_col, k, hashed=True), "minhash_sh")
     # cache: both sides of the candidate self-join consume the signature
     # relation — without the cache the Python signature stage runs twice
     sig = _scoped_cache(
-        minhash_band_buckets(
-            df, id_col, text_col, k, num_hashes, rows_per_band,
-            min_parallelism=min_parallelism,
-        ),
+        _band_buckets_from_shingles(sh, id_col, num_hashes, rows_per_band),
         "minhash_sig",
     )
     bands = sig.select(F.col(id_col), F.posexplode("buckets").alias("band", "bucket"))
@@ -368,9 +386,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    # exact verification restricted to candidates via semi-joins; cached
-    # because both verification branches read the shingle relation
-    sh = _scoped_cache(with_shingles(df, id_col, text_col, k, hashed=True), "minhash_sh")
+    # exact verification restricted to candidates via semi-joins, over
+    # the SAME cached shingle relation the signatures derive from
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
@@ -1070,11 +1087,28 @@ def source_shingle_overlap(
         "source_overlap_ssh",
     )
     sizes = ssh.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a = ssh.select(F.col(group_col).alias("source_a"), "_sh")
-    b = ssh.select(F.col(group_col).alias("source_b"), "_sh")
+    # One posting shuffle instead of a self-join (r10, guide §2.3/§2.4):
+    # the former a-join-b on the shingle key shuffled the distinct
+    # (source, shingle) relation TWICE (both join sides) plus the pair
+    # rows into the count.  Grouping by shingle once and expanding the
+    # (sorted, ≤|sources|-long) source set into its C(s,2) ordered
+    # pairs map-side computes the identical per-pair shared-shingle
+    # count with a single posting exchange; the pair aggregate then
+    # moves only (source_a, source_b) keys.
     ov = (
-        a.join(b, "_sh")
-        .filter(F.col("source_a") < F.col("source_b"))
+        ssh.groupBy("_sh")
+        .agg(F.array_sort(F.collect_set(group_col)).alias("_srcs"))
+        .filter(F.size("_srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_srcs, (x, i) -> "
+                    "transform(slice(_srcs, i + 2, size(_srcs) - i - 1), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.source_a", "_p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
     )

@@ -877,12 +877,17 @@ def dsir_select_by_budget(
     from . import windows
 
     imp = dsir_importance(df, target_col, n_buckets, scale, id_col, text_col)
-    toks = df.select(
-        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
-    )
-    scored = imp.join(toks, id_col).withColumn(
-        "_neg_imp", -F.col("avg_importance")
-    )
+    # n_tokens derives EXACTLY from the importance pass's own feature
+    # count (r10): features are unigrams + bigrams with multiplicity,
+    # so n_feats = 2n - 1 for n >= 2 and n otherwise, and the
+    # whitespace tokenizer always yields >= 1 token (split of an empty
+    # trim is [""]), giving n = (n_feats + 1) div 2 for every document.
+    # The former plan re-tokenized the whole corpus into a second
+    # relation and shuffled it through a doc-key join — a full extra
+    # text scan at 100 TB buying a number the first scan already knew.
+    scored = imp.withColumn(
+        "n_tokens", F.expr("(n_feats + 1) div 2").cast("long")
+    ).withColumn("_neg_imp", -F.col("avg_importance"))
     ranked = windows.with_global_running_sum(
         scored, ["_neg_imp", id_col], "n_tokens", "cum_tokens"
     )

@@ -1048,8 +1048,23 @@ def q_min_cost_suppliers(spark, sf_dir):
     lineitem, part, supplier, nation, region = _t(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
     )
+    sel_parts = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
     costs = (
-        lineitem.groupBy("l_partkey", "l_suppkey")
+        # Semi-join pre-filter (guide §3.2): every output row joins the
+        # highly selective part filter ON THE AGGREGATION KEY, and both
+        # the per-(part,supp) min and the per-part min group BY partkey,
+        # so filtering lineitem to selected parts BEFORE the aggregate
+        # commutes exactly — the former plan shuffled the per-(part,
+        # supp) mins of EVERY part (13.8 MB at sf0.1) only to drop
+        # ~1/2000 of them against the broadcast filter afterwards.
+        lineitem.join(
+            F.broadcast(sel_parts.select("p_partkey")),
+            lineitem.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(cents("l_extendedprice")).alias("cost_c"))
         .cache()  # feeds the per-part min AND the equal-to-min join back
     )
@@ -1070,9 +1085,6 @@ def q_min_cost_suppliers(spark, sf_dir):
         )
         .select("s_suppkey", "s_name", "n_name")
     )
-    sel_parts = part.filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
-    ).select("p_partkey", "p_name")
     return (
         costs.join(
             best,
