@@ -56,10 +56,19 @@ _STOPS = frozenset(
 
 
 def _dense_features(
-    df: DataFrame, dim: int, id_col: str, text_col: str
+    df: DataFrame,
+    dim: int,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, y, x array<long> len dim+1): signed hashed token counts,
-    x[dim] = 1 (bias).  y = +1 iff the doc passes the rule gate.
+    """(id, [extra_cols...,] y, x array<long> len dim+1): signed hashed
+    token counts, x[dim] = 1 (bias).  y = +1 iff the doc passes the
+    rule gate.  ``extra_cols`` are passed through the Arrow stage
+    untouched (r10): a consumer that needs per-doc attributes alongside
+    the features (the curriculum cut needs ``source``) would otherwise
+    join the corpus back to itself on the id key — two corpus-wide
+    shuffles at scale for columns the featurization scan already held.
 
     Arrow-batched `mapInPandas` with a per-partition token -> (bucket,
     sign) memo: md5 is computed once per DISTINCT token per partition
@@ -83,7 +92,10 @@ def _dense_features(
     and Java ``\\s`` (both testdata and reference data are ASCII)."""
     import re
 
-    schema = f"{id_col} long, y int, x array<long>"
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in extra_cols
+    )
+    schema = f"{id_col} long{extra_schema}, y int, x array<long>"
     stops = _STOPS
 
     def gen(batches):
@@ -129,11 +141,14 @@ def _dense_features(
                 )
                 out_y.append(y)
                 out_x.append(x)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "y": out_y, "x": out_x}
-            )
+            out = {id_col: pdf[id_col].values}
+            for c in extra_cols:
+                out[c] = pdf[c].values
+            out["y"] = out_y
+            out["x"] = out_x
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return df.select(id_col, *extra_cols, text_col).mapInPandas(gen, schema)
 
 
 def _margin_expr(weights: list[int]) -> Column:
@@ -200,10 +215,14 @@ def quality_classifier_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_parallelism: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Train the weak-label perceptron, then score every document under
-    the final weights: (id, label, margin, pred) with pred = +1 iff
-    margin > 0 (ties -> -1, mirrored by the oracle).
+    the final weights: (id, [extra_cols...,] label, margin, pred) with
+    pred = +1 iff margin > 0 (ties -> -1, mirrored by the oracle).
+    ``extra_cols`` ride the featurization untouched (see
+    ``_dense_features``) so consumers needing per-doc attributes next
+    to the scores skip the corpus self-join.
 
     The feature frame is computed ONCE (scoped cache, the dedup-family
     slot discipline) and serves both the training passes and the
@@ -225,12 +244,13 @@ def quality_classifier_scores(
     if min_parallelism:
         df = df.repartition(min_parallelism, id_col)
     feat = _scoped_cache(
-        _dense_features(df, dim, id_col, text_col), "clf_features"
+        _dense_features(df, dim, id_col, text_col, extra_cols), "clf_features"
     )
     w = perceptron_fit(feat, dim, iters)
     margin = _margin_expr(w)
     return feat.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.col("y").alias("label"),
         margin.alias("margin"),
         F.when(margin > 0, F.lit(1)).otherwise(F.lit(-1)).cast("int").alias("pred"),
@@ -290,21 +310,20 @@ def margin_curriculum_cut(
 
     Output: (source, id, margin, rk) with rk in 1..k_s.
     """
-    from .dedup import _scoped_cache
     from .windows import with_grouped_row_number
 
-    scored = quality_classifier_scores(
-        df, dim, iters, id_col, text_col, min_parallelism
-    ).select(F.col(id_col), "margin")
-    # pinned: (id, source, margin) feeds the quota aggregate AND all
-    # three references the hierarchical window makes to its input —
-    # uncached, column pruning de-unifies the subtrees so exchange
-    # reuse never fires and the scoring join re-executes per reference
-    # (the r10 before-plan carried 12 MapInPandas featurization copies)
-    base = _scoped_cache(
-        df.select(F.col(id_col), F.col(source_col)).join(scored, id_col),
-        "curriculum_base",
-    )
+    # ``source`` rides the featurization (extra_cols) instead of being
+    # joined back on the id key (r10): the former plan shuffled the
+    # corpus twice through a self-join to re-attach a column the
+    # featurization scan already held.  ``base`` is a cheap margin
+    # projection over the scoped-cached feature frame, so its two
+    # consumers (the quota aggregate and the hierarchical window's
+    # ranged input) re-derive it from the cache without re-running any
+    # Python stage — no extra materialization needed.
+    base = quality_classifier_scores(
+        df, dim, iters, id_col, text_col, min_parallelism,
+        extra_cols=(source_col,),
+    ).select(F.col(id_col), F.col(source_col), "margin")
     quotas = (
         base.groupBy(source_col)
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))

@@ -111,8 +111,8 @@ def connected_components(
     ``component`` is the minimum vertex id reachable from ``id`` —  a
     deterministic, engine-independent canonical representative.
 
-    Edge lists at or below ``small_graph_threshold`` rows (after
-    symmetrization/dedup) take the collected union-find fast path —
+    Edge lists at or below ``small_graph_threshold`` RAW rows (before
+    symmetrization) take the collected union-find fast path —
     identical output, none of the per-round shuffle/job overhead that
     dominates small graphs.  The default 200k rows is sized for the
     DRIVER-OBJECT cost, not the serialized bytes: collected Rows plus
@@ -132,11 +132,23 @@ def connected_components(
     # 21 s cold wall re-running its own verify pipeline here).  The
     # checkpoint is bounded by the edge count — near-dup pairs, never
     # corpus-sized.
-    e = edges.select(
+    e_raw = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint()
+    # The small-graph gate runs on the RAW edge count (r10): union-find
+    # neither needs the symmetrized directions (it unions each edge
+    # undirected, either orientation) nor the dedup (repeat unions are
+    # no-ops), so small graphs — every registered *_dup_clusters query —
+    # skip the symmetrize shuffle and its second checkpoint entirely.
+    # The gate stays a pure driver-budget bound: raw rows ≤ symmetrized
+    # rows, so the collect below never grows past the former bound.
+    n_raw = e_raw.count()  # free: e_raw is materialized by the checkpoint
+    if small_graph_threshold is not None and n_raw <= small_graph_threshold:
+        return _components_local(e_raw)
     e = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e_raw.unionByName(
+            e_raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .dropDuplicates()
         .localCheckpoint()
     )
@@ -144,8 +156,6 @@ def connected_components(
     # duplicate graph is orders of magnitude smaller than its corpus, and
     # per-round task overhead dominates when partitions outnumber rows.
     n_edges = e.count()  # free: e is materialized by the checkpoint
-    if small_graph_threshold is not None and n_edges <= small_graph_threshold:
-        return _components_local(e)
     nparts = max(1, min(200, n_edges // 1_000_000 + 1))
     e = e.repartition(nparts, "dst")
     labels = (

@@ -1087,28 +1087,19 @@ def source_shingle_overlap(
         "source_overlap_ssh",
     )
     sizes = ssh.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    # One posting shuffle instead of a self-join (r10, guide §2.3/§2.4):
-    # the former a-join-b on the shingle key shuffled the distinct
-    # (source, shingle) relation TWICE (both join sides) plus the pair
-    # rows into the count.  Grouping by shingle once and expanding the
-    # (sorted, ≤|sources|-long) source set into its C(s,2) ordered
-    # pairs map-side computes the identical per-pair shared-shingle
-    # count with a single posting exchange; the pair aggregate then
-    # moves only (source_a, source_b) keys.
+    # r10 NEGATIVE RESULT, kept as the self-join on purpose: rewriting
+    # this as ONE groupBy(shingle) + collect_set(source) + map-side
+    # C(s,2) pair expansion (one posting exchange instead of two join
+    # sides) MEASURED WORSE — shuffle write 6.6 MB -> 11.7 MB at sf0.1
+    # (collect_set partials ride an ObjectHashAggregate whose
+    # serialized set rows outweigh the raw (source, shingle) row, and
+    # the object agg never enters whole-stage codegen), wall +0.2 s.
+    # Two exchanges of narrow rows beat one exchange of fat rows.
+    a = ssh.select(F.col(group_col).alias("source_a"), "_sh")
+    b = ssh.select(F.col(group_col).alias("source_b"), "_sh")
     ov = (
-        ssh.groupBy("_sh")
-        .agg(F.array_sort(F.collect_set(group_col)).alias("_srcs"))
-        .filter(F.size("_srcs") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(_srcs, (x, i) -> "
-                    "transform(slice(_srcs, i + 2, size(_srcs) - i - 1), "
-                    "y -> struct(x AS source_a, y AS source_b))))"
-                )
-            ).alias("_p")
-        )
-        .select("_p.source_a", "_p.source_b")
+        a.join(b, "_sh")
+        .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
     )
