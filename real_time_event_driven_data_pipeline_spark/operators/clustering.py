@@ -62,12 +62,22 @@ def _assign_expr(qcol_name: str, centroids: list[list[int]]) -> Column:
     cent_sql = "array(" + ",".join(
         "array(" + ",".join(f"{int(v)}L" for v in cent) + ")" for cent in centroids
     ) + ")"
+    # |x - c|^2 = |x|^2 - 2<x,c> + |c|^2 and |x|^2 is constant across
+    # centroids, so argmin_c |x-c|^2 == argmin_c (|c|^2 - 2<x,c>) with
+    # IDENTICAL ties (the score is the distance shifted by a per-row
+    # constant) — the fold's lambda body shrinks from (x-y)*(x-y) to
+    # x*y with |c|^2 folded in as a per-centroid literal (r10; HOFs are
+    # interpreted per element, so smaller lambda bodies are the lever).
+    # Integer bounds: |<x,c>| <= dim * (2e6)^2 ~ 2.6e14 << 2^63.
+    norms_sql = "array(" + ",".join(
+        f"{sum(int(v) * int(v) for v in cent)}L" for cent in centroids
+    ) + ")"
     return F.expr(
         f"""array_min(zip_with(
-              transform({cent_sql},
-                        c -> aggregate(zip_with({qcol_name}, c,
-                                                (x, y) -> (x - y) * (x - y)),
-                                       0L, (acc, v) -> acc + v)),
+              zip_with({cent_sql}, {norms_sql},
+                       (c, n2) -> n2 - 2L * aggregate(zip_with({qcol_name}, c,
+                                                               (x, y) -> x * y),
+                                                      0L, (acc, v) -> acc + v)),
               sequence(0, {k - 1}),
               (d, i) -> struct(d AS d, CAST(i AS INT) AS c))).c"""
     ).alias("cluster")
