@@ -167,31 +167,32 @@ def main() -> None:
     def _run_pass(label: str, measure_shuffle: bool) -> dict[str, float]:
         pass_times: dict[str, float] = {}
         for name, fn in queries_map().items():
-            if measure_shuffle:
-                # isolation semantics for the measured pass: scoped-cache
-                # slots outlive their query (lifetime = until slot
-                # reuse), so a later query whose plan contains an
-                # EQUAL subtree gets a CacheManager hit and silently
-                # skips that subtree's shuffle — per-query bytes then
-                # depend on registry ORDER, and a certification-prefix
-                # rotation manufactures phantom shuffle deltas (round 9
-                # observed 4 queries each "improving" by the same
-                # 1.7 MB after the r9 reorder; isolated re-measurement
-                # matched the old baseline byte-for-byte).  Clearing
-                # the cache before each measured query pins the
-                # attribution to the query's own plan — and round 10
-                # found clearCache alone is NOT enough: the still-held
-                # slot REFERENCES leak plan-equality state through the
-                # CacheManager and flip a later query's physical plan
-                # (incremental_near_dups measured 11.1 MB with residue
-                # vs its deterministic clean-room 7.7 MB), so the slots
-                # themselves are reset too.
-                from real_time_event_driven_data_pipeline_spark.operators.dedup import (
-                    reset_scoped_caches,
-                )
+            # isolation semantics for EVERY pass (r10 verdict item 6 —
+            # formerly only the measured pass 1): scoped-cache slots
+            # outlive their query (lifetime = until slot reuse), so a
+            # later query whose plan contains an EQUAL subtree gets a
+            # CacheManager hit and silently skips that subtree's
+            # shuffle/compute — per-query bytes AND per-query min
+            # timings then depend on registry ORDER, and a
+            # certification-prefix rotation manufactures phantom deltas
+            # (round 9 observed 4 queries each "improving" by the same
+            # 1.7 MB after the r9 reorder; isolated re-measurement
+            # matched the old baseline byte-for-byte).  Clearing the
+            # cache before each query pins timing and attribution to
+            # the query's own plan — and round 10 found clearCache
+            # alone is NOT enough: the still-held slot REFERENCES leak
+            # plan-equality state through the CacheManager and flip a
+            # later query's physical plan (incremental_near_dups
+            # measured 11.1 MB with residue vs its deterministic
+            # clean-room 7.7 MB), so the slots themselves are reset
+            # too.  Additions-only: pass 1 keeps its counter drains.
+            from real_time_event_driven_data_pipeline_spark.operators.dedup import (
+                reset_scoped_caches,
+            )
 
-                reset_scoped_caches()
-                spark.catalog.clearCache()
+            reset_scoped_caches()
+            spark.catalog.clearCache()
+            if measure_shuffle:
                 r0, w0, g0 = _counters()
             pass_times[name] = _run_query(name, fn, label)
             if measure_shuffle:
@@ -279,7 +280,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     detail_path = REPO / "BENCH_DETAIL.json"
-    detail_path.write_text(
+    detail_doc = (
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
@@ -300,6 +301,15 @@ def main() -> None:
         )
         + "\n"
     )
+    detail_path.write_text(detail_doc)
+    # per-run detail copy (r10 verdict item 5/8): successive runs at
+    # different core counts were overwriting each other's only detail
+    # record (the driver's 8-core pass clobbered the committed 32-core
+    # one).  BENCH_DETAIL.json stays the canonical latest-run file (the
+    # noise baseline above reads its committed history), and a
+    # cpu-suffixed sibling preserves each configuration's record.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip() or "default"
+    (REPO / f"BENCH_DETAIL_{cpus}c.json").write_text(detail_doc)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(

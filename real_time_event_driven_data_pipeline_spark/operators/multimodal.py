@@ -812,3 +812,95 @@ def video_near_dups_from_sig(
     ``video_near_dups`` tail for fused-pass callers.  Callers pin
     ``sig``."""
     return _video_grain_pairs(sig, max_dist, max_bucket_df)
+
+
+def multi_arm_hamming_pairs(
+    arms: dict[str, DataFrame],
+    max_dist: int = 3,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """Banded Hamming near-dup pairs for SEVERAL signature arms through
+    ONE shared posting exchange (r11, r10 verdict item 3).
+
+    ``arms`` maps a modality tag to its (media_id, h) packed-signature
+    relation — media-grain rows (image dHash, audio fingerprint) or
+    frame-grain rows (one row per sampled video frame).  Running
+    ``_banded_hamming_pairs`` / ``_video_grain_pairs`` per arm
+    exchanges each arm's posting relation separately (self-join sides +
+    a dedup/agg shuffle per arm — 3 arms cost ~9 exchanges and as many
+    scheduled jobs, which dominates wall time when per-query overhead
+    outweighs data volume).  Here the arms' postings are unioned under
+    a ``modality`` tag and ALL arms share one candidate self-join keyed
+    (modality, band, val) plus one pair aggregate.
+
+    Exactly the per-arm pair sets, by construction: the modality key
+    confines candidates within an arm; per (modality, pair) the MIN
+    over candidate-row distances equals the arm's verdict — media-grain
+    arms carry one h per id (every candidate row has THE pair's
+    distance, so min = it = the dedup+filter path), and frame-grain
+    arms define their distance AS the min over frame pairs, whose
+    banding is lossless (any frame pair within ``max_dist`` shares a
+    probe key, so the minimizing frame pair is always a candidate —
+    the ``video_near_dups`` argument verbatim).  ``max_bucket_df``
+    caps buckets per (modality, band, val) — identical semantics to
+    the per-arm cap.
+
+    Output: (modality, media_id_a, media_id_b, min_hamming), a < b,
+    min_hamming <= max_dist.  Callers pin the signature relations.
+    """
+    from .dedup import _cap_posting_buckets, hamming_band_keys
+
+    tags = {mod: i for i, mod in enumerate(arms)}
+    posting = None
+    for mod, sig in arms.items():
+        # join on a tinyint arm tag, not the modality string — the tag
+        # rides the candidate exchange/broadcast key, so a string there
+        # is pure key bytes; the name is re-attached after the agg
+        p = sig.select(
+            F.lit(tags[mod]).cast("tinyint").alias("_arm"),
+            "media_id",
+            "h",
+            F.posexplode(hamming_band_keys(F.col("h"), max_dist)).alias(
+                "band", "val"
+            ),
+        )
+        posting = p if posting is None else posting.unionByName(p)
+    posting = _cap_posting_buckets(posting, max_bucket_df, ("_arm", "band", "val"))
+    left = posting.select(
+        "_arm",
+        F.col("media_id").alias("media_id_a"),
+        F.col("h").alias("_ha"),
+        "band",
+        "val",
+    )
+    right = posting.select(
+        "_arm",
+        F.col("media_id").alias("media_id_b"),
+        F.col("h").alias("_hb"),
+        "band",
+        "val",
+    )
+    name_expr = F.element_at(
+        F.array(*[F.lit(m) for m in arms]), F.col("_arm").cast("int") + 1
+    )
+    return (
+        left.join(right, ["_arm", "band", "val"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select(
+            "_arm",
+            "media_id_a",
+            "media_id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("long")
+            .alias("_d"),
+        )
+        .groupBy("_arm", "media_id_a", "media_id_b")
+        .agg(F.min("_d").alias("min_hamming"))
+        .filter(F.col("min_hamming") <= max_dist)
+        .select(
+            name_expr.alias("modality"),
+            "media_id_a",
+            "media_id_b",
+            "min_hamming",
+        )
+    )

@@ -538,6 +538,76 @@ def _cosine_verify_udf(threshold: float):
     return passes
 
 
+def _gram_block_pairs(
+    ids: np.ndarray,
+    V: np.ndarray,
+    thr: float,
+    blk: int = 2048,
+    keep_rows: np.ndarray | None = None,
+) -> tuple[list, list]:
+    """All (ids[i], ids[j]) with i < j and cosine(V[i], V[j]) >= thr,
+    computed in blk x blk BLAS gram slabs — the per-bucket verifier of
+    ``semantic_dedup_clusters_lsh``, module-level so the slab-boundary
+    arithmetic is testable directly.  ``ids`` must be sorted ascending.
+
+    BOTH gram dimensions are chunked (r11, ADVICE r10): a blk x n slab
+    grows linearly with bucket size, so one pathological near-constant-
+    embedding bucket would OOM its task; blk x blk bounds the slab at
+    32 MB of doubles regardless of bucket size.  (V itself remains
+    O(bucket_size x dim) — inherent to grouping the bucket into one
+    task; see the Scale-shape docstring of the caller.)  Decisions are
+    bit-identical to the per-pair verifier: any cosine within 1e-9 of
+    ``thr`` is re-scored with the exact in-order fold.  Rows whose ids
+    are EQUAL (an upstream contract violation) are skipped, matching
+    the strict id_a < id_b filter of the per-pair verifier this
+    replaced.
+
+    ``keep_rows`` (optional bool mask aligned with ``ids``): emit only
+    pairs where AT LEAST ONE endpoint is marked — the arrival-time
+    gate's "involves a new record" restriction, applied inside the slab
+    so (history, history) pairs never materialize."""
+    import math
+
+    n = len(ids)
+    norms = (V * V).sum(axis=1)
+    out_a: list = []
+    out_b: list = []
+    for s in range(0, n, blk):
+        rows_blk = V[s : s + blk]
+        for t in range(s, n, blk):
+            cos = (rows_blk @ V[t : t + blk].T) / np.sqrt(
+                norms[s : s + blk][:, None] * norms[t : t + blk][None, :]
+            )
+            for bi in range(rows_blk.shape[0]):
+                i = s + bi
+                # only columns with global index > i form (a < b) pairs
+                lo = max(i + 1 - t, 0)
+                row = cos[bi, lo:]
+                if not row.size:
+                    continue
+                base = t + lo  # global index of row[0]
+                hits = np.nonzero(row >= thr)[0]
+                border = np.nonzero(np.abs(row - thr) < 1e-9)[0]
+                if border.size:
+                    keep = set(hits.tolist()) - set(border.tolist())
+                    for j in border:
+                        a, b = V[i], V[base + j]
+                        c = _inorder_dot(a, b) / math.sqrt(
+                            _inorder_dot(a, a) * _inorder_dot(b, b)
+                        )
+                        if c >= thr:
+                            keep.add(int(j))
+                    hits = np.fromiter(sorted(keep), dtype=np.int64)
+                if hits.size:
+                    hits = hits[ids[base + hits] != ids[i]]
+                if hits.size and keep_rows is not None and not keep_rows[i]:
+                    hits = hits[keep_rows[base + hits]]
+                if hits.size:
+                    out_a.extend([ids[i]] * hits.size)
+                    out_b.extend(ids[base + hits])
+    return out_a, out_b
+
+
 def semantic_dedup_clusters_lsh(
     emb: DataFrame,
     dim: int,
@@ -566,8 +636,14 @@ def semantic_dedup_clusters_lsh(
     1.0 for this corpus vs the exact operator in PROGRESS.jsonl.
 
     Scale shape:
-    - postings carry (id, bucket) ONLY — vectors do NOT ride the
-      posting shuffle; verification re-joins the corpus by id twice.
+    - verification is bucket-grouped: vectors ride the posting rows
+      (``n_tables`` copies per vector) through ONE groupBy(bucket)
+      shuffle — O(postings x dim) bytes, occupancy/2 x less than
+      attaching both vectors to every candidate pair — and each bucket
+      verifies its internal pairs in blk x blk BLAS gram slabs.  A
+      bucket's vectors are materialized in one task (applyInPandas), so
+      per-task memory is O(bucket_size x dim) + one bounded slab;
+      pathological buckets belong under ``max_bucket_size``.
     - ``max_bucket_size`` (default None for oracle parity) anti-drops
       pathological buckets exactly like the Hamming banding family
       (``dedup._cap_posting_buckets``) — near-constant embeddings all
@@ -642,42 +718,13 @@ def semantic_dedup_clusters_lsh(
     thr = float(threshold)
 
     def _bucket_gram(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
-
         ids = pdf["_id"].to_numpy()
         order = np.argsort(ids, kind="stable")  # emit id_a < id_b directly
         ids = ids[order]
-        n = len(ids)
-        if n < 2:
+        if len(ids) < 2:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
         V = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
-        norms = (V * V).sum(axis=1)
-        out_a: list = []
-        out_b: list = []
-        blk = 2048  # bound the gram slab at blk x n regardless of bucket size
-        for s in range(0, n, blk):
-            block = V[s : s + blk]
-            cos = (block @ V.T) / np.sqrt(
-                norms[s : s + blk][:, None] * norms[None, :]
-            )
-            for bi in range(block.shape[0]):
-                i = s + bi
-                row = cos[bi, i + 1 :]
-                hits = np.nonzero(row >= thr)[0]
-                border = np.nonzero(np.abs(row - thr) < 1e-9)[0]
-                if border.size:
-                    keep = set(hits.tolist()) - set(border.tolist())
-                    for j in border:
-                        a, b = V[i], V[i + 1 + j]
-                        c = _inorder_dot(a, b) / math.sqrt(
-                            _inorder_dot(a, a) * _inorder_dot(b, b)
-                        )
-                        if c >= thr:
-                            keep.add(int(j))
-                    hits = np.fromiter(sorted(keep), dtype=np.int64)
-                if hits.size:
-                    out_a.extend([ids[i]] * hits.size)
-                    out_b.extend(ids[i + 1 + hits])
+        out_a, out_b = _gram_block_pairs(ids, V, thr)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     pairs = (
@@ -814,15 +861,17 @@ def incremental_embedding_near_dup_pairs(
       membership, dropping them from both sides (a burst of
       near-constant embeddings all hash alike); the streaming pipeline
       ships with the cap ON, like the image gate.
-    - verification never shuffles history: the candidate-ID set
-      (bounded by batch x occupancy, capped) broadcasts into one
+    - verification never shuffles history: the probed buckets' posting
+      IDS (bounded by batch x occupancy, capped) broadcast into one
       map-side semi-join that plucks exactly the needed vectors from
-      the sidecar scan; the two verify joins then run over
-      candidate-bounded relations only.  (Broadcasting the
-      vector-carrying join result instead — the first draft — is a
-      ~0.5 KB/candidate broadcast, gigabytes at realistic occupancy.)
-      Decisions use the shared exact-at-the-boundary cosine verifier
-      (``_cosine_verify_udf``).
+      the sidecar scan; verification is then bucket-grouped (r11) —
+      vectors ride the candidate-bounded posting rows, each bucket
+      verifies its internal >=1-new pairs in bounded BLAS gram slabs
+      (``_gram_block_pairs``), so the Python boundary carries
+      O(probed postings x dim) bytes instead of O(candidate pairs x
+      dim).  Decisions stay exact-at-the-boundary (in-order re-score
+      within 1e-9 of threshold), bit-identical to the per-pair
+      ``_cosine_verify_udf`` it replaced.
 
     Output: (id_a, id_b), id_a < id_b, exact-cosine verified.  Ids must
     be unique across both inputs.
@@ -842,8 +891,8 @@ def incremental_embedding_near_dup_pairs(
         n_planes=n_planes,
     )
     post_all = existing_posting.select(
-        F.col(id_col).alias("_id"), "bucket"
-    ).unionByName(post_new)
+        F.col(id_col).alias("_id"), "bucket", F.lit(False).alias("_is_new")
+    ).unionByName(post_new.select("_id", "bucket", F.lit(True).alias("_is_new")))
     # only buckets PROBED by the new batch can produce pairs — both the
     # candidate join's build side and the cap's occupancy count restrict
     # to them first (broadcast of the batch's distinct bucket keys)
@@ -857,20 +906,22 @@ def incremental_embedding_near_dup_pairs(
             .select("bucket")
         )
         probed = probed.join(F.broadcast(overflow), "bucket", "left_anti")
-        post_new = post_new.join(F.broadcast(overflow), "bucket", "left_anti")
-    # pinned: candidates feed the ID-set broadcast AND both verify
-    # joins — uncached, the posting join would run three times
-    cand = _scoped_cache(
-        probed.select(F.col("_id").alias("_ida"), "bucket")
-        .join(post_new.select(F.col("_id").alias("_idb"), "bucket"), "bucket")
-        .filter(F.col("_ida") != F.col("_idb"))
-        .select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
-        )
-        .dropDuplicates(),
-        "inc_emb_cand",
-    )
+    # Bucket-grouped verification (r11, r10 verdict item 4 — the batch
+    # operator's gram rewrite ported to the gate): the former shape
+    # materialized every candidate PAIR and attached both vectors to
+    # each pair (O(candidate pairs x dim) Arrow-boundary bytes).  Now
+    # vectors attach to the PROBED-bucket POSTING rows (O(probed
+    # postings x dim) — occupancy/2 x less whenever bucket occupancy
+    # exceeds 2) and each bucket verifies all its internal pairs
+    # carrying >= 1 NEW endpoint in bounded blk x blk BLAS gram slabs;
+    # (history, history) pairs never materialize.  Decisions are
+    # bit-identical to ``_cosine_verify_udf``: any cosine within 1e-9
+    # of the threshold is re-scored with the exact in-order fold (see
+    # ``_gram_block_pairs``).  History is still never shuffled by
+    # corpus size: the ids-only broadcast (~8 B/posting row, bounded by
+    # batch x occupancy after the cap) plucks the probed buckets'
+    # vectors in one map-side pass over the sidecar scan, and every
+    # relation below is candidate-bounded.
     vecs = new_vecs
     if existing_vecs is not None:
         vecs = vecs.unionByName(
@@ -878,29 +929,27 @@ def incremental_embedding_near_dup_pairs(
                 F.col(id_col).alias("_id"), as_double(vec_col).alias("v")
             )
         )
-    cand_ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .unionByName(cand.select(F.col("id_b").alias("_id")))
-        .dropDuplicates()
-    )
-    # one map-side pass over the vector sidecar plucks the candidates'
-    # vectors (ids-only broadcast, ~8 B/candidate); pinned because it
-    # feeds both verify join sides
-    needed = _scoped_cache(
-        vecs.join(F.broadcast(cand_ids), "_id", "left_semi"), "inc_emb_needed"
-    )
-    passes = _cosine_verify_udf(threshold)
+    needed_ids = probed.select("_id").dropDuplicates()
+    needed = vecs.join(F.broadcast(needed_ids), "_id", "left_semi")
+    pv = probed.join(needed, "_id")
+    thr = float(threshold)
+    id_dt = new_emb.schema[id_col].dataType.simpleString()
+
+    def _bucket_gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")  # emit id_a < id_b directly
+        ids = ids[order]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        V = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
+        is_new = pdf["_is_new"].to_numpy()[order]
+        out_a, out_b = _gram_block_pairs(ids, V, thr, keep_rows=is_new)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
     return (
-        cand.join(
-            needed.select(F.col("_id").alias("id_a"), F.col("v").alias("va")),
-            "id_a",
-        )
-        .join(
-            needed.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")),
-            "id_b",
-        )
-        .filter(passes(F.col("va"), F.col("vb")))
-        .select("id_a", "id_b")
+        pv.groupBy("bucket")
+        .applyInPandas(_bucket_gram, f"id_a {id_dt}, id_b {id_dt}")
+        .dropDuplicates()
     )
 
 

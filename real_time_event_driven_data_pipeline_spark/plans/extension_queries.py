@@ -3036,27 +3036,20 @@ def q_crossmodal_dup_clusters(spark, sf_dir):
         multimodal.multimodal_signatures(media, every_ms=1000), "crossmodal_sig"
     )
 
-    def _edges(pairs):
-        return pairs.select(
-            F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
-        )
-
-    ipairs = _edges(
-        multimodal.hamming_near_dups_from_sig(
-            sig.select("media_id", F.col("image_h").alias("h")), _DHASH_MAX_DIST
-        )
-    )
-    apairs = _edges(
-        multimodal.hamming_near_dups_from_sig(
-            sig.select("media_id", F.col("audio_h").alias("h")), _DHASH_MAX_DIST
-        )
-    )
-    vpairs = _edges(
-        multimodal.video_near_dups_from_sig(
-            sig.select("media_id", F.explode("video_hs").alias("h")), _DHASH_MAX_DIST
-        )
-    )
-    edges = tpairs.unionByName(ipairs).unionByName(apairs).unionByName(vpairs)
+    # the three media arms share ONE posting exchange + ONE pair
+    # aggregate (r11: multi_arm_hamming_pairs) instead of a banded
+    # self-join + dedup per arm — per-arm pair sets are identical by
+    # construction (modality-keyed candidates, min over candidate rows),
+    # so the union edge set and the oracle SQL are untouched
+    mpairs = multimodal.multi_arm_hamming_pairs(
+        {
+            "image": sig.select("media_id", F.col("image_h").alias("h")),
+            "audio": sig.select("media_id", F.col("audio_h").alias("h")),
+            "video": sig.select("media_id", F.explode("video_hs").alias("h")),
+        },
+        _DHASH_MAX_DIST,
+    ).select(F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b"))
+    edges = tpairs.unionByName(mpairs)  # CC dedups the union internally
     return components.near_dup_clusters(edges).orderBy("doc_id")
 
 

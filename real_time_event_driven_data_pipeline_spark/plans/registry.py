@@ -88,31 +88,37 @@ def _ensure_loaded() -> None:
     from . import analytics_queries  # noqa: F401
     from . import breadth_queries  # noqa: F401
 
-    # round 10 sampling prefix (driver samples ~50): (a) the 8 queries
-    # whose latest driver hash is still r3/r4 — the r9 verdict's
-    # recomputed union showed the r9 rotation's "every query r5+" claim
-    # used the wrong denominator (it rotated the r1/r2 tail faithfully
-    # but missed these); after this prefix the union latest-hash floor
-    # is genuinely >= r5 (r9 verdict item 4); (b) code paths changed
-    # this round — the md5-register HLL conversion (both distinct-count
-    # sketches gain oracles), the bottom-k tie-break (Spark + SQL
-    # changed in lockstep; hash must not move), and the allow_dense
-    # plumbing through the semantic-dedup family.
+    # round 11 sampling prefix (driver samples ~50): (a) queries whose
+    # r10 optimization rewrites have never been driver-oracle-checked
+    # post-change (r10 verdict item 2 — their last driver hash predates
+    # the perceptron/featurization, dsir n_tokens, kmeans assignment,
+    # min_cost semi-join, CC raw-edge gate, and search-cache rewrites);
+    # (b) queries whose operators change in THIS round (crossmodal
+    # shared-posting arm merge, bucket-gram column chunking, PPJoin
+    # restructure candidates, window-core materialization A/B).
     _prioritize(
-        # (a) r3/r4-era certification true-up
-        "acctbal_deciles",
-        "top_revenue_suppliers",
-        "events_hourly_stats",
-        "daily_event_type_map",
-        "both_priority_customers",
+        # (b) touched this round — certify against the new code first
+        "crossmodal_dup_clusters",
+        "multimodal_dup_clusters",
+        "semantic_dedup_clusters_lsh",
+        "ngram_jaccard_near_dups",
+        "incremental_near_dups",
+        "acctbal_deciles",  # window-core correctness canary (r10 b3 §4)
+        "context_packing",
         "top_order_percentiles",
-        "monthly_orders_vs_shipments",
-        "weekly_users_from_daily_sketches",  # r10: oracle-exact md5 HLL
-        # (b) code paths changed / NEW in round 10
-        "approx_daily_users",  # r10: oracle-exact md5 HLL
-        "range_users_from_daily_registers",  # NEW r10: register rollup
-        "value_quantile_sketch",  # value_col tie-break both sides
-        "semantic_dedup_clusters_lsh",  # allow_dense call path
+        # (a) r10 rewrites with pre-rewrite driver hashes
+        "quality_classifier_scores",
+        "margin_curriculum_cut",
+        "dsir_resampled_mixture",
+        "kmeans_centroids",
+        "kmeans_balanced_sample",
+        "min_cost_suppliers",
+        "dup_cluster_representatives",
+        "search_rerank_topk",
+        "hybrid_rrf_search",
+        "near_dup_clusters",
+        "curated_corpus",
+        "minhash_lsh_near_dups",
         after=0,
     )
 

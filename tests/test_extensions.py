@@ -1,6 +1,8 @@
 """Extensions: LSH/SimHash approximate paths pinned against exact
 twins; multimodal plumbing exercised with synthetic binary payloads."""
 
+import math
+
 import numpy as np
 import pyspark.sql.functions as F
 import pytest
@@ -1002,6 +1004,52 @@ def test_video_near_dups_banded_equals_brute_force(spark):
         assert got[(0, 8)] == 0  # the planted shifted copy, at frame offset
 
 
+def test_multi_arm_hamming_pairs_equals_per_arm(spark):
+    """The shared-posting-exchange multi-arm core (r11, crossmodal) must
+    emit exactly each arm's standalone pair set: media-grain arms equal
+    ``hamming_near_dups_from_sig`` (banded self-join + dedup + filter),
+    the frame-grain arm equals ``video_near_dups_from_sig`` (group-min)
+    — for both the block-triple keys (max_dist 3) and the byte-band
+    fallback (max_dist 7), with a planted exact dup and a planted
+    byte-shifted video copy."""
+    import numpy as np
+
+    from real_time_event_driven_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    payloads = [bytes(rng.integers(0, 256, 200).astype(np.uint8)) for _ in range(8)]
+    payloads.append(payloads[0])  # id 8: exact dup of id 0 (every arm hits)
+    payloads.append(b"\x02" + payloads[1])  # id 9: video frame 1 == id 1 frame 0
+    media = spark.createDataFrame(
+        [(i, p, 3000) for i, p in enumerate(payloads)],
+        "media_id long, payload binary, duration_ms long",
+    )
+    sig = multimodal.multimodal_signatures(media, every_ms=1000).cache()
+    arms = {
+        "image": sig.select("media_id", F.col("image_h").alias("h")),
+        "audio": sig.select("media_id", F.col("audio_h").alias("h")),
+        "video": sig.select("media_id", F.explode("video_hs").alias("h")),
+    }
+    for max_dist in (3, 7):
+        got = {
+            (r.modality, r.media_id_a, r.media_id_b): r.min_hamming
+            for r in multimodal.multi_arm_hamming_pairs(arms, max_dist).collect()
+        }
+        want = {}
+        for mod in ("image", "audio"):
+            for r in multimodal.hamming_near_dups_from_sig(
+                arms[mod], max_dist
+            ).collect():
+                want[(mod, r.media_id_a, r.media_id_b)] = r.hamming_dist
+        for r in multimodal.video_near_dups_from_sig(
+            arms["video"], max_dist
+        ).collect():
+            want[("video", r.media_id_a, r.media_id_b)] = r.min_hamming
+        assert got == want, f"max_dist={max_dist}"
+        assert got[("image", 0, 8)] == 0 and got[("video", 1, 9)] == 0
+    sig.unpersist()
+
+
 def test_video_frame_dhash_clamps_to_payload_length(spark):
     """Duration alone must not drive frame count: suffix i >= n_bytes is
     empty, so every frame past byte n_bytes-1 would hash the identical
@@ -1310,6 +1358,64 @@ def test_semantic_dedup_lsh_matches_exact_on_testdata(spark, emb):
     }
     assert exact, "fixture should contain semantic near-dups"
     assert lsh == exact
+
+
+def test_gram_block_pairs_chunking_exact():
+    """The bucket verifier's blk x blk slab chunking (r11, ADVICE r10)
+    must emit exactly the brute-force pair set for ANY block size —
+    including blocks that straddle the diagonal — re-scoring border
+    cosines with the exact in-order fold, and must skip duplicate-id
+    self-pairs (upstream contract violation; the per-pair verifier's
+    strict id_a < id_b filter silently excluded them)."""
+    import numpy as np
+
+    from real_time_event_driven_data_pipeline_spark.operators.similarity import (
+        _gram_block_pairs,
+        _inorder_dot,
+    )
+
+    rng = np.random.default_rng(11)
+    thr = 0.45
+    n, dim = 23, 8
+    V = rng.normal(size=(n, dim))
+    # a deliberate near-threshold pair to exercise the border re-score
+    V[5] = np.zeros(dim)
+    V[5][0] = 1.0
+    V[6] = np.zeros(dim)
+    V[6][0] = thr
+    V[6][1] = math.sqrt(1 - thr * thr)
+    ids = np.arange(n, dtype=np.int64)
+
+    def brute(ids, V):
+        out = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                a, b = V[i], V[j]
+                c = float(a @ b) / math.sqrt(float(a @ a) * float(b @ b))
+                if abs(c - thr) < 1e-9:
+                    c = _inorder_dot(a, b) / math.sqrt(
+                        _inorder_dot(a, a) * _inorder_dot(b, b)
+                    )
+                if c >= thr:
+                    out.add((ids[i], ids[j]))
+        return out
+
+    expect = brute(ids, V)
+    assert expect  # the construction must produce at least one pair
+    for blk in (1, 3, 7, 2048):
+        a, b = _gram_block_pairs(ids, V, thr, blk=blk)
+        assert set(zip(a, b)) == expect, f"blk={blk}"
+
+    # duplicate ids: identical vectors (cos = 1) under one id emit no
+    # self-pair, but still pair with genuinely distinct near ids
+    ids2 = np.array([1, 1, 2], dtype=np.int64)
+    V2 = np.stack([V[0], V[0], V[0] + 1e-6])
+    for blk in (1, 2048):
+        a, b = _gram_block_pairs(ids2, V2, thr, blk=blk)
+        got = set(zip(a, b))
+        assert (1, 1) not in got and (1, 2) in got
 
 
 def test_semantic_dedup_lsh_candidates_and_cap(spark, emb):

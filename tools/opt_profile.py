@@ -20,6 +20,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -65,7 +66,7 @@ def main() -> None:
         reset_scoped_caches()
         spark.catalog.clearCache()
 
-    plans_dir = REPO / "plans" / "r10"
+    plans_dir = REPO / "plans" / os.environ.get("OPT_PLANS_ROUND", "r11")
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     for name in args.queries:
