@@ -139,6 +139,9 @@ def main() -> None:
         drain_listener_bus,
         executor_io_totals,
     )
+    from real_time_event_driven_data_pipeline_spark.operators.dedup import (
+        reset_scoped_caches,
+    )
 
     def _counters() -> tuple[int, int, int]:
         if not drain_listener_bus(spark):
@@ -186,10 +189,6 @@ def main() -> None:
             # measured 11.1 MB with residue vs its deterministic
             # clean-room 7.7 MB), so the slots themselves are reset
             # too.  Additions-only: pass 1 keeps its counter drains.
-            from real_time_event_driven_data_pipeline_spark.operators.dedup import (
-                reset_scoped_caches,
-            )
-
             reset_scoped_caches()
             spark.catalog.clearCache()
             if measure_shuffle:
@@ -268,6 +267,10 @@ def main() -> None:
         for name in suspects:
             for attempt in range(1, MAX_QUERY_RETRIES + 1):
                 requeried[name] = attempt
+                # same isolation as the pass loop (r11): retry N must
+                # not ride attempt N-1's scoped-cache slots
+                reset_scoped_caches()
+                spark.catalog.clearCache()
                 timings[name] = min(
                     timings[name], _run_query(name, qmap[name], f"retry {attempt}")
                 )

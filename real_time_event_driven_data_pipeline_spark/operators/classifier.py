@@ -334,7 +334,14 @@ def margin_curriculum_cut(
     )
     with_k = base.join(F.broadcast(quotas), source_col)
     ranked = with_grouped_row_number(
-        with_k, [source_col], [("margin", False), (id_col, True)], "rk"
+        with_k,
+        [source_col],
+        [("margin", False), (id_col, True)],
+        "rk",
+        # checkpoint (r11 A/B): the upstream margin projection reads the
+        # already-cached feature frame, so the eager pin is cheap and
+        # measured ~0.6 s faster than the cache here
+        materialize="checkpoint",
     )
     return ranked.filter(F.col("rk") <= F.col("_k")).select(
         source_col, id_col, "margin", "rk"

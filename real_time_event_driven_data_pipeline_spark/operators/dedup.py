@@ -387,7 +387,17 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
     # exact verification restricted to candidates via semi-joins, over
-    # the SAME cached shingle relation the signatures derive from
+    # the SAME cached shingle relation the signatures derive from.
+    # r11 MEASURED, REVERTED: restructuring this tail so candidate
+    # pairs carry both shingle arrays through a pair-keyed exchange
+    # (attach-by-broadcast x2 then SMJ on the pair key, or an ids-only
+    # pluck then two candidate-keyed joins) re-ships every candidate
+    # doc's array once PER CANDIDATE PAIR — 3.6 MB -> 84 MB shuffled
+    # for ngram at sf0.1 (pair-degree duplication of the fattest rows;
+    # the same fat-row lesson as r10's source_shingle_overlap revert).
+    # The planner-chosen join here moves each array at most once per
+    # side: broadcast at bench scale, SMJ of one-array-per-doc rows at
+    # corpus scale — already the minimal array movement.
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (

@@ -66,6 +66,7 @@ def _grouped_hierarchical_prefix(
     total_expr: Column,
     out_col: str,
     num_partitions: int | None,
+    materialize: str = "cache",
 ) -> DataFrame:
     """Shared core, generalized to PER-GROUP prefixes: prefix quantity =
     broadcast (partition, group) offset + per-(partition, group) local
@@ -90,28 +91,39 @@ def _grouped_hierarchical_prefix(
     parts = _num_partitions(df, num_partitions)
     # pinned (r10): the ranged relation feeds BOTH the totals aggregate
     # and the local-prefix window, and column pruning de-unifies the two
-    # range exchanges so exchange reuse never fires — uncached, the
+    # range exchanges so exchange reuse never fires — unpinned, the
     # ENTIRE upstream plan executes once per reference (the r10 plan
     # audit found dsir_resampled_mixture re-running its corpus-wide
-    # importance aggregation three times through here).  Every call
-    # site passes a pre-projected narrow relation (ids + order/value
-    # columns, never document text), so the cache is a narrow
-    # spill-safe materialization even at corpus scale, bought for one
-    # range shuffle instead of two plus double upstream compute.
-    ranged = _scoped_cache(
-        df.repartitionByRange(
-            parts, *[F.col(g) for g in group_cols], *_sort_exprs(order_by)
-        ).withColumn(_PID, F.spark_partition_id()),
-        "window_ranged",
-    )
+    # importance aggregation three times through here), and worse, each
+    # re-execution of repartitionByRange re-SAMPLES nondeterministic
+    # input so the two range exchanges can disagree on boundaries (the
+    # r10 batch-3 acctbal_deciles oracle FAILURE) — the pin is
+    # correctness-load-bearing, never remove it.  ``materialize``
+    # selects HOW it is pinned (r11, verdict item 7): "cache" (default)
+    # or "checkpoint" (eager localCheckpoint — cuts lineage so the
+    # consumer plan and every downstream reference start from
+    # materialized partitions; measured faster for cheap-upstream
+    # consumers where the cache's InMemoryRelation re-planning overhead
+    # exceeds its benefit).  Every call site passes a pre-projected
+    # narrow relation (ids + order/value columns, never document text),
+    # so either materialization is narrow even at corpus scale, bought
+    # for one range shuffle instead of two plus double upstream compute.
+    ranged = df.repartitionByRange(
+        parts, *[F.col(g) for g in group_cols], *_sort_exprs(order_by)
+    ).withColumn(_PID, F.spark_partition_id())
+    if materialize == "checkpoint":
+        ranged = ranged.localCheckpoint()
+    else:
+        ranged = _scoped_cache(ranged, "window_ranged")
     # per-(partition, group) totals: range partitioning keeps each
     # group's rows contiguous across partitions, so this relation is
-    # bounded by parts + |groups| rows; cached because the triangular
+    # bounded by parts + |groups| rows; pinned because the triangular
     # offsets self-join below references it twice
-    totals = _scoped_cache(
-        ranged.groupBy(_PID, *group_cols).agg(total_expr.alias(_TOTAL)),
-        "window_totals",
-    )
+    totals = ranged.groupBy(_PID, *group_cols).agg(total_expr.alias(_TOTAL))
+    if materialize == "checkpoint":
+        totals = totals.localCheckpoint()
+    else:
+        totals = _scoped_cache(totals, "window_totals")
     a, b = totals.alias("__wa"), totals.alias("__wb")
     cond = F.col(f"__wb.{_PID}") < F.col(f"__wa.{_PID}")
     # null-SAFE group equality (r6, ADVICE): SQL ROW_NUMBER() OVER
@@ -154,6 +166,7 @@ def _hierarchical_prefix(
     total_expr: Column,
     out_col: str,
     num_partitions: int | None,
+    materialize: str = "cache",
 ) -> DataFrame:
     """Global (ungrouped) case of ``_grouped_hierarchical_prefix``."""
     return _grouped_hierarchical_prefix(
@@ -164,6 +177,7 @@ def _hierarchical_prefix(
         total_expr,
         out_col,
         num_partitions,
+        materialize,
     )
 
 
@@ -172,6 +186,7 @@ def with_global_row_number(
     order_cols: list[str],
     col_name: str = "rn",
     num_partitions: int | None = None,
+    materialize: str = "cache",
 ) -> DataFrame:
     """``ROW_NUMBER() OVER (ORDER BY order_cols)`` (1-based) without a
     single-partition WindowExec.  ``order_cols`` must be duplicate-free
@@ -183,6 +198,7 @@ def with_global_row_number(
         F.count(F.lit(1)).cast("long"),
         col_name,
         num_partitions,
+        materialize,
     )
 
 
@@ -192,6 +208,7 @@ def with_global_running_sum(
     value_col: str,
     col_name: str = "running_sum",
     num_partitions: int | None = None,
+    materialize: str = "cache",
 ) -> DataFrame:
     """``SUM(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``
     — inclusive running sum; subtract ``value_col`` for the exclusive
@@ -204,6 +221,7 @@ def with_global_running_sum(
         F.sum(F.col(value_col)).cast("long"),
         col_name,
         num_partitions,
+        materialize,
     )
 
 
@@ -213,6 +231,7 @@ def with_grouped_row_number(
     order_by: list[tuple[str, bool]],
     col_name: str = "rk",
     num_partitions: int | None = None,
+    materialize: str = "cache",
 ) -> DataFrame:
     """``ROW_NUMBER() OVER (PARTITION BY group_cols ORDER BY order_by)``
     (1-based, long) without any task ever holding a whole group —
@@ -230,6 +249,7 @@ def with_grouped_row_number(
         F.count(F.lit(1)).cast("long"),
         col_name,
         num_partitions,
+        materialize,
     )
 
 
@@ -240,6 +260,7 @@ def with_grouped_running_sum(
     value_col: str,
     col_name: str = "running_sum",
     num_partitions: int | None = None,
+    materialize: str = "cache",
 ) -> DataFrame:
     """``SUM(value) OVER (PARTITION BY group_cols ORDER BY order_by
     ROWS UNBOUNDED PRECEDING)`` (inclusive) without any task holding a
@@ -254,6 +275,7 @@ def with_grouped_running_sum(
         F.sum(F.col(value_col)).cast("long"),
         col_name,
         num_partitions,
+        materialize,
     )
 
 

@@ -438,10 +438,15 @@ def q_acctbal_deciles(spark, sf_dir):
     from ..operators.windows import ntile_from_row_number, with_global_row_number
 
     (customer,) = _t(spark, sf_dir, "customer")
+    # materialize="checkpoint" (r11 A/B, verdict item 7): upstream is a
+    # plain narrow scan, and the eager localCheckpoint beat the cache by
+    # ~1.3 s here (cache re-planning overhead exceeds its benefit when
+    # the pinned relation is this cheap to produce)
     ranked = with_global_row_number(
         customer.select("c_acctbal", "c_custkey"),
         ["c_acctbal", "c_custkey"],
         "rn",
+        materialize="checkpoint",
     )
     total = customer.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (

@@ -716,7 +716,10 @@ def q_top_order_percentiles(spark, sf_dir):
     sub = orders.filter(F.col("o_orderkey") % 191 == 0).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
     )
-    ranked = with_global_row_number(sub, ["total_price", "o_orderkey"], "rn")
+    # checkpoint materialization: cheap filtered-scan upstream (r11 A/B)
+    ranked = with_global_row_number(
+        sub, ["total_price", "o_orderkey"], "rn", materialize="checkpoint"
+    )
     total = sub.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
         ranked.join(F.broadcast(total))  # single-row scalar

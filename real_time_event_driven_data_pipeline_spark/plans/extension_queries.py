@@ -2475,7 +2475,11 @@ def q_source_length_deciles(spark, sf_dir):
         "source", "doc_id", F.length("text").cast("long").alias("n_chars")
     )
     ranked = with_grouped_row_number(
-        s, ["source"], [("n_chars", False), ("doc_id", True)], "rk"
+        s,
+        ["source"],
+        [("n_chars", False), ("doc_id", True)],
+        "rk",
+        materialize="checkpoint",  # cheap projected-scan upstream (r11 A/B)
     )
     totals = s.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("_n"))
     return (
@@ -2539,7 +2543,12 @@ def q_source_token_budget_cut(spark, sf_dir):
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
     )
     summed = with_grouped_running_sum(
-        t, ["source"], [("pri", True), ("doc_id", True)], "n_tokens", "cum_tokens"
+        t,
+        ["source"],
+        [("pri", True), ("doc_id", True)],
+        "n_tokens",
+        "cum_tokens",
+        materialize="checkpoint",  # cheap projected-scan upstream (r11 A/B)
     )
     return (
         summed.filter(F.col("cum_tokens") - F.col("n_tokens") < _SRC_BUDGET)
